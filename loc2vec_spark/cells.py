@@ -1,0 +1,211 @@
+"""Hierarchical grid-cell index with an H3/S2-compatible API.
+
+The reference (``angus-spence/loc2vec``) bakes location into PNG filenames
+upstream (``/root/reference/README.md:5-7``); the engine makes location a
+first-class column and assigns every row to multi-resolution cells
+(SURVEY.md §1.4, op F12).
+
+Design (SURVEY.md §7.0): a quadtree over the equirectangular lat/lon plane.
+Chosen over S2's cube-face Hilbert layout because every operation here is a
+handful of integer/floor expressions — which means (a) the hot path is a pure
+Catalyst expression tree (whole-stage codegen, no Python), and (b) the exact
+same formula text runs in DuckDB for the correctness oracle. The API mirrors
+H3/S2 (``latlon_to_cell``, ``cell_to_parent``, ``kring``) so a real H3
+backend can be swapped in behind the same operator surface.
+
+Cell id layout (single int64, always >= 0, sortable by resolution):
+
+    id = (res << 58) | (j << 29) | i
+
+    res : resolution, 0..28          (grid is 2^res x 2^res)
+    i   : longitude index, 0..2^res-1   (wraps around the antimeridian)
+    j   : latitude  index, 0..2^res-1   (clamped at the poles)
+
+Every function below has three faces, all derived from the same formula:
+
+1. numpy (vectorized, used inside pandas UDFs and as the pytest oracle),
+2. a portable SQL text builder (identical text runs in Spark SQL and DuckDB
+   -> bit-identical results for the driver's value-hash comparison),
+3. a pyspark Column builder (wraps the SQL text via F.expr).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+RES_SHIFT = 58
+J_SHIFT = 29
+IJ_MASK = (1 << 29) - 1
+MAX_RES = 28
+
+_POW2_58 = 1 << 58  # 288230376151711744
+_POW2_29 = 1 << 29  # 536870912
+
+
+# ---------------------------------------------------------------------------
+# numpy face (works on scalars and arrays alike)
+# ---------------------------------------------------------------------------
+
+def latlon_to_ij(lat, lon, res: int):
+    """(lat, lon) -> integer grid coordinates (i=lon axis, j=lat axis)."""
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    n = 1 << res
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    i = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+    j = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
+    i = np.clip(i, 0, n - 1)
+    j = np.clip(j, 0, n - 1)
+    return i, j
+
+
+def ij_to_cell(i, j, res: int):
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    return (np.int64(res) << RES_SHIFT) | (j << J_SHIFT) | i
+
+
+def latlon_to_cell(lat, lon, res: int):
+    """Vectorized lat/lon -> 64-bit cell id (H3's ``latlng_to_cell`` analog)."""
+    i, j = latlon_to_ij(lat, lon, res)
+    return ij_to_cell(i, j, res)
+
+
+def cell_res(cell):
+    return np.asarray(cell, dtype=np.int64) >> RES_SHIFT
+
+
+def cell_ij(cell):
+    cell = np.asarray(cell, dtype=np.int64)
+    return cell & IJ_MASK, (cell >> J_SHIFT) & IJ_MASK
+
+
+def cell_to_parent(cell, parent_res: int):
+    """Coarsen a cell id (H3's ``cell_to_parent`` analog). Vectorized."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell >> RES_SHIFT
+    d = res - parent_res
+    if np.any(d < 0):
+        raise ValueError("parent_res must be <= cell resolution")
+    i, j = cell_ij(cell)
+    return ij_to_cell(i >> d, j >> d, parent_res)
+
+
+def cell_center(cell):
+    """Cell id -> (lat, lon) of the cell center. Vectorized."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell >> RES_SHIFT
+    n = np.int64(1) << res
+    i, j = cell_ij(cell)
+    lat = (j + 0.5) * 180.0 / n - 90.0
+    lon = (i + 0.5) * 360.0 / n - 180.0
+    return lat, lon
+
+
+def kring_offsets(k: int = 1) -> list[tuple[int, int]]:
+    """The (di, dj) neighborhood stencil, row-major, includes (0, 0)."""
+    return [(di, dj) for dj in range(-k, k + 1) for di in range(-k, k + 1)]
+
+
+def kring(cell: int, k: int = 1) -> list[int]:
+    """All cells within Chebyshev distance k (incl. self), sorted.
+
+    Longitude wraps (antimeridian-safe); latitude neighbors past the poles
+    are dropped, so ring size is (2k+1)^2 except at the poles. Symmetric:
+    b in kring(a, k)  <=>  a in kring(b, k)  (property-tested).
+    """
+    cell = int(cell)
+    res = cell >> RES_SHIFT
+    n = 1 << res
+    i, j = cell & IJ_MASK, (cell >> J_SHIFT) & IJ_MASK
+    out = []
+    for di, dj in kring_offsets(k):
+        nj = j + dj
+        if 0 <= nj < n:
+            ni = (i + di) % n
+            out.append((res << RES_SHIFT) | (nj << J_SHIFT) | ni)
+    return sorted(set(out))
+
+
+def kring_array(cells, k: int = 1):
+    """Vectorized k-ring: (m,) int64 cells -> (m, (2k+1)^2) int64 with -1
+    for dropped (past-pole) neighbors. Used inside pandas UDFs."""
+    cells = np.asarray(cells, dtype=np.int64)
+    res = cells >> RES_SHIFT
+    n = np.int64(1) << res
+    i, j = cell_ij(cells)
+    offs = np.array(kring_offsets(k), dtype=np.int64)  # (s, 2)
+    ni = (i[:, None] + offs[None, :, 0]) % n[:, None]
+    nj = j[:, None] + offs[None, :, 1]
+    valid = (nj >= 0) & (nj < n[:, None])
+    out = (res[:, None] << RES_SHIFT) | (nj << J_SHIFT) | ni
+    return np.where(valid, out, np.int64(-1))
+
+
+# ---------------------------------------------------------------------------
+# portable SQL face — identical text evaluates in Spark SQL and DuckDB.
+# Only uses: floor, least, greatest, CAST, %, *, +, - (common to both).
+# ---------------------------------------------------------------------------
+
+def ij_sql(lat_expr: str, lon_expr: str, res: int) -> tuple[str, str]:
+    """(i_expr, j_expr) SQL text for grid coordinates at ``res``."""
+    n = 1 << res
+    i = (f"CAST(LEAST({n - 1}, GREATEST(0, "
+         f"FLOOR((({lon_expr}) + 180.0) / 360.0 * {n}))) AS BIGINT)")
+    j = (f"CAST(LEAST({n - 1}, GREATEST(0, "
+         f"FLOOR((({lat_expr}) + 90.0) / 180.0 * {n}))) AS BIGINT)")
+    return i, j
+
+
+def cell_sql(lat_expr: str, lon_expr: str, res: int) -> str:
+    """SQL text computing the cell id from lat/lon expressions."""
+    i, j = ij_sql(lat_expr, lon_expr, res)
+    return f"(CAST({res} AS BIGINT) * {_POW2_58} + {j} * {_POW2_29} + {i})"
+
+
+def cell_i_sql(cell_expr: str) -> str:
+    return f"(({cell_expr}) % {_POW2_29})"
+
+
+def cell_j_sql(cell_expr: str) -> str:
+    return f"(CAST(FLOOR(({cell_expr}) / {_POW2_29}) AS BIGINT) % {_POW2_29})"
+
+
+def parent_sql(cell_expr: str, res: int, parent_res: int) -> str:
+    """SQL text coarsening a cell id whose resolution is statically ``res``."""
+    d = res - parent_res
+    if d < 0:
+        raise ValueError("parent_res must be <= res")
+    pi = f"CAST(FLOOR({cell_i_sql(cell_expr)} / {1 << d}) AS BIGINT)"
+    pj = f"CAST(FLOOR({cell_j_sql(cell_expr)} / {1 << d}) AS BIGINT)"
+    return f"(CAST({parent_res} AS BIGINT) * {_POW2_58} + {pj} * {_POW2_29} + {pi})"
+
+
+def neighbor_sql(i_expr: str, j_expr: str, di_expr: str, dj_expr: str,
+                 res: int) -> str:
+    """SQL text for a neighbor cell id given grid coords + offsets.
+
+    Caller must filter ``j + dj`` into [0, 2^res) separately (pole drop);
+    longitude wraps via modular arithmetic here.
+    """
+    n = 1 << res
+    ni = f"((({i_expr}) + ({di_expr}) + {n}) % {n})"
+    nj = f"(({j_expr}) + ({dj_expr}))"
+    return f"(CAST({res} AS BIGINT) * {_POW2_58} + {nj} * {_POW2_29} + {ni})"
+
+
+# ---------------------------------------------------------------------------
+# pyspark Column face
+# ---------------------------------------------------------------------------
+
+def cell_col(lat_col: str, lon_col: str, res: int):
+    """Catalyst expression Column for the cell id (whole-stage codegen —
+    this is the hot path for tile assignment; no Python involved)."""
+    from pyspark.sql import functions as F
+    return F.expr(cell_sql(lat_col, lon_col, res))
+
+
+def parent_col(cell_colname: str, res: int, parent_res: int):
+    from pyspark.sql import functions as F
+    return F.expr(parent_sql(cell_colname, res, parent_res))

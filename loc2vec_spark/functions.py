@@ -1,0 +1,79 @@
+"""Scalar/array expression builders (SURVEY.md §2.7, ops F3-F9).
+
+Each builder returns SQL text. ``index_base`` parameterizes array indexing
+(Spark SQL brackets are 0-based, DuckDB lists are 1-based) so the *same
+arithmetic in the same order* runs on both engines — additions are
+left-associative in both parsers, all math in double, hence bit-identical
+results for the driver's value-hash comparison.
+
+The reference computes these with torch (`loc2vec_nn.py:120-151`,
+`trainset_validation.py:71-77`); here they are Catalyst expression trees.
+"""
+
+from __future__ import annotations
+
+SPARK_BASE = 0   # spark SQL a[i] is 0-based
+DUCKDB_BASE = 1  # duckdb l[i] is 1-based
+
+
+def _terms(a: str, b: str, dim: int, base: int, op: str) -> list[str]:
+    out = []
+    for i in range(dim):
+        xa = f"CAST({a}[{i + base}] AS DOUBLE)"
+        xb = f"CAST({b}[{i + base}] AS DOUBLE)"
+        if op == "sqdiff":
+            out.append(f"POW({xa} - {xb}, 2)")
+        elif op == "prod":
+            out.append(f"({xa} * {xb})")
+        elif op == "sq_a":
+            out.append(f"({xa} * {xa})")
+        elif op == "sq_b":
+            out.append(f"({xb} * {xb})")
+    return out
+
+
+def euclid_sql(a: str, b: str, dim: int, base: int) -> str:
+    """F3 — Euclidean distance between two fixed-dim array columns.
+
+    Reference: ``F.pairwise_distance`` at `loc2vec_nn.py:138-140`,
+    `triplet_mining.py:113`.
+    """
+    return f"SQRT({' + '.join(_terms(a, b, dim, base, 'sqdiff'))})"
+
+
+def cosine_sql(a: str, b: str, dim: int, base: int) -> str:
+    """F7 — cosine similarity (reference `trainset_validation.py:71-77`)."""
+    dot = " + ".join(_terms(a, b, dim, base, "prod"))
+    na = " + ".join(_terms(a, b, dim, base, "sq_a"))
+    nb = " + ".join(_terms(a, b, dim, base, "sq_b"))
+    return f"(({dot}) / (SQRT({na}) * SQRT({nb})))"
+
+
+def dot_sql(a: str, b: str, dim: int, base: int) -> str:
+    return f"({' + '.join(_terms(a, b, dim, base, 'prod'))})"
+
+
+def norm_sql(a: str, dim: int, base: int) -> str:
+    return f"SQRT({' + '.join(_terms(a, a, dim, base, 'sq_a'))})"
+
+
+def triplet_margin_sql(d_ip: str, d_in: str, d_pn: str,
+                       margin: float = 1.0) -> str:
+    """F4+F5+F6 — the reference's triplet loss as one expression tree:
+    ``max(0, d(i,p) - min(d(i,n), d(p,n)) + margin)``
+    (`loc2vec_nn.py:138-142`: pairwise distances, torch.min, relu)."""
+    return (f"GREATEST(CAST(0.0 AS DOUBLE), ({d_ip}) - "
+            f"LEAST(({d_in}), ({d_pn})) + {margin})")
+
+
+def array_var_sql(a: str, dim: int, base: int) -> str:
+    """F9 — population variance of a fixed-dim array column (rowwise).
+
+    Reference `triplet_mining.py:116-124` (including its `len*sample` typo,
+    which we do NOT reproduce — documented divergence, SURVEY.md §5.1).
+    """
+    s1 = " + ".join(f"CAST({a}[{i + base}] AS DOUBLE)" for i in range(dim))
+    s2 = " + ".join(f"POW(CAST({a}[{i + base}] AS DOUBLE), 2)"
+                    for i in range(dim))
+    # E[x^2] - E[x]^2 (one pass, small expression tree)
+    return f"((({s2}) / {dim}) - POW((({s1}) / {dim}), 2))"

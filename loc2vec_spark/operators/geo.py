@@ -1,0 +1,145 @@
+"""Location derivation + tile (cell) assignment operators.
+
+The reference's location identity lives only in PNG filenames
+(``/root/reference/src/loc2vec/loc2vec_run.py:26-27``); per
+BASELINE.json:north_star the engine derives (lat, lon) from image metadata
+(caption parse + phash jitter, FIXTURES.md §1) and assigns every row to
+multi-resolution cells. The whole path is Catalyst expressions — regexp
+extraction, integer bit math, floor arithmetic — so tile assignment runs
+inside whole-stage codegen with zero Python crossings. A pandas-UDF variant
+(:func:`with_cells_pandas`) exists for API parity with the BASELINE.json
+"vectorized pandas/Arrow UDF" phrasing and is tested to agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .. import cells
+
+# ---------------------------------------------------------------------------
+# (lat, lon) from image metadata — caption parse + phash jitter
+# ---------------------------------------------------------------------------
+
+JITTER_DEG = 1e-4  # FIXTURES.md: low phash bits seed +/-1e-4 deg jitter
+
+# phash is signed int64; & works on negatives in both Spark and numpy
+# (two's complement), masks select low 20 / next 20 bits.
+_MASK20 = (1 << 20) - 1
+
+
+def _jitter_expr(shift: int) -> str:
+    """SQL text: phash bits [shift, shift+20) -> uniform(-1e-4, 1e-4)."""
+    return (f"((CAST(SHIFTRIGHT(phash, {shift}) & {_MASK20} AS DOUBLE) "
+            f"/ {_MASK20} - 0.5) * {2 * JITTER_DEG})")
+
+
+def with_latlon(images: DataFrame,
+                caption_col: str = "caption") -> DataFrame:
+    """Parse lat/lon out of the caption and apply deterministic phash jitter.
+
+    Pure built-ins: regexp_extract + cast + bit math (no UDF).
+    """
+    lat_s = F.regexp_extract(caption_col, r"lat=(-?\d+\.\d+)", 1)
+    lon_s = F.regexp_extract(caption_col, r"lon=(-?\d+\.\d+)", 1)
+    return (images
+            .withColumn("lat", lat_s.cast("double") + F.expr(_jitter_expr(0)))
+            .withColumn("lon", lon_s.cast("double") + F.expr(_jitter_expr(20))))
+
+
+# ---------------------------------------------------------------------------
+# cell assignment
+# ---------------------------------------------------------------------------
+
+def with_cells(df: DataFrame, resolutions: tuple[int, ...] = (5, 7, 9),
+               lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Add ``cell_r{R}`` columns (Catalyst expressions, codegen hot path)."""
+    for r in resolutions:
+        df = df.withColumn(f"cell_r{r}", cells.cell_col(lat_col, lon_col, r))
+    return df
+
+
+def with_cells_pandas(df: DataFrame,
+                      resolutions: tuple[int, ...] = (5, 7, 9),
+                      lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Same as :func:`with_cells` via an Arrow-vectorized pandas UDF.
+
+    Kept for parity with BASELINE.json:input_hint phrasing and as the
+    template for cell math too complex for SQL (e.g. a real H3 backend).
+    Tested to agree exactly with the expression path.
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    def make(res: int):
+        @pandas_udf(T.LongType())
+        def _cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
+            out = cells.latlon_to_cell(lat.to_numpy(np.float64),
+                                       lon.to_numpy(np.float64), res)
+            return pd.Series(out)
+        return _cell
+
+    for r in resolutions:
+        df = df.withColumn(f"cell_r{r}",
+                           make(r)(F.col(lat_col), F.col(lon_col)))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# k-ring expansion — explode a cell into its neighborhood (built-ins only)
+# ---------------------------------------------------------------------------
+
+def kring_explode(df: DataFrame, cell_colname: str, res: int,
+                  k: int = 1, out_col: str = "nb_cell") -> DataFrame:
+    """One output row per (row, neighbor-cell-in-ring-k).
+
+    Longitude wraps; past-pole neighbors are dropped — matches
+    :func:`loc2vec_spark.cells.kring` exactly. Implemented as an explode
+    over a literal offset stencil + integer math: stays JVM-side.
+    """
+    n = 1 << res
+    offs = F.array(*[
+        F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+        for di, dj in cells.kring_offsets(k)
+    ])
+    i_expr = cells.cell_i_sql(cell_colname)
+    j_expr = cells.cell_j_sql(cell_colname)
+    df = (df
+          .withColumn("_off", F.explode(offs))
+          .withColumn("_nj", F.expr(j_expr) + F.col("_off.dj"))
+          .filter((F.col("_nj") >= 0) & (F.col("_nj") < n))
+          .withColumn(out_col, F.expr(
+              cells.neighbor_sql(i_expr, j_expr, "_off.di", "_off.dj", res)))
+          .drop("_off", "_nj"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# derived lat/lon for the driver's star-schema tables (oracle suite only)
+# ---------------------------------------------------------------------------
+
+def derived_latlon_sql(id_expr: str) -> tuple[str, str]:
+    """Deterministic skewed (lat, lon) from an integer key — portable SQL.
+
+    The driver's testdata tables carry no coordinates, so the oracle suite
+    derives them: 80% of rows land in 3 urban disks (mirrors FIXTURES.md's
+    skew profile; production tables carry real lat/lon from metadata and
+    skip this). Identical text evaluates in Spark SQL and DuckDB; integer
+    mixing keeps it exact (bit-identical doubles on both engines).
+
+    NOTE: multiplier bounds — safe for ids up to ~3.4e9 (no int64 overflow).
+    """
+    h1 = f"((({id_expr}) * 2654435761) % 1000000)"
+    h2 = f"((({id_expr}) * 40503 + 12345) % 1000000)"
+    c = f"(({id_expr}) % 3)"
+    urban_lat = (f"(CASE {c} WHEN 0 THEN 51.5074 WHEN 1 THEN 40.7128 "
+                 f"ELSE 35.6762 END + ({h1} / 1000000.0 - 0.5) * 0.1)")
+    urban_lon = (f"(CASE {c} WHEN 0 THEN -0.1278 WHEN 1 THEN -74.006 "
+                 f"ELSE 139.6503 END + ({h2} / 1000000.0 - 0.5) * 0.1)")
+    lat = (f"(CASE WHEN (({id_expr}) % 5) < 4 THEN {urban_lat} "
+           f"ELSE ({h1} / 1000000.0) * 120.0 - 60.0 END)")
+    lon = (f"(CASE WHEN (({id_expr}) % 5) < 4 THEN {urban_lon} "
+           f"ELSE ({h2} / 1000000.0) * 360.0 - 180.0 END)")
+    return lat, lon

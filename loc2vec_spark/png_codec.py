@@ -1,0 +1,136 @@
+"""Pure-stdlib (zlib + struct) PNG codec for binary image columns.
+
+The reference decodes PNGs one file at a time with torchvision
+(``/root/reference/src/loc2vec/data_loading.py:124,129``). Pillow/torch are
+absent in this sandbox (SURVEY.md preamble), so the engine ships its own
+codec, used batch-at-a-time inside Arrow-vectorized ``mapInPandas`` (op S3).
+
+Supports 8-bit grayscale (color type 0) and RGB (color type 2). The writer
+emits filter type 0 scanlines; the reader unfilters all five standard filter
+types so foreign PNGs decode too. A quantized "lossy" variant (``fmt='pngq'``,
+5 bits/channel) exercises the PSNR >= 40 dB invariant from
+BASELINE.json:input_hint.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """uint8 array (H, W) or (H, W, 3) -> PNG bytes (filter 0, lossless)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        color_type, channels = 0, 1
+        h, w = arr.shape
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        color_type, channels = 2, 3
+        h, w = arr.shape[:2]
+    else:
+        raise ValueError(f"unsupported array shape {arr.shape}")
+    raw = arr.reshape(h, w * channels)
+    # filter byte 0 in front of every scanline
+    scanlines = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), raw], axis=1).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(scanlines, level))
+            + _chunk(b"IEND", b""))
+
+
+def _paeth(a, b, c):
+    p = a.astype(np.int32) + b.astype(np.int32) - c.astype(np.int32)
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 array (H, W) or (H, W, 3)."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color_type not in (0, 2):
+        raise ValueError(f"unsupported PNG variant {ihdr}")
+    channels = 3 if color_type == 2 else 1
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, stride + 1)
+    filters, lines = raw[:, 0], raw[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel (8-bit)
+    for y in range(h):
+        f, line = filters[y], lines[y].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub
+            for x in range(stride):
+                line[x] = (line[x] + (line[x - bpp] if x >= bpp else 0)) & 0xFF
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = (line.astype(np.int32) + prev).astype(np.uint8)
+        elif f == 3:  # Average
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + ((int(a) + int(prev[x])) >> 1)) & 0xFF
+            out[y] = line
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                line[x] = (line[x] + _paeth(np.uint8(a), prev[x],
+                                            np.uint8(c))) & 0xFF
+            out[y] = line
+        else:
+            raise ValueError(f"bad filter {f}")
+        # back-patch for in-place filters that read out[y]
+        out[y] = line if f in (1, 3, 4) else out[y]
+    return out.reshape(h, w) if channels == 1 else out.reshape(h, w, 3)
+
+
+def encode_pngq(arr: np.ndarray, bits: int = 5, level: int = 6) -> bytes:
+    """Quantized lossy variant: drop low bits, then lossless-encode.
+
+    With bits=5 on uint8 data the quantization step is 8 and reconstruction
+    error is uniform in [-4, 4] -> MSE ~ 64/12 -> PSNR ~ 40.9 dB, clearing
+    the PSNR >= 40 dB invariant from BASELINE.json:input_hint (verified in
+    tests against random fixture pixels)."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    step = 1 << (8 - bits)
+    q = (arr // step) * step + step // 2
+    return encode_png(q.astype(np.uint8), level=level)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 arrays."""
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0.0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 ** 2 / mse)

@@ -1,0 +1,104 @@
+"""Cell index unit/property tests (SURVEY.md §5.2 item 1)."""
+
+import numpy as np
+import pytest
+
+from loc2vec_spark import cells
+
+
+def test_roundtrip_center():
+    rng = np.random.Generator(np.random.PCG64(7))
+    lat = rng.uniform(-89.9, 89.9, 1000)
+    lon = rng.uniform(-180.0, 180.0, 1000)
+    for res in (0, 3, 7, 12, 20):
+        c = cells.latlon_to_cell(lat, lon, res)
+        clat, clon = cells.cell_center(c)
+        half_lat = 90.0 / (1 << res)
+        half_lon = 180.0 / (1 << res)
+        assert np.all(np.abs(clat - lat) <= half_lat + 1e-9)
+        assert np.all(np.abs(clon - lon) <= half_lon + 1e-9)
+        # re-encoding the center gives the same cell
+        assert np.array_equal(cells.latlon_to_cell(clat, clon, res), c)
+
+
+def test_resolution_encoded():
+    c = cells.latlon_to_cell(51.5, -0.12, 7)
+    assert cells.cell_res(c) == 7
+
+
+def test_parent_contains_child():
+    rng = np.random.Generator(np.random.PCG64(8))
+    lat = rng.uniform(-89.0, 89.0, 500)
+    lon = rng.uniform(-180.0, 180.0, 500)
+    c9 = cells.latlon_to_cell(lat, lon, 9)
+    c5 = cells.latlon_to_cell(lat, lon, 5)
+    assert np.array_equal(cells.cell_to_parent(c9, 5), c5)
+
+
+def test_kring_symmetry():
+    rng = np.random.Generator(np.random.PCG64(9))
+    lat = rng.uniform(-89.0, 89.0, 200)
+    lon = rng.uniform(-180.0, 180.0, 200)
+    for res in (3, 7):
+        for c in cells.latlon_to_cell(lat, lon, res):
+            for nb in cells.kring(int(c), 1):
+                assert int(c) in cells.kring(int(nb), 1), (c, nb)
+
+
+def test_kring_size_and_self():
+    c = cells.latlon_to_cell(10.0, 20.0, 7)
+    ring = cells.kring(int(c), 1)
+    assert int(c) in ring
+    assert len(ring) == 9  # interior cell
+    # pole row: neighbors past the pole dropped
+    cp = cells.latlon_to_cell(89.99, 20.0, 7)
+    assert len(cells.kring(int(cp), 1)) == 6
+
+
+def test_kring_lon_wraparound():
+    res = 7
+    c = cells.latlon_to_cell(0.0, -179.999, res)
+    ring = cells.kring(int(c), 1)
+    c_other_side = cells.latlon_to_cell(0.0, 179.999, res)
+    assert int(c_other_side) in ring
+
+
+def test_kring_array_matches_scalar():
+    rng = np.random.Generator(np.random.PCG64(10))
+    lat = rng.uniform(-89.0, 89.0, 100)
+    lon = rng.uniform(-180.0, 180.0, 100)
+    cs = cells.latlon_to_cell(lat, lon, 7)
+    arr = cells.kring_array(cs, 1)
+    for row, c in zip(arr, cs):
+        got = sorted(set(int(x) for x in row if x >= 0))
+        assert got == cells.kring(int(c), 1)
+
+
+def test_sql_matches_numpy_duckdb():
+    """The portable SQL text computes the identical cell id in DuckDB."""
+    duckdb = pytest.importorskip("duckdb")
+    rng = np.random.Generator(np.random.PCG64(11))
+    lat = rng.uniform(-89.0, 89.0, 500)
+    lon = rng.uniform(-180.0, 180.0, 500)
+    import pandas as pd
+    pdf = pd.DataFrame({"lat": lat, "lon": lon})
+    con = duckdb.connect()
+    con.register("t", pdf)
+    for res in (5, 7, 9):
+        sql = cells.cell_sql("lat", "lon", res)
+        got = con.sql(f"SELECT {sql} AS c FROM t").df()["c"].to_numpy()
+        assert np.array_equal(got, cells.latlon_to_cell(lat, lon, res))
+        psql = cells.parent_sql(cells.cell_sql("lat", "lon", res), res, 5)
+        gotp = con.sql(f"SELECT {psql} AS c FROM t").df()["c"].to_numpy()
+        assert np.array_equal(gotp, cells.latlon_to_cell(lat, lon, 5))
+
+
+def test_sql_matches_numpy_spark(spark):
+    import pandas as pd
+    rng = np.random.Generator(np.random.PCG64(12))
+    lat = rng.uniform(-89.0, 89.0, 300)
+    lon = rng.uniform(-180.0, 180.0, 300)
+    df = spark.createDataFrame(pd.DataFrame({"lat": lat, "lon": lon}))
+    got = df.select(cells.cell_col("lat", "lon", 7).alias("c")) \
+            .toPandas()["c"].to_numpy()
+    assert np.array_equal(got, cells.latlon_to_cell(lat, lon, 7))

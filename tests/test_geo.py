@@ -1,0 +1,66 @@
+"""with_latlon / with_cells / kring_explode operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from loc2vec_spark import cells, fixtures
+from loc2vec_spark.operators import geo
+
+
+@pytest.fixture(scope="module")
+def images(spark, fixture_dir):
+    return spark.read.parquet(f"{fixture_dir}/images.parquet")
+
+
+def test_with_latlon_parses_caption_with_jitter(spark, images):
+    pdf = geo.with_latlon(images).select("image_id", "lat", "lon").toPandas()
+    for _, row in pdf.head(40).iterrows():
+        i = int(row.image_id.split("_")[1])
+        lat0, lon0 = fixtures.row_latlon(i)
+        # caption carries 6dp; jitter adds <= 1e-4
+        assert abs(row.lat - lat0) < 1e-4 + 1e-6
+        assert abs(row.lon - lon0) < 1e-4 + 1e-6
+        # jitter is deterministic: phash-derived, not zero for most rows
+    assert pdf.lat.notna().all()
+
+
+def test_with_cells_expression_matches_numpy(spark, images):
+    df = geo.with_cells(geo.with_latlon(images), resolutions=(5, 7, 9))
+    pdf = df.select("lat", "lon", "cell_r5", "cell_r7", "cell_r9").toPandas()
+    for r in (5, 7, 9):
+        expect = cells.latlon_to_cell(pdf.lat.to_numpy(),
+                                      pdf.lon.to_numpy(), r)
+        assert np.array_equal(pdf[f"cell_r{r}"].to_numpy(), expect)
+
+
+def test_pandas_udf_path_agrees_with_expression(spark, images):
+    base = geo.with_latlon(images)
+    a = geo.with_cells(base, resolutions=(7,)).select("image_id", "cell_r7")
+    b = geo.with_cells_pandas(base, resolutions=(7,)) \
+           .select("image_id", F.col("cell_r7").alias("cell_udf"))
+    joined = a.join(b, "image_id")
+    assert joined.filter(F.col("cell_r7") != F.col("cell_udf")).count() == 0
+
+
+def test_kring_explode_matches_oracle(spark, images):
+    df = geo.with_cells(geo.with_latlon(images), resolutions=(7,))
+    out = geo.kring_explode(df.select("image_id", "cell_r7"),
+                            "cell_r7", res=7, k=1)
+    got = (out.groupBy("image_id", "cell_r7")
+              .agg(F.sort_array(F.collect_set("nb_cell")).alias("ring"))
+              .toPandas())
+    for _, row in got.iterrows():
+        assert list(row.ring) == cells.kring(int(row.cell_r7), 1)
+
+
+def test_cell_assignment_is_codegen(spark, images):
+    """Tile assignment must stay JVM-side: no Python/Arrow eval nodes and
+    the parquet scan must prune to the needed columns."""
+    df = geo.with_cells(geo.with_latlon(images), resolutions=(7,)) \
+            .select("image_id", "cell_r7")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "*(1)" in plan  # whole-stage codegen star
+    scan = plan[plan.index("ReadSchema"):]
+    assert "bytes" not in scan  # column pruning: never read image payloads

@@ -53,9 +53,12 @@ def latlon_to_ij(lat, lon, res: int):
     n = 1 << res
     lat = np.asarray(lat, dtype=np.float64)
     lon = np.asarray(lon, dtype=np.float64)
-    i = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
-    j = np.floor((lat + 90.0) / 180.0 * n).astype(np.int64)
-    i = np.clip(i, 0, n - 1)
+    # longitude WRAPS (antimeridian-safe: -180.0001 -> just west of +180);
+    # latitude CLAMPS at the poles. NaN inputs -> index 0 here; callers that
+    # can see NaN (the pandas-UDF path) mask to NULL before returning.
+    lon_w = np.mod(np.nan_to_num(lon) + 180.0, 360.0)
+    i = np.floor(lon_w / 360.0 * n).astype(np.int64) % n
+    j = np.floor((np.nan_to_num(lat) + 90.0) / 180.0 * n).astype(np.int64)
     j = np.clip(j, 0, n - 1)
     return i, j
 
@@ -149,19 +152,30 @@ def kring_array(cells, k: int = 1):
 # ---------------------------------------------------------------------------
 
 def ij_sql(lat_expr: str, lon_expr: str, res: int) -> tuple[str, str]:
-    """(i_expr, j_expr) SQL text for grid coordinates at ``res``."""
+    """(i_expr, j_expr) SQL text for grid coordinates at ``res``.
+
+    Longitude wraps (double-mod handles negative dividends identically in
+    Spark SQL and DuckDB); latitude clamps.
+    """
     n = 1 << res
-    i = (f"CAST(LEAST({n - 1}, GREATEST(0, "
-         f"FLOOR((({lon_expr}) + 180.0) / 360.0 * {n}))) AS BIGINT)")
+    i = (f"(CAST(FLOOR((((({lon_expr}) + 180.0) % 360.0 + 360.0) % 360.0) "
+         f"/ 360.0 * {n}) AS BIGINT) % {n})")
     j = (f"CAST(LEAST({n - 1}, GREATEST(0, "
          f"FLOOR((({lat_expr}) + 90.0) / 180.0 * {n}))) AS BIGINT)")
     return i, j
 
 
 def cell_sql(lat_expr: str, lon_expr: str, res: int) -> str:
-    """SQL text computing the cell id from lat/lon expressions."""
+    """SQL text computing the cell id from lat/lon expressions.
+
+    NULL-safe: NULL lat/lon yields a NULL cell (quarantine row), never a
+    real cell — Spark's GREATEST/LEAST skip NULLs, so without the explicit
+    CASE a NULL latitude would silently land in grid row 0.
+    """
     i, j = ij_sql(lat_expr, lon_expr, res)
-    return f"(CAST({res} AS BIGINT) * {_POW2_58} + {j} * {_POW2_29} + {i})"
+    cell = f"(CAST({res} AS BIGINT) * {_POW2_58} + {j} * {_POW2_29} + {i})"
+    return (f"(CASE WHEN ({lat_expr}) IS NULL OR ({lon_expr}) IS NULL "
+            f"THEN NULL ELSE {cell} END)")
 
 
 def cell_i_sql(cell_expr: str) -> str:

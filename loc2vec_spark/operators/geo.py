@@ -42,11 +42,17 @@ def with_latlon(images: DataFrame,
 
     Pure built-ins: regexp_extract + cast + bit math (no UDF).
     """
-    lat_s = F.regexp_extract(caption_col, r"lat=(-?\d+\.\d+)", 1)
-    lon_s = F.regexp_extract(caption_col, r"lon=(-?\d+\.\d+)", 1)
+    # try_cast + nullif: a malformed/missing caption yields NULL lat/lon
+    # (quarantine row) instead of failing the job under ANSI mode — at
+    # 10^12 rows a single bad caption must never abort the pipeline
+    # (corrupt-row dead-letter semantics, SURVEY.md §2.8).
+    lat_s = (f"TRY_CAST(NULLIF(REGEXP_EXTRACT({caption_col}, "
+             r"'lat=(-?\\d+\\.\\d+)', 1), '') AS DOUBLE)")
+    lon_s = (f"TRY_CAST(NULLIF(REGEXP_EXTRACT({caption_col}, "
+             r"'lon=(-?\\d+\\.\\d+)', 1), '') AS DOUBLE)")
     return (images
-            .withColumn("lat", lat_s.cast("double") + F.expr(_jitter_expr(0)))
-            .withColumn("lon", lon_s.cast("double") + F.expr(_jitter_expr(20))))
+            .withColumn("lat", F.expr(lat_s) + F.expr(_jitter_expr(0)))
+            .withColumn("lon", F.expr(lon_s) + F.expr(_jitter_expr(20))))
 
 
 # ---------------------------------------------------------------------------
@@ -76,9 +82,11 @@ def with_cells_pandas(df: DataFrame,
     def make(res: int):
         @pandas_udf(T.LongType())
         def _cell(lat: pd.Series, lon: pd.Series) -> pd.Series:
-            out = cells.latlon_to_cell(lat.to_numpy(np.float64),
-                                       lon.to_numpy(np.float64), res)
-            return pd.Series(out)
+            la = lat.to_numpy(np.float64)
+            lo = lon.to_numpy(np.float64)
+            out = pd.Series(cells.latlon_to_cell(la, lo, res), dtype="Int64")
+            out[np.isnan(la) | np.isnan(lo)] = pd.NA  # quarantine -> NULL
+            return out
         return _cell
 
     for r in resolutions:

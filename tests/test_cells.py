@@ -102,3 +102,51 @@ def test_sql_matches_numpy_spark(spark):
     got = df.select(cells.cell_col("lat", "lon", 7).alias("c")) \
             .toPandas()["c"].to_numpy()
     assert np.array_equal(got, cells.latlon_to_cell(lat, lon, 7))
+
+
+def test_lon_wraps_lat_clamps():
+    res = 7
+    n = 1 << res
+    # just past the antimeridian -> wraps to the east-most column
+    c = cells.latlon_to_cell(0.0, -180.0001, res)
+    i, _ = cells.cell_ij(c)
+    assert int(i) == n - 1
+    c2 = cells.latlon_to_cell(0.0, 180.0001, res)
+    i2, _ = cells.cell_ij(c2)
+    assert int(i2) == 0
+    # past the pole -> clamps to the last row
+    cp = cells.latlon_to_cell(90.0001, 0.0, res)
+    _, j = cells.cell_ij(cp)
+    assert int(j) == n - 1
+
+
+def test_null_latlon_gives_null_cell_sql():
+    """NULL lat/lon must yield NULL cell (quarantine), never cell (0,0) —
+    Spark GREATEST skips NULLs, so this needs the explicit CASE guard."""
+    duckdb = pytest.importorskip("duckdb")
+    sql = cells.cell_sql("lat", "lon", 7)
+    got = duckdb.sql(
+        f"SELECT {sql} AS c FROM (SELECT CAST(NULL AS DOUBLE) lat, "
+        f"1.0 lon)").fetchone()[0]
+    assert got is None
+
+
+def test_null_latlon_gives_null_cell_spark(spark):
+    sql = cells.cell_sql("lat", "lon", 7)
+    row = spark.sql(
+        f"SELECT {sql} AS c FROM (SELECT CAST(NULL AS DOUBLE) lat, "
+        f"1.0D lon)").collect()[0]
+    assert row.c is None
+
+
+def test_sql_wrap_matches_numpy_negative_lons():
+    duckdb = pytest.importorskip("duckdb")
+    import pandas as pd
+    vals = np.array([-180.0001, -359.9, 180.0001, 540.5, -0.0001])
+    lats = np.zeros_like(vals)
+    pdf = pd.DataFrame({"lat": lats, "lon": vals})
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql = cells.cell_sql("lat", "lon", 7)
+    got = con.sql(f"SELECT {sql} AS c FROM t").df()["c"].to_numpy()
+    assert np.array_equal(got, cells.latlon_to_cell(lats, vals, 7))

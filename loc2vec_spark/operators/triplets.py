@@ -146,7 +146,7 @@ def negative_sample_compat(pts: DataFrame, *, id_col: str,
 
     Output: (anchor_id, neg_id).
     """
-    w = Window.orderBy(id_col)
+    w = Window.orderBy("anchor_id")
     df = pts.select(F.col(id_col).alias("anchor_id")) \
             .withColumn("rn", F.row_number().over(w) - 1)
     total = df.count()

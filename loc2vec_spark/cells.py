@@ -158,10 +158,12 @@ def ij_sql(lat_expr: str, lon_expr: str, res: int) -> tuple[str, str]:
     Spark SQL and DuckDB); latitude clamps.
     """
     n = 1 << res
-    i = (f"(CAST(FLOOR((((({lon_expr}) + 180.0) % 360.0 + 360.0) % 360.0) "
-         f"/ 360.0 * {n}) AS BIGINT) % {n})")
+    # E-notation keeps literals DOUBLE in both Spark and DuckDB (bare
+    # decimals would trigger diverging DECIMAL arithmetic).
+    i = (f"(CAST(FLOOR((((({lon_expr}) + 180.0E0) % 360.0E0 + 360.0E0) "
+         f"% 360.0E0) / 360.0E0 * {n}) AS BIGINT) % {n})")
     j = (f"CAST(LEAST({n - 1}, GREATEST(0, "
-         f"FLOOR((({lat_expr}) + 90.0) / 180.0 * {n}))) AS BIGINT)")
+         f"FLOOR((({lat_expr}) + 90.0E0) / 180.0E0 * {n}))) AS BIGINT)")
     return i, j
 
 

@@ -63,7 +63,7 @@ def triplet_margin_sql(d_ip: str, d_in: str, d_pn: str,
     ``max(0, d(i,p) - min(d(i,n), d(p,n)) + margin)``
     (`loc2vec_nn.py:138-142`: pairwise distances, torch.min, relu)."""
     return (f"GREATEST(CAST(0.0 AS DOUBLE), ({d_ip}) - "
-            f"LEAST(({d_in}), ({d_pn})) + {margin})")
+            f"LEAST(({d_in}), ({d_pn})) + CAST({margin} AS DOUBLE))")
 
 
 def array_var_sql(a: str, dim: int, base: int) -> str:

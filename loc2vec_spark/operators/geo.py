@@ -139,15 +139,18 @@ def derived_latlon_sql(id_expr: str) -> tuple[str, str]:
 
     NOTE: multiplier bounds — safe for ids up to ~3.4e9 (no int64 overflow).
     """
+    # NOTE: every float literal uses E-notation — a bare `139.6503` parses
+    # as DECIMAL in both Spark and DuckDB and their decimal arithmetic
+    # rounds differently; `139.6503E0` is a double literal in both.
     h1 = f"((({id_expr}) * 2654435761) % 1000000)"
     h2 = f"((({id_expr}) * 40503 + 12345) % 1000000)"
     c = f"(({id_expr}) % 3)"
-    urban_lat = (f"(CASE {c} WHEN 0 THEN 51.5074 WHEN 1 THEN 40.7128 "
-                 f"ELSE 35.6762 END + ({h1} / 1000000.0 - 0.5) * 0.1)")
-    urban_lon = (f"(CASE {c} WHEN 0 THEN -0.1278 WHEN 1 THEN -74.006 "
-                 f"ELSE 139.6503 END + ({h2} / 1000000.0 - 0.5) * 0.1)")
+    urban_lat = (f"(CASE {c} WHEN 0 THEN 51.5074E0 WHEN 1 THEN 40.7128E0 "
+                 f"ELSE 35.6762E0 END + ({h1} / 1000000.0E0 - 0.5E0) * 0.1E0)")
+    urban_lon = (f"(CASE {c} WHEN 0 THEN -0.1278E0 WHEN 1 THEN -74.006E0 "
+                 f"ELSE 139.6503E0 END + ({h2} / 1000000.0E0 - 0.5E0) * 0.1E0)")
     lat = (f"(CASE WHEN (({id_expr}) % 5) < 4 THEN {urban_lat} "
-           f"ELSE ({h1} / 1000000.0) * 120.0 - 60.0 END)")
+           f"ELSE ({h1} / 1000000.0E0) * 120.0E0 - 60.0E0 END)")
     lon = (f"(CASE WHEN (({id_expr}) % 5) < 4 THEN {urban_lon} "
-           f"ELSE ({h2} / 1000000.0) * 360.0 - 180.0 END)")
+           f"ELSE ({h2} / 1000000.0E0) * 360.0E0 - 180.0E0 END)")
     return lat, lon

@@ -1,0 +1,510 @@
+"""Driver-contract query registry (SURVEY.md §2 operator inventory).
+
+Every entry is one operator re-expressed Spark-first, with a DuckDB oracle.
+Strategy: wherever possible the Spark query and the oracle share the SAME
+SQL text (common dialect: CTEs, window functions, CASE, EXCEPT/INTERSECT,
+ROLLUP...), built from the same fragment builders in
+:mod:`loc2vec_spark.cells` / :mod:`loc2vec_spark.functions` — identical
+arithmetic in identical order means bit-identical doubles and a clean
+value-hash match. Engine-specific differences (0- vs 1-based array
+indexing, tokenizer syntax) are isolated in per-engine fragments.
+
+Aggregates over doubles go through exact DECIMAL sums where a float
+fold-order difference between engines could flip a value-hash, and every
+emitted float is ROUND()ed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from . import cells
+from .functions import (DUCKDB_BASE, SPARK_BASE, cosine_sql, euclid_sql,
+                        triplet_margin_sql)
+from .operators.geo import derived_latlon_sql
+
+DIM = 64  # embeddings.parquet embedding dimension (all testdata SFs)
+RES = 7
+
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+_LAT, _LON = derived_latlon_sql("vec_id")
+
+# embeddings + derived skewed location (oracle-suite stand-in for the
+# caption-derived lat/lon of the images table — see derived_latlon_sql)
+PTS = f"pts AS (SELECT vec_id, embedding, {_LAT} AS lat, {_LON} AS lon FROM embeddings)"
+
+_I7, _J7 = cells.ij_sql("lat", "lon", RES)
+CPTS = (f"cpts AS (SELECT vec_id, embedding, "
+        f"{cells.cell_sql('lat', 'lon', RES)} AS cell, "
+        f"{_I7} AS ci, {_J7} AS cj FROM pts)")
+
+
+def _values_union(rows: list[tuple], cols: list[str]) -> str:
+    """Portable inline table (Spark's VALUES alias syntax differs from
+    DuckDB's, UNION ALL of literal SELECTs parses in both)."""
+    first = "SELECT " + ", ".join(
+        f"{v} AS {c}" for v, c in zip(rows[0], cols))
+    rest = [" SELECT " + ", ".join(str(v) for v in r) for r in rows[1:]]
+    return first + " UNION ALL" + " UNION ALL".join(rest)
+
+
+OFFS = ("offs AS (" + _values_union(
+    [(di, dj) for dj in (-1, 0, 1) for di in (-1, 0, 1)], ["di", "dj"]) + ")")
+
+_NB = cells.neighbor_sql("ci", "cj", "di", "dj", RES)
+_N7 = 1 << RES
+
+_KNUTH = 2654435761
+
+
+def _h(expr: str, seed: int, mod) -> str:
+    """Portable seeded hash -> [0, mod). ``mod`` may be an int or SQL text."""
+    return (f"(((({expr}) * {_KNUTH} + {seed}) % ({mod}) + ({mod})) "
+            f"% ({mod}))")
+
+
+# ---------------------------------------------------------------------------
+# registry plumbing
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Q:
+    """One operator: how to run it on Spark + its DuckDB oracle."""
+    tables: tuple[str, ...]
+    spark_sql: Optional[str] = None            # run via spark.sql
+    duck_sql: Optional[str] = None             # oracle; None => rows-only
+    fn: Optional[Callable] = None              # python impl (overrides sql)
+    doc: str = ""
+
+
+QUERIES: dict[str, Q] = {}
+
+
+def _reg(name: str, q: Q) -> None:
+    assert name not in QUERIES
+    QUERIES[name] = q
+
+
+def _shared(name: str, tables: tuple[str, ...], sql: str, doc: str = "",
+            duck_sql: str | None = None) -> None:
+    """Register a query whose Spark text and oracle text are identical
+    (or differ only in the supplied duck_sql override)."""
+    _reg(name, Q(tables=tables, spark_sql=sql,
+                 duck_sql=duck_sql if duck_sql is not None else sql,
+                 doc=doc))
+
+
+def run_spark(spark, sf_dir: str, name: str):
+    q = QUERIES[name]
+    for t in q.tables:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet") \
+            .createOrReplaceTempView(t)
+    if q.fn is not None:
+        return q.fn(spark, sf_dir)
+    return spark.sql(q.spark_sql)
+
+
+# ===========================================================================
+# 1. Tile assignment + kNN (flagship path: F12, J5, W1, W2)
+# ===========================================================================
+
+_shared("tile_assign", ("embeddings",), f"""
+WITH {PTS}
+SELECT vec_id, lat, lon,
+       {cells.cell_sql('lat', 'lon', 5)} AS cell_r5,
+       {cells.cell_sql('lat', 'lon', 7)} AS cell_r7,
+       {cells.cell_sql('lat', 'lon', 9)} AS cell_r9
+FROM pts
+""", doc="F12: multi-resolution cell assignment (SURVEY.md §1.4)")
+
+_shared("tile_rollup", ("embeddings",), f"""
+WITH {PTS},
+c AS (SELECT {cells.cell_sql('lat', 'lon', 5)} AS cell_r5,
+             {cells.cell_sql('lat', 'lon', 7)} AS cell_r7 FROM pts)
+SELECT cell_r5, cell_r7, COUNT(*) AS n
+FROM c GROUP BY ROLLUP(cell_r5, cell_r7)
+""", doc="A-extra: multi-resolution tile rollup (SURVEY.md §2.4 note)")
+
+_shared("cell_parent", ("embeddings",), f"""
+WITH {PTS},
+c AS (SELECT vec_id, {cells.cell_sql('lat', 'lon', 9)} AS cell_r9 FROM pts)
+SELECT vec_id, cell_r9, {cells.parent_sql('cell_r9', 9, 5)} AS cell_r5
+FROM c
+""", doc="F12: cell_to_parent coarsening")
+
+_shared("kring_expand", ("embeddings",), f"""
+WITH {PTS}, {CPTS}, {OFFS}
+SELECT vec_id, {_NB} AS nb_cell
+FROM cpts CROSS JOIN offs
+WHERE cj + dj BETWEEN 0 AND {_N7 - 1}
+""", doc="F12/J5: k-ring expansion (explode over offset stencil)")
+
+
+def _knn_sql(base: int, k: int = 5) -> str:
+    return f"""
+WITH {PTS}, {CPTS}, {OFFS},
+nb AS (SELECT vec_id AS anchor_id, embedding AS a_emb, {_NB} AS nb_cell
+       FROM cpts CROSS JOIN offs
+       WHERE cj + dj BETWEEN 0 AND {_N7 - 1}),
+cand AS (SELECT nb.anchor_id, c.vec_id AS neighbor_id,
+                {euclid_sql('nb.a_emb', 'c.embedding', DIM, base)} AS dist
+         FROM nb JOIN cpts c ON nb.nb_cell = c.cell
+         WHERE c.vec_id <> nb.anchor_id),
+ranked AS (SELECT anchor_id, neighbor_id, dist,
+                  ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY dist, neighbor_id) AS knn_rank
+           FROM cand)
+SELECT anchor_id, knn_rank, neighbor_id, ROUND(dist, 6) AS dist
+FROM ranked WHERE knn_rank <= {k}
+"""
+
+
+_reg("knn_topk", Q(tables=("embeddings",),
+                   spark_sql=_knn_sql(SPARK_BASE),
+                   duck_sql=_knn_sql(DUCKDB_BASE),
+                   doc="J5+W1 flagship: cell-blocked kNN (replaces the "
+                       "reference's O(n^2) matrix, triplet_mining.py:103-114)"))
+
+_reg("knn_nearest", Q(tables=("embeddings",),
+                      spark_sql=_knn_sql(SPARK_BASE, k=1),
+                      duck_sql=_knn_sql(DUCKDB_BASE, k=1),
+                      doc="J5 k=1: as-of-style nearest neighbor"))
+
+
+def _triplet_sql(base: int) -> str:
+    d_ip = euclid_sql("i.embedding", "p.embedding", DIM, base)
+    d_in = euclid_sql("i.embedding", "n.embedding", DIM, base)
+    d_pn = euclid_sql("p.embedding", "n.embedding", DIM, base)
+    return f"""
+SELECT i.vec_id AS anchor_id,
+       ROUND({d_ip}, 6) AS d_ip,
+       ROUND({d_in}, 6) AS d_in,
+       ROUND({d_pn}, 6) AS d_pn,
+       ROUND({triplet_margin_sql(d_ip, d_in, d_pn, 1.0)}, 6) AS margin_score
+FROM embeddings i
+JOIN embeddings p ON p.vec_id = i.vec_id + 1
+JOIN embeddings n ON n.vec_id = i.vec_id + 2
+"""
+
+
+_reg("triplet_margin", Q(tables=("embeddings",),
+                         spark_sql=_triplet_sql(SPARK_BASE),
+                         duck_sql=_triplet_sql(DUCKDB_BASE),
+                         doc="F3-F6: triplet margin score as one expression "
+                             "tree (loc2vec_nn.py:120-151)"))
+
+_shared("negative_farcell", ("embeddings",), f"""
+WITH {PTS}, {CPTS},
+a AS (SELECT vec_id AS anchor_id, ci, cj, {_h('vec_id', 42, 64)} AS bkt
+      FROM cpts),
+c AS (SELECT vec_id AS neg_id, ci AS ni, cj AS nj, {_h('vec_id', 43, 64)} AS bkt
+      FROM cpts),
+cand AS (SELECT anchor_id, neg_id FROM a JOIN c USING (bkt)
+         WHERE anchor_id <> neg_id
+           AND GREATEST(LEAST(ABS(ci - ni), {_N7} - ABS(ci - ni)),
+                        ABS(cj - nj)) > 1),
+ranked AS (SELECT anchor_id, neg_id,
+                  ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY {_h('neg_id', 44, 1000000007)},
+                                              neg_id) AS neg_rank
+           FROM cand)
+SELECT anchor_id, neg_rank, neg_id FROM ranked WHERE neg_rank <= 5
+""", doc="J4 far-cell mode: seeded bucket-join negatives outside the k-ring "
+         "(upgrades data_loading.py:109-112)")
+
+_shared("negative_compat", ("embeddings",), f"""
+WITH idx AS (SELECT vec_id,
+                    ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rn
+             FROM embeddings),
+lim AS (SELECT COUNT(*) AS total FROM embeddings),
+anch AS (SELECT vec_id AS anchor_id, rn,
+                CAST(FLOOR(rn / 16) AS BIGINT) AS b, rn % 16 AS p
+         FROM idx CROSS JOIN lim
+         WHERE rn < CAST(FLOOR(total / 16) AS BIGINT) * 16),
+off AS (SELECT anchor_id, b, p,
+               {_h('b', 42, 'total - 16 + 1')} + p AS neg_rn
+        FROM anch CROSS JOIN lim)
+SELECT o.anchor_id, i.vec_id AS neg_id
+FROM off o JOIN idx i ON o.neg_rn = i.rn
+""", doc="J4 compat mode: the reference's contiguous-block negatives with "
+         "remainder drop (data_loading.py:101-112), seeded + deterministic")
+
+_shared("pip_bbox", ("embeddings", "nation"), f"""
+WITH {PTS},
+boxes AS (SELECT n_nationkey AS box_id,
+                 {derived_latlon_sql('n_nationkey')[0]} AS blat,
+                 {derived_latlon_sql('n_nationkey')[1]} AS blon
+          FROM nation)
+SELECT p.vec_id, b.box_id
+FROM pts p JOIN boxes b
+  ON p.lat BETWEEN b.blat - 1.0E0 AND b.blat + 1.0E0
+ AND p.lon BETWEEN b.blon - 1.0E0 AND b.blon + 1.0E0
+""", doc="J6 bbox theta-join: the SQL-expressible oracle face of the "
+         "broadcast R-tree PIP join")
+
+
+# ===========================================================================
+# 2. Joins / set ops on the star schema (J1, J3, T1-T3)
+# ===========================================================================
+
+_shared("j1_multiway", ("orders", "customer", "nation", "region"), """
+SELECT r.r_name AS region, o.o_orderpriority AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS total_price
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, o.o_orderpriority
+""", doc="J1: multi-way equi-join (channel-align analog, "
+         "data_loading.py:154-164); dims broadcast by Catalyst")
+
+_shared("j3_semi", ("customer", "orders"), """
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""", doc="J3: semi-join keep-set (squeeze, data_loading.py:191-202)")
+
+_shared("j3_anti", ("customer", "orders"), """
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""", doc="J3: anti-join drop-set (remove_uncommon, "
+         "trainset_validation.py:18-47)")
+
+_shared("t1_symdiff", ("customer", "orders"), """
+WITH a AS (SELECT DISTINCT c_custkey AS k FROM customer),
+     b AS (SELECT DISTINCT o_custkey AS k FROM orders)
+SELECT k FROM a WHERE k NOT IN (SELECT k FROM b)
+UNION
+SELECT k FROM b WHERE k NOT IN (SELECT k FROM a)
+""", doc="T1: symmetric difference (trainset_validation.py:20-22)")
+
+_shared("t2_intersect", ("customer", "orders"), """
+SELECT c_custkey AS k FROM customer
+INTERSECT
+SELECT o_custkey AS k FROM orders
+""", doc="T2: intersection keep-set (data_loading.py:193-194)")
+
+_shared("t3_union", ("lineitem", "supplier"), """
+SELECT k, COUNT(*) AS n FROM (
+  SELECT l_suppkey AS k FROM lineitem
+  UNION ALL
+  SELECT s_suppkey AS k FROM supplier
+) u GROUP BY k
+""", doc="T3: union/flatten (chain.from_iterable, data_loading.py:163)")
+
+
+# ===========================================================================
+# 3. Aggregations (A1-A5, P6)
+# ===========================================================================
+
+_shared("a1_counts", ("lineitem",), """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders
+FROM lineitem GROUP BY l_returnflag
+""", doc="A1: count per group (data_loading.py:144-148)")
+
+_shared("a2_stats", ("lineitem",), """
+SELECT l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS mean_qty,
+       ROUND(VAR_POP(l_quantity), 6) AS var_qty,
+       ROUND(STDDEV_POP(l_quantity), 6) AS std_qty
+FROM lineitem GROUP BY l_linestatus
+""", doc="A2: mean/variance (triplet_mining.py:116-124,132-134); mean via "
+         "exact decimal sum")
+
+_shared("a3_sliding", ("orders",), """
+SELECT o_custkey, o_orderkey,
+       ROUND(AVG(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS avg_last5
+FROM orders
+""", doc="A3/W5: sliding-frame mean (early-stop window, "
+         "loc2vec_train.py:76,85)")
+
+_shared("a4_minmax", ("lineitem",), """
+SELECT l_returnflag,
+       MAX(l_extendedprice) AS max_price,
+       MIN(l_extendedprice) AS min_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           AS mean_price,
+       LEAST(MAX(l_tax), MAX(l_discount)) AS least_demo
+FROM lineitem GROUP BY l_returnflag
+""", doc="A4+F4: min/max/mean reductions + rowwise least "
+         "(loc2vec_nn.py:141-149)")
+
+_shared("a5_histogram", ("lineitem",), """
+SELECT CAST(FLOOR(l_extendedprice / 1000.0E0) AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM lineitem GROUP BY CAST(FLOOR(l_extendedprice / 1000.0E0) AS BIGINT)
+""", doc="A5: histogram / skew detector (trainset_validation.py:49-59) — "
+         "feeds the hot-cell salt-factor chooser")
+
+_shared("p6_zscore", ("lineitem",), """
+WITH s AS (SELECT l_returnflag,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m2
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag
+FROM lineitem l JOIN s ON l.l_returnflag = s.l_returnflag
+WHERE ABS(l.l_quantity - s.m) / SQRT(s.m2 - s.m * s.m) > 2.4E0
+""", doc="P6: z-score outlier filter (triplet_mining.py:126-135); moments "
+         "via exact decimal sums so both engines agree bitwise")
+
+_shared("a1_equal_cardinality", ("lineitem",), """
+SELECT COUNT(DISTINCT cnt) AS n_distinct_counts FROM (
+  SELECT l_linenumber, COUNT(*) AS cnt FROM lineitem GROUP BY l_linenumber
+) t
+""", doc="P5: equal-cardinality check (data_loading.py:174-175) as a "
+         "grouped-count-distinct")
+
+
+# ===========================================================================
+# 4. Windows / sorts / top-k (W1-W5)
+# ===========================================================================
+
+_shared("w1_topk", ("orders",), """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) t
+WHERE rnk <= 3
+""", doc="W1: top-k per group (triplet_mining.py:143-146)")
+
+_shared("w2_seeded_pick", ("orders",), f"""
+WITH topk AS (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders)
+SELECT o_custkey, o_orderkey FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY {_h('o_orderkey', 42, 1000000007)},
+                                     o_orderkey) AS pick
+  FROM topk WHERE rnk <= 3) p
+WHERE pick = 1
+""", doc="W2: seeded random pick within top-k (triplet_mining.py:147; "
+         "reference unseeded random -> engine pins seed)")
+
+_shared("w3_global_sort", ("lineitem",), """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 100
+""", doc="W3: global sort + limit (triplet_mining.py:145)")
+
+_shared("w4_batch_bucket", ("orders",), """
+SELECT CAST(FLOOR((rn - 1) / 100) AS BIGINT) AS batch_id, COUNT(*) AS n,
+       MIN(o_orderkey) AS first_key
+FROM (SELECT o_orderkey,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn FROM orders) t
+GROUP BY CAST(FLOOR((rn - 1) / 100) AS BIGINT)
+""", doc="W4: batch-cursor bucketing (data_loading.py:61-77 compat)")
+
+_shared("w5_lag_lead", ("orders",), """
+SELECT o_custkey, o_orderkey,
+       LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS prev_price,
+       LEAD(o_totalprice) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS next_price,
+       RANK() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC) AS price_rank
+FROM orders
+""", doc="W-extra: lag/lead/rank (SURVEY.md §2.5 note — kNN tie knob)")
+
+
+# ===========================================================================
+# 5. Scalar functions (F1-F9, date/JSON)
+# ===========================================================================
+
+_shared("f1_string", ("documents",), """
+SELECT doc_id,
+       SUBSTRING(text, 1, 12) AS prefix,
+       LENGTH(text) AS n_len,
+       UPPER(lang) AS lang_u,
+       REPLACE(SUBSTRING(text, 1, 20), ' ', '_') AS underscored
+FROM documents
+""", doc="F1/F2: string strip/slice ops (loc2vec_run.py:27, "
+         "triplet_mining.py:93)")
+
+_reg("f2_json_date", Q(
+    tables=("events",),
+    spark_sql="""
+SELECT CAST(FLOOR(unix_timestamp(ts) / 86400.0E0) AS BIGINT) AS day_epoch,
+       event_type,
+       COUNT(*) AS n,
+       SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY 1, 2
+""",
+    duck_sql="""
+SELECT CAST(FLOOR(epoch(ts) / 86400.0E0) AS BIGINT) AS day_epoch,
+       event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY 1, 2
+""",
+    doc="date/JSON scalar coverage over events (SURVEY.md §2.7 note)"))
+
+
+def _pairs_sql(base: int) -> str:
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({euclid_sql('a.embedding', 'b.embedding', DIM, base)}, 6)
+           AS euclid,
+       ROUND({cosine_sql('a.embedding', 'b.embedding', DIM, base)}, 6)
+           AS cosine
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+"""
+
+
+_reg("f3_f7_distances", Q(tables=("embeddings",),
+                          spark_sql=_pairs_sql(SPARK_BASE),
+                          duck_sql=_pairs_sql(DUCKDB_BASE),
+                          doc="F3+F7: Euclidean + cosine on array columns "
+                              "(loc2vec_nn.py:138-140, "
+                              "trainset_validation.py:71-77)"))
+
+
+def _var_sql(base: int) -> str:
+    from .functions import array_var_sql
+    return f"""
+SELECT vec_id, ROUND({array_var_sql('embedding', DIM, base)}, 6) AS emb_var
+FROM embeddings
+"""
+
+
+_reg("f9_array_var", Q(tables=("embeddings",),
+                       spark_sql=_var_sql(SPARK_BASE),
+                       duck_sql=_var_sql(DUCKDB_BASE),
+                       doc="F9: rowwise variance of an array column "
+                           "(triplet_mining.py:116-124)"))
+
+
+# ===========================================================================
+# 6. Streaming-analog: tumbling window over events (§2.8)
+# ===========================================================================
+
+_reg("events_tumbling", Q(
+    tables=("events",),
+    spark_sql="""
+SELECT CAST(FLOOR(unix_timestamp(ts) / 600.0E0) AS BIGINT) * 600
+           AS win_start_epoch,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    duck_sql="""
+SELECT CAST(FLOOR(epoch(ts) / 600.0E0) AS BIGINT) * 600 AS win_start_epoch,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    doc="tumbling event-time window (batch face of the Structured "
+        "Streaming path, SURVEY.md §2.8)"))

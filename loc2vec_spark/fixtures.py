@@ -183,9 +183,13 @@ def write_fixtures(out_dir: str, n_images: int = 1000,
         ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
         ("caption", pa.string()), ("phash", pa.int64()),
     ])
+    # small row groups: Spark parallelizes a single parquet file only at
+    # row-group boundaries — one giant row group = one scan task = zero
+    # scan parallelism (measured: it inverted the 8->32 core scaling)
     pq.write_table(pa.Table.from_pandas(img, schema=schema,
                                         preserve_index=False),
-                   os.path.join(out_dir, "images.parquet"))
+                   os.path.join(out_dir, "images.parquet"),
+                   row_group_size=4096)
     if with_channels:
         ch = images_channels_pdf(min(n_images, 2000))
         pq.write_table(pa.Table.from_pandas(ch, preserve_index=False),

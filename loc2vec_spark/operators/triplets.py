@@ -93,32 +93,33 @@ def negative_sample_farcell(pts: DataFrame, *, id_col: str, cell_col: str,
     lies OUTSIDE the anchor's k-ring (Chebyshev grid distance > ring, with
     longitude wraparound).
 
-    Scale plan: anchors and candidates are both hashed into ``n_buckets``
-    pseudo-random buckets and joined bucket-to-bucket — a uniform 1/B
-    sampling join, NOT a cross join; each anchor sees ~N/B candidates.
-    Deterministic: bucket assignment and final pick order are integer
-    hashes of ids.
+    Bucket-join variant: anchors and candidates hash into ``n_buckets``
+    buckets and join bucket-to-bucket; each anchor sees ~N/B candidates.
+    This is O(N^2/B) — it matches the SQL oracle exactly and is right for
+    oracle-scale tables; the production path at 10^12 rows is
+    :func:`negative_sample_farcell_pooled` (broadcast pool, linear in N).
+    Deterministic: bucket assignment and pick order are integer id hashes.
     """
     n = 1 << res
-    i_a, j_a = cells.cell_i_sql("a_cell"), cells.cell_j_sql("a_cell")
-    i_c, j_c = cells.cell_i_sql("c_cell"), cells.cell_j_sql("c_cell")
-    # Chebyshev distance with lon wrap
-    di = f"ABS({i_a} - {i_c})"
-    dlon = f"LEAST({di}, {n} - {di})"
-    dlat = f"ABS({j_a} - {j_c})"
-    far = f"GREATEST({dlon}, {dlat}) > {ring}"
-
+    # grid coords and hashes are computed ONCE per input row (narrow,
+    # pre-join) — never re-derived on the O(N^2/B) pair rows
     a = (pts.select(F.col(id_col).alias("anchor_id"),
-                    F.col(cell_col).alias("a_cell"),
+                    F.expr(cells.cell_i_sql(cell_col)).alias("ai"),
+                    F.expr(cells.cell_j_sql(cell_col)).alias("aj"),
                     _id_hash_col(id_col, seed, n_buckets).alias("bkt")))
     c = (pts.select(F.col(id_col).alias("neg_id"),
-                    F.col(cell_col).alias("c_cell"),
-                    _id_hash_col(id_col, seed + 1, n_buckets).alias("bkt")))
+                    F.expr(cells.cell_i_sql(cell_col)).alias("ni"),
+                    F.expr(cells.cell_j_sql(cell_col)).alias("nj"),
+                    _id_hash_col(id_col, seed + 1, n_buckets).alias("bkt"),
+                    _id_hash_col(id_col, seed + 2,
+                                 1_000_000_007).alias("ord")))
+    # Chebyshev grid distance with lon wrap, on precomputed int columns
+    far = (f"GREATEST(LEAST(ABS(ai - ni), {n} - ABS(ai - ni)), "
+           f"ABS(aj - nj)) > {ring}")
     cand = (a.join(c, "bkt")
              .filter(F.col("anchor_id") != F.col("neg_id"))
              .filter(F.expr(far)))
-    order = _id_hash_col("neg_id", seed + 2, 1_000_000_007)
-    w = Window.partitionBy("anchor_id").orderBy(order.asc(), "neg_id")
+    w = Window.partitionBy("anchor_id").orderBy("ord", "neg_id")
     return (cand.withColumn("rank", F.row_number().over(w))
                 .filter(F.col("rank") <= n_neg)
                 .select("anchor_id", "rank", "neg_id"))
@@ -178,8 +179,9 @@ def triplet_candidates(pts: DataFrame, *, id_col: str, emb_col: str,
     parity output for the reference's Tensor_Loader triplet assembly."""
     pos = positive_join(pts, id_col=id_col, emb_col=emb_col,
                         cell_col=cell_col, res=res, dim=dim)
-    neg = negative_sample_farcell(pts, id_col=id_col, cell_col=cell_col,
-                                  res=res, n_neg=n_neg, seed=seed)
+    neg = negative_sample_farcell_pooled(
+        pts, id_col=id_col, cell_col=cell_col, res=res, n_neg=n_neg,
+        seed=seed)
     negs = (neg.groupBy("anchor_id")
                .agg(F.sort_array(F.collect_list(
                    F.struct("rank", "neg_id"))).alias("s"))
@@ -189,3 +191,154 @@ def triplet_candidates(pts: DataFrame, *, id_col: str, emb_col: str,
                          F.col(cell_col).alias("cell"))
     return (anchors.join(pos, "anchor_id", "left")
                    .join(negs, "anchor_id", "left"))
+
+
+# ---------------------------------------------------------------------------
+# skew control + spatial (lat/lon) positives — the 100TB-scale path
+# ---------------------------------------------------------------------------
+
+def percell_cap(pts: DataFrame, *, cell_col: str, id_col: str, cap: int,
+                seed: int = 42, n_salt: int = 1) -> DataFrame:
+    """Deterministically cap rows per cell (candidate-side skew control).
+
+    A hot urban cell with 10^8 rows would make the kNN join quadratic in
+    that cell (the skew the reference itself diagnoses via its file-size
+    histogram, trainset_validation.py:49-59). We keep a seeded uniform
+    sample of at most ``cap`` rows per cell, ranked by an id hash so the
+    sample is stable across runs and parallelism.
+
+    ``n_salt > 1`` bounds the window-sort partition size for very hot
+    cells: ranking happens within (cell, salt) and each salt keeps
+    cap/n_salt rows — the cap becomes approximate but partitions stay
+    bounded (SURVEY.md §7.3 "applyInPandas memory" mitigation applies to
+    window sorts too). Dropped rows are a documented downsampling, not a
+    silent truncation: callers can diff counts before/after.
+    """
+    order = _id_hash_col(id_col, seed, 1_000_000_007)
+    if n_salt <= 1:
+        w = Window.partitionBy(cell_col).orderBy(order.asc(), id_col)
+        return (pts.withColumn("_cr", F.row_number().over(w))
+                   .filter(F.col("_cr") <= cap).drop("_cr"))
+    per_salt = max(1, cap // n_salt)
+    salt = _id_hash_col(id_col, seed + 99, n_salt)
+    w = Window.partitionBy(cell_col, "_salt").orderBy(order.asc(), id_col)
+    return (pts.withColumn("_salt", salt)
+               .withColumn("_cr", F.row_number().over(w))
+               .filter(F.col("_cr") <= per_salt).drop("_cr", "_salt"))
+
+
+def spatial_positive(pts: DataFrame, *, id_col: str, lat_col: str,
+                     lon_col: str, cell_col: str, res: int,
+                     cap: int = 256, seed: int = 42) -> DataFrame:
+    """J2 at scale: positive = spatially nearest in-ring neighbor.
+
+    This is the north-star reading of the reference's anchor/positive
+    pairing (``data_loading.py:104-108``): the positive is a
+    spatially-offset tile of the same location, found by k-ring-1
+    expansion + 2-D distance sort. Candidates are capped per cell
+    (:func:`percell_cap`) so hot cells stay sub-quadratic.
+
+    Output: (anchor_id, positive_id, sdist).
+    """
+    cand_pool = percell_cap(
+        pts.select(F.col(id_col).alias("positive_id"),
+                   F.col(lat_col).alias("p_lat"),
+                   F.col(lon_col).alias("p_lon"),
+                   F.col(cell_col).alias("c_cell")),
+        cell_col="c_cell", id_col="positive_id", cap=cap, seed=seed)
+    a = pts.select(F.col(id_col).alias("anchor_id"),
+                   F.col(lat_col).alias("a_lat"),
+                   F.col(lon_col).alias("a_lon"),
+                   F.col(cell_col).alias("a_cell"))
+    a = kring_explode(a, "a_cell", res, k=1, out_col="nb_cell")
+    j = (a.join(cand_pool, F.col("nb_cell") == F.col("c_cell"))
+          .filter(F.col("anchor_id") != F.col("positive_id"))
+          .withColumn("sdist", F.expr(
+              "SQRT((a_lat - p_lat) * (a_lat - p_lat) "
+              "+ (a_lon - p_lon) * (a_lon - p_lon))")))
+    # top-1 via min(struct(...)): lexicographic struct min == (dist, id)
+    # ordering, and — unlike a row_number window — it partial-aggregates
+    # map-side, so the shuffle carries one row per (anchor, partition)
+    # instead of every candidate pair.
+    best = (j.groupBy("anchor_id")
+             .agg(F.min(F.struct("sdist", "positive_id")).alias("m")))
+    return best.select("anchor_id", F.col("m.positive_id").alias("positive_id"),
+                       F.round("m.sdist", 9).alias("sdist"))
+
+
+def triplet_table_spatial(pts: DataFrame, *, id_col: str, lat_col: str,
+                          lon_col: str, cell_col: str, res: int,
+                          n_neg: int = 5, cap: int = 256,
+                          seed: int = 42) -> DataFrame:
+    """Full scalable triplet table over an images-shaped input:
+    spatial positive + far-cell negatives. This is the path the
+    throughput bench measures (BASELINE.json metric)."""
+    pos = spatial_positive(pts, id_col=id_col, lat_col=lat_col,
+                           lon_col=lon_col, cell_col=cell_col, res=res,
+                           cap=cap, seed=seed)
+    neg = negative_sample_farcell_pooled(
+        pts, id_col=id_col, cell_col=cell_col, res=res, n_neg=n_neg,
+        seed=seed)
+    negs = (neg.groupBy("anchor_id")
+               .agg(F.sort_array(F.collect_list(
+                   F.struct("rank", "neg_id"))).alias("s"))
+               .select("anchor_id", F.col("s.neg_id").alias("negative_ids")))
+    anchors = pts.select(F.col(id_col).alias("anchor_id"),
+                         F.col(cell_col).alias("cell"))
+    return (anchors.join(pos.select("anchor_id", "positive_id"),
+                         "anchor_id", "left")
+                   .join(negs, "anchor_id", "left"))
+
+
+def negative_sample_farcell_pooled(pts: DataFrame, *, id_col: str,
+                                   cell_col: str, res: int, n_neg: int = 5,
+                                   ring: int = 1, seed: int = 42,
+                                   pool_size: int = 4096,
+                                   fanout: int = 8) -> DataFrame:
+    """Far-cell negatives, linear-in-N scale path.
+
+    The bucket-join variant (:func:`negative_sample_farcell`) materializes
+    N^2/B candidate pairs — quadratic, fine for oracle-scale tables, fatal
+    at 10^12 rows. Here a fixed-size seeded pool (~``pool_size`` rows,
+    chosen by a deterministic id-hash threshold against an exact count) is
+    broadcast; each anchor meets only ``fanout * n_neg`` pool members
+    (bucket equi-join against the broadcast side -> no shuffle at all),
+    filters the ones inside its k-ring, and keeps a seeded top ``n_neg``.
+    Work is O(N * fanout * n_neg): the same plan at 10^12 rows broadcasts
+    the same few thousand pool rows.
+
+    Output: (anchor_id, rank, neg_id) — deterministic at any parallelism.
+    """
+    n = 1 << res
+    total = pts.count()  # one cheap job; drives the sampling threshold
+    pool_size = min(pool_size, total)
+    # deterministic uniform pool: smallest pool_size id-hashes (exact, via
+    # a global sort-limit on a tiny projected frame)
+    hashed = pts.select(
+        F.col(id_col).alias("neg_id"),
+        F.expr(cells.cell_i_sql(cell_col)).alias("ni"),
+        F.expr(cells.cell_j_sql(cell_col)).alias("nj"),
+        _id_hash_col(id_col, seed + 7, 2_000_000_011).alias("ph"))
+    pool = hashed.orderBy("ph", "neg_id").limit(pool_size)
+    n_buckets = max(1, pool_size // (fanout * n_neg))
+    pool = pool.withColumn(
+        "bkt", _id_hash_col("neg_id", seed + 1, n_buckets)) \
+        .select("neg_id", "ni", "nj", "bkt",
+                _id_hash_col("neg_id", seed + 2, 1_000_000_007).alias("ord"))
+
+    a = pts.select(F.col(id_col).alias("anchor_id"),
+                   F.expr(cells.cell_i_sql(cell_col)).alias("ai"),
+                   F.expr(cells.cell_j_sql(cell_col)).alias("aj"),
+                   _id_hash_col(id_col, seed, n_buckets).alias("bkt"))
+    far = (f"GREATEST(LEAST(ABS(ai - ni), {n} - ABS(ai - ni)), "
+           f"ABS(aj - nj)) > {ring}")
+    cand = (a.join(F.broadcast(pool), "bkt")
+             .filter(F.col("anchor_id") != F.col("neg_id"))
+             .filter(F.expr(far)))
+    # row_number window, deliberately: Spark 4 plans it as
+    # WindowGroupLimit (map-side top-k pruning before the shuffle), which
+    # measured ~7x faster than a collect_list/array_sort aggregation here.
+    w = Window.partitionBy("anchor_id").orderBy("ord", "neg_id")
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= n_neg)
+                .select("anchor_id", "rank", "neg_id"))

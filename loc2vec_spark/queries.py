@@ -508,3 +508,7 @@ FROM events GROUP BY 1, 2
 """,
     doc="tumbling event-time window (batch face of the Structured "
         "Streaming path, SURVEY.md §2.8)"))
+
+
+# register the dedup / text-analysis / similarity-search suite
+from . import queries_text  # noqa: E402,F401  (registers into QUERIES)

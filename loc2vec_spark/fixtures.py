@@ -170,26 +170,38 @@ def osm_layers_pdf(per_disk: int = 200, n_global: int = 100) -> pd.DataFrame:
 
 def write_fixtures(out_dir: str, n_images: int = 1000,
                    with_channels: bool = True,
-                   bytes_sample_mod: int = 1) -> None:
-    """Write all fixture tables as parquet under ``out_dir``."""
+                   bytes_sample_mod: int = 1,
+                   n_shards: int | None = None) -> None:
+    """Write all fixture tables as parquet under ``out_dir``.
+
+    ``images.parquet`` is a DIRECTORY of ``n_shards`` part files: Spark
+    assigns scan splits per file (and only at row-group boundaries within
+    one), so a single monolithic file = one scan task = zero scan
+    parallelism (measured: it inverted the 8->32-core scaling bench).
+    """
     import pyarrow as pa
     import pyarrow.parquet as pq
     import os
 
-    os.makedirs(out_dir, exist_ok=True)
+    if n_shards is None:
+        n_shards = min(32, max(1, n_images // 2000))
+    img_dir = os.path.join(out_dir, "images.parquet")
+    os.makedirs(img_dir, exist_ok=True)
     img = images_pdf(n_images, bytes_sample_mod=bytes_sample_mod)
     schema = pa.schema([
         ("image_id", pa.string()), ("bytes", pa.binary()),
         ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
         ("caption", pa.string()), ("phash", pa.int64()),
     ])
-    # small row groups: Spark parallelizes a single parquet file only at
-    # row-group boundaries — one giant row group = one scan task = zero
-    # scan parallelism (measured: it inverted the 8->32 core scaling)
-    pq.write_table(pa.Table.from_pandas(img, schema=schema,
-                                        preserve_index=False),
-                   os.path.join(out_dir, "images.parquet"),
-                   row_group_size=4096)
+    per = (n_images + n_shards - 1) // n_shards
+    for s in range(n_shards):
+        chunk = img.iloc[s * per:(s + 1) * per]
+        if len(chunk) == 0:
+            continue
+        pq.write_table(pa.Table.from_pandas(chunk, schema=schema,
+                                            preserve_index=False),
+                       os.path.join(img_dir, f"part-{s:05d}.parquet"),
+                       row_group_size=4096)
     if with_channels:
         ch = images_channels_pdf(min(n_images, 2000))
         pq.write_table(pa.Table.from_pandas(ch, preserve_index=False),

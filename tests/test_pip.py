@@ -1,0 +1,96 @@
+"""PIP broadcast join (J6) vs a brute-force pure-python oracle."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from loc2vec_spark import fixtures
+from loc2vec_spark.operators import geo, pip
+
+
+def _inside(ring, px, py):
+    """Textbook even-odd ray cast, scalar (the oracle)."""
+    n = len(ring)
+    inside = False
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+            if px < xint:
+                inside = not inside
+    return inside
+
+
+@pytest.fixture(scope="module")
+def polys():
+    return fixtures.osm_layers_pdf(per_disk=30, n_global=20)
+
+
+def test_pack_roundtrip(polys):
+    pack = pip.pack_polygons(polys)
+    assert len(pack["layer_id"]) == len(polys)
+    assert pack["xs"].shape == pack["ys"].shape
+    assert np.isfinite(pack["xs"]).all()
+
+
+def test_vectorized_matches_scalar_oracle(polys):
+    rng = np.random.Generator(np.random.PCG64(21))
+    # mix of global points and points near polygon centers (so hits exist)
+    lat = np.concatenate([rng.uniform(-60, 60, 200),
+                          polys.miny.to_numpy()[:50] + 0.01])
+    lon = np.concatenate([rng.uniform(-180, 180, 200),
+                          polys.minx.to_numpy()[:50] + 0.01])
+    pack = pip.pack_polygons(polys)
+    pi, pj = pip.point_in_polygons(pack, lon, lat)
+    got = {(int(a), int(pack["layer_id"][b])) for a, b in zip(pi, pj)}
+    rings = {int(r.layer_id): [tuple(p) for p in r.ring]
+             for r in polys.itertuples()}
+    expect = set()
+    for a in range(len(lon)):
+        for lid, ring in rings.items():
+            if _inside(ring, lon[a], lat[a]):
+                expect.add((a, lid))
+    assert got == expect
+    assert len(expect) > 0  # the test actually exercised hits
+
+
+def test_pip_join_spark(spark, polys):
+    # points at polygon bbox centers guarantee containment for convex-ish
+    pdf = pd.DataFrame({
+        "pid": np.arange(len(polys), dtype=np.int64),
+        "lat": (polys.miny + polys.maxy).to_numpy() / 2.0,
+        "lon": (polys.minx + polys.maxx).to_numpy() / 2.0,
+    })
+    pts = spark.createDataFrame(pdf)
+    out = pip.pip_join(spark, pts, polys, id_col="pid").toPandas()
+    assert set(out.columns) == {"pid", "layer_id", "channel"}
+    # oracle comparison
+    rings = {int(r.layer_id): [tuple(p) for p in r.ring]
+             for r in polys.itertuples()}
+    expect = {(int(row.pid), lid)
+              for _, row in pdf.iterrows()
+              for lid, ring in rings.items()
+              if _inside(ring, row.lon, row.lat)}
+    got = {(int(r.pid), int(r.layer_id)) for _, r in out.iterrows()}
+    assert got == expect
+    assert len(got) >= len(polys) * 0.5  # most centers are inside
+
+
+def test_pip_join_on_fixture_images(spark, fixture_dir, polys):
+    images = spark.read.parquet(f"{fixture_dir}/images.parquet")
+    pts = geo.with_latlon(images).select("image_id", "lat", "lon")
+    out = pip.pip_join(spark, pts, polys, id_col="image_id")
+    n = out.count()
+    assert n > 0  # urban-disk polygons catch urban-disk images
+    # every match respects the bbox (sanity against the prefilter)
+    joined = out.join(pts, "image_id")
+    bb = spark.createDataFrame(
+        polys[["layer_id", "minx", "miny", "maxx", "maxy"]])
+    viol = (joined.join(bb, "layer_id")
+            .filter(~((F.col("lon") >= F.col("minx"))
+                      & (F.col("lon") <= F.col("maxx"))
+                      & (F.col("lat") >= F.col("miny"))
+                      & (F.col("lat") <= F.col("maxy")))))
+    assert viol.count() == 0

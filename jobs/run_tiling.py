@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Resumable tiling job — the spark-submit entry point (north_rule).
+
+    spark-submit --py-files loc2vec_spark.zip jobs/run_tiling.py \
+        --images <dir> --out <dir> [--res 7] [--n-neg 5]
+
+Pipeline: images table -> caption/phash lat-lon -> multi-resolution cell
+assignment -> triplet candidates (spatial positive + pooled far-cell
+negatives) -> parquet partitioned by cell_r{res} with hot-cell salting
+and per-partition lineage manifests. Killing the job mid-write and
+re-running resumes: committed partitions are skipped via their
+manifests (see loc2vec_spark.lineage).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from loc2vec_spark import lineage  # noqa: E402
+from loc2vec_spark.operators import geo, triplets  # noqa: E402
+from loc2vec_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--res", type=int, default=7)
+    ap.add_argument("--triplet-res", type=int, default=13)
+    ap.add_argument("--n-neg", type=int, default=5)
+    ap.add_argument("--salt-target", type=int, default=100_000)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="loc2vec_tiling")
+    from loc2vec_spark.packaging import ensure_workers_can_import
+    ensure_workers_can_import(spark)
+
+    images = spark.read.parquet(args.images)
+    pts = geo.with_cells(geo.with_latlon(images),
+                         resolutions=(5, args.res, args.triplet_res))
+    base = pts.select("image_id", "lat", "lon",
+                      F.col(f"cell_r{args.res}").alias("cell_out"),
+                      F.col(f"cell_r{args.triplet_res}").alias("cell"))
+    quarantine = base.filter(F.col("cell").isNull())
+    n_bad = quarantine.count()
+    if n_bad:
+        quarantine.write.mode("overwrite").parquet(
+            os.path.join(args.out, "_quarantine"))
+        base = base.filter(F.col("cell").isNotNull())
+
+    trip = triplets.triplet_table_spatial(
+        base, id_col="image_id", lat_col="lat", lon_col="lon",
+        cell_col="cell", res=args.triplet_res, n_neg=args.n_neg)
+    out = trip.join(base.select("image_id", "cell_out")
+                        .withColumnRenamed("image_id", "anchor_id"),
+                    "anchor_id")
+
+    index = lineage.write_resumable(out, args.out, cell_col="cell_out",
+                                    id_col="anchor_id",
+                                    salt_target=args.salt_target)
+    print(f"committed {len(index)} partitions "
+          f"({sum(r['rows'] for r in index.values())} rows), "
+          f"quarantined {n_bad} rows")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

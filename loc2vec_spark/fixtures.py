@@ -168,6 +168,41 @@ def osm_layers_pdf(per_disk: int = 200, n_global: int = 100) -> pd.DataFrame:
     return pdf
 
 
+def _write_images_shard(job: tuple) -> None:
+    """Write rows [lo, hi) of the images table to one parquet part file.
+
+    Row i is generated purely from its index (PCG64(seed+i)), so shards
+    are independent and parallel generation is bit-identical to serial.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lo, hi, bytes_sample_mod, path = job
+    rows = []
+    for i in range(lo, hi):
+        lat, lon = row_latlon(i)
+        fmt = "pngq" if i % 10 == 0 else "png"
+        data = None
+        if i % bytes_sample_mod == 0:
+            px = row_pixels(i)
+            data = encode_pngq(px) if fmt == "pngq" else encode_png(px)
+        rows.append({
+            "image_id": f"img_{i:08d}", "bytes": data,
+            "w": np.int32(64), "h": np.int32(64), "fmt": fmt,
+            "caption": row_caption(i, lat, lon),
+            "phash": np.int64(phash_of(i)),
+        })
+    pdf = pd.DataFrame(rows)
+    schema = pa.schema([
+        ("image_id", pa.string()), ("bytes", pa.binary()),
+        ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
+        ("caption", pa.string()), ("phash", pa.int64()),
+    ])
+    pq.write_table(pa.Table.from_pandas(pdf, schema=schema,
+                                        preserve_index=False),
+                   path, row_group_size=4096)
+
+
 def write_fixtures(out_dir: str, n_images: int = 1000,
                    with_channels: bool = True,
                    bytes_sample_mod: int = 1,
@@ -187,21 +222,17 @@ def write_fixtures(out_dir: str, n_images: int = 1000,
         n_shards = min(32, max(1, n_images // 2000))
     img_dir = os.path.join(out_dir, "images.parquet")
     os.makedirs(img_dir, exist_ok=True)
-    img = images_pdf(n_images, bytes_sample_mod=bytes_sample_mod)
-    schema = pa.schema([
-        ("image_id", pa.string()), ("bytes", pa.binary()),
-        ("w", pa.int32()), ("h", pa.int32()), ("fmt", pa.string()),
-        ("caption", pa.string()), ("phash", pa.int64()),
-    ])
     per = (n_images + n_shards - 1) // n_shards
-    for s in range(n_shards):
-        chunk = img.iloc[s * per:(s + 1) * per]
-        if len(chunk) == 0:
-            continue
-        pq.write_table(pa.Table.from_pandas(chunk, schema=schema,
-                                            preserve_index=False),
-                       os.path.join(img_dir, f"part-{s:05d}.parquet"),
-                       row_group_size=4096)
+    jobs = [(s * per, min((s + 1) * per, n_images), bytes_sample_mod,
+             os.path.join(img_dir, f"part-{s:05d}.parquet"))
+            for s in range(n_shards) if s * per < n_images]
+    if n_shards > 1 and n_images >= 50_000:
+        import multiprocessing as mp
+        with mp.Pool(min(16, len(jobs))) as pool:
+            pool.map(_write_images_shard, jobs)
+    else:
+        for j in jobs:
+            _write_images_shard(j)
     if with_channels:
         ch = images_channels_pdf(min(n_images, 2000))
         pq.write_table(pa.Table.from_pandas(ch, preserve_index=False),

@@ -1,0 +1,138 @@
+"""Per-partition lineage manifests + checkpoint/resume (op S8).
+
+The reference checkpoints a model state dict and reloads it
+(``/root/reference/src/loc2vec/loc2vec_train.py:89-90``,
+``loc2vec_run.py:30-31``); the engine's analog — demanded verbatim by
+BASELINE.json:north_rule ("checkpoints per-partition lineage + row-count
+metrics to resume mid-tiling") — is a data-level manifest: every written
+partition records a ``_lineage/<partition>.json`` with row count, content
+checksum and write timestamp. A re-run reads the manifest set and
+processes only missing partitions; writes are idempotent per partition.
+
+This models Iceberg's snapshot/manifest mechanics on plain partitioned
+parquet (sandbox has no Iceberg jars — SURVEY.md §7.0 documents the
+``--packages org.apache.iceberg:iceberg-spark-runtime`` switch for real
+clusters, where commit/manifest handling comes from the table format).
+
+Hot-cell salting (north_star: "explicit salting for hot urban cells"):
+:func:`salted` computes per-cell counts (the A5 histogram) and gives rows
+in cells above ``target_rows`` a hash-derived ``salt`` sub-partition, so
+a single urban cell never becomes one giant output file / one straggler
+write task.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+LINEAGE_DIR = "_lineage"
+
+
+def salted(df: DataFrame, *, cell_col: str, id_col: str,
+           target_rows: int = 100_000) -> DataFrame:
+    """Add a ``salt`` column: 0 everywhere except hot cells, which split
+    into ceil(count/target_rows) hash sub-partitions.
+
+    The salt-factor map comes from the same grouped count the engine
+    exposes as the A5 histogram (skew detector) and is broadcast —
+    it has one row per hot cell, not per data row.
+    """
+    counts = df.groupBy(cell_col).count() \
+               .filter(F.col("count") > target_rows) \
+               .withColumn("n_salt",
+                           F.ceil(F.col("count") / target_rows).cast("int")) \
+               .select(cell_col, "n_salt")
+    out = df.join(F.broadcast(counts), cell_col, "left")
+    salt = F.when(F.col("n_salt").isNull(), F.lit(0)).otherwise(
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("n_salt")).cast("int"))
+    return out.withColumn("salt", salt).drop("n_salt")
+
+
+def write_partitioned(df: DataFrame, out_dir: str, *, cell_col: str,
+                      id_col: str, salt_target: int | None = None,
+                      mode: str = "overwrite") -> dict:
+    """Write parquet partitioned by cell (+ optional salt), then write
+    one lineage manifest per cell partition.
+
+    Returns the manifest index {cell_value: {rows, checksum}}.
+    The checksum is bit_xor(xxhash64(id)) — order-insensitive and
+    overflow-free (a SUM of hashes overflows int64 under ANSI mode), so
+    it is stable at any parallelism and verifies resumed output cheaply.
+    """
+    part_cols = [cell_col]
+    if salt_target is not None:
+        df = salted(df, cell_col=cell_col, id_col=id_col,
+                    target_rows=salt_target)
+        part_cols.append("salt")
+    df.write.partitionBy(*part_cols).mode(mode).parquet(out_dir)
+
+    stats = (df.groupBy(cell_col)
+               .agg(F.count("*").alias("rows"),
+                    F.expr(f"bit_xor(xxhash64({id_col}))").alias("checksum"))
+               .collect())
+    lin_dir = os.path.join(out_dir, LINEAGE_DIR)
+    os.makedirs(lin_dir, exist_ok=True)
+    index = {}
+    for r in stats:
+        cell = r[cell_col]
+        rec = {"partition": int(cell), "rows": int(r["rows"]),
+               "checksum": int(r["checksum"]), "ts": time.time()}
+        with open(os.path.join(lin_dir, f"{cell}.json"), "w") as f:
+            json.dump(rec, f)
+        index[int(cell)] = rec
+    return index
+
+
+def done_partitions(out_dir: str) -> set[int]:
+    """Partitions with a committed lineage manifest."""
+    lin_dir = os.path.join(out_dir, LINEAGE_DIR)
+    if not os.path.isdir(lin_dir):
+        return set()
+    return {int(fn[:-5]) for fn in os.listdir(lin_dir)
+            if fn.endswith(".json")}
+
+
+def resume_filter(df: DataFrame, out_dir: str, *,
+                  cell_col: str) -> DataFrame:
+    """Drop rows whose partition already committed (idempotent re-run).
+
+    The done-set rides a broadcast anti-join, not an isin() literal —
+    at 10^12-image scale the committed-partition list can be millions of
+    cells, far past expression-literal limits.
+    """
+    done = done_partitions(out_dir)
+    if not done:
+        return df
+    spark = df.sparkSession
+    done_df = spark.createDataFrame([(int(c),) for c in sorted(done)],
+                                    f"{cell_col} BIGINT")
+    return df.join(F.broadcast(done_df), cell_col, "left_anti")
+
+
+def write_resumable(df: DataFrame, out_dir: str, *, cell_col: str,
+                    id_col: str, salt_target: int | None = None) -> dict:
+    """Resume-aware append: process only not-yet-committed partitions.
+
+    Safe to re-run after a mid-job kill: completed partitions are
+    skipped (manifest exists), interrupted partitions are rewritten
+    wholesale (dynamic partition overwrite replaces exactly the
+    partitions present in this run's data).
+    """
+    todo = resume_filter(df, out_dir, cell_col=cell_col)
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if todo.isEmpty():
+            return {}
+        return write_partitioned(todo, out_dir, cell_col=cell_col,
+                                 id_col=id_col, salt_target=salt_target,
+                                 mode="overwrite")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

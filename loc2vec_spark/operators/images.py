@@ -1,0 +1,153 @@
+"""Multimodal binary-column operators (S3 + embedding export E2).
+
+The reference decodes one PNG per row with torchvision
+(``/root/reference/src/loc2vec/data_loading.py:124,129``) and exports
+embeddings by running the net over batches
+(``loc2vec_run.py:34-47``). The engine treats images as opaque binary
+columns with typed metadata (BASELINE.json input_hint) and crosses into
+Python exactly once per stage via Arrow-batched ``mapInPandas``:
+
+- :func:`decode_stats` — decode + per-image pixel statistics (the PSNR /
+  caption invariants are checked here in tests),
+- :func:`image_features` — deterministic embedding stand-in (channel
+  histograms): the engine contract is the dataflow, not conv weights
+  (torch absent in sandbox, SURVEY.md §7.3); swapping in a real model is
+  a one-function change behind the same operator surface,
+- :func:`resize_images` — nearest-neighbor resize, re-encoded PNG,
+- audio/video decode: STUBBED (:func:`decode_av`) — the sandbox has no
+  codecs; the Spark-side plumbing (schema, batching, binary transport)
+  is identical and tested via the stub.
+
+Corrupt rows never abort the job: failed decodes emit NULL stats and are
+quarantined by filter (dead-letter semantics, SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+from ..png_codec import decode_png, encode_png
+
+DECODE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("h", T.IntegerType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("mean_px", T.DoubleType()),
+    T.StructField("std_px", T.DoubleType()),
+])
+
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Decode the binary column batch-at-a-time; emit per-image stats.
+
+    Rows with NULL/undecodable bytes get ok=false (quarantine, not
+    failure — one corrupt image of 10^12 must not kill the job)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    arr = decode_png(bytes(data))
+                    out.append((iid, True, arr.shape[0], arr.shape[1],
+                                round(float(arr.mean()), 6),
+                                round(float(arr.std()), 6)))
+                except Exception:
+                    out.append((iid, False, None, None, None, None))
+            yield pd.DataFrame(out, columns=[f.name for f in DECODE_SCHEMA])
+
+    return images.select("image_id", "bytes").filter(
+        "bytes IS NOT NULL").mapInPandas(gen, DECODE_SCHEMA)
+
+
+FEATURE_DIM = 16  # matches the reference's embedding head (loc2vec_nn.py:32)
+
+FEATURES_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("embedding", T.ArrayType(T.FloatType())),
+])
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """E2 stand-in: deterministic 16-dim features from channel histograms.
+
+    Replaces the reference's resnet forward (``loc2vec_run.py:38-40``)
+    with a deterministic featurizer so the export *pipeline* (decode ->
+    batch -> feature -> (id, vector) rows) is testable without torch.
+    Unlike the reference, the id travels IN the row, which fixes its
+    id/embedding misalignment bug by construction
+    (``loc2vec_run.py:33-48``, SURVEY.md §3 E2).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    arr = decode_png(bytes(data)).astype(np.float32)
+                except Exception:
+                    continue  # quarantined
+                if arr.ndim == 2:
+                    arr = arr[:, :, None].repeat(3, axis=2)
+                # 3 channels x 4-bin histogram + 4 moments = 16 dims
+                feats = []
+                for c in range(3):
+                    h, _ = np.histogram(arr[:, :, c], bins=4,
+                                        range=(0, 256))
+                    feats.extend(h / arr[:, :, c].size)
+                feats.extend([arr.mean() / 255.0, arr.std() / 255.0,
+                              arr.min() / 255.0, arr.max() / 255.0])
+                ids.append(iid)
+                vecs.append(np.asarray(feats, dtype=np.float32))
+            yield pd.DataFrame({"image_id": ids, "embedding": vecs})
+
+    return images.select("image_id", "bytes").filter(
+        "bytes IS NOT NULL").mapInPandas(gen, FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+])
+
+
+def resize_images(images: DataFrame, *, out_px: int = 32) -> DataFrame:
+    """Nearest-neighbor resize, PNG re-encode (pure numpy indexing)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    arr = decode_png(bytes(data))
+                except Exception:
+                    continue
+                hh, ww = arr.shape[0], arr.shape[1]
+                ri = (np.arange(out_px) * hh // out_px)
+                ci = (np.arange(out_px) * ww // out_px)
+                small = arr[np.ix_(ri, ci)]
+                out.append((iid, encode_png(small), out_px, out_px))
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h"])
+
+    return images.select("image_id", "bytes").filter(
+        "bytes IS NOT NULL").mapInPandas(gen, RESIZE_SCHEMA)
+
+
+def decode_av(images: DataFrame, *, kind: str) -> DataFrame:
+    """STUB: audio/video decode — no codecs in this container.
+
+    The Spark-side contract (binary column in, typed rows out, Arrow
+    batches, quarantine-on-error) is exactly :func:`decode_stats`;
+    only the codec call differs. Raises until a codec is available.
+    """
+    raise NotImplementedError(
+        f"{kind} decoding requires external codec libraries not present "
+        "in this environment; plug a decoder into the decode_stats "
+        "mapInPandas template")

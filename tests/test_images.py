@@ -1,0 +1,70 @@
+"""Multimodal binary-column operators (S3/E2) + packaging tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from loc2vec_spark import fixtures
+from loc2vec_spark.operators import images as img_ops
+from loc2vec_spark.packaging import build_pyfiles_zip, ensure_workers_can_import
+from loc2vec_spark.png_codec import decode_png, psnr
+
+
+@pytest.fixture(scope="module")
+def images(spark, fixture_dir):
+    ensure_workers_can_import(spark)
+    return spark.read.parquet(f"{fixture_dir}/images.parquet")
+
+
+def test_decode_stats_matches_source_pixels(spark, images):
+    out = img_ops.decode_stats(images).toPandas().set_index("image_id")
+    assert out.ok.all()
+    for iid in list(out.index)[:20]:
+        i = int(iid.split("_")[1])
+        px = fixtures.row_pixels(i)
+        row = out.loc[iid]
+        assert (row.h, row.w) == (64, 64)
+        if i % 10 != 0:  # lossless rows: stats exact
+            assert row.mean_px == round(float(px.mean()), 6)
+
+
+def test_decode_quarantines_corrupt_bytes(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"image_id": ["good", "bad", "nullrow"],
+                        "bytes": [fixtures.images_pdf(1).bytes.iloc[0],
+                                  b"garbage", None]})
+    out = img_ops.decode_stats(spark.createDataFrame(pdf)).toPandas()
+    # null bytes filtered pre-UDF; corrupt bytes quarantined with ok=false
+    assert set(out.image_id) == {"good", "bad"}
+    assert bool(out.set_index("image_id").loc["good", "ok"])
+    assert not bool(out.set_index("image_id").loc["bad", "ok"])
+
+
+def test_image_features_deterministic_and_fixes_id_alignment(spark, images):
+    a = img_ops.image_features(images).toPandas()
+    b = img_ops.image_features(images.repartition(5)).toPandas()
+    assert len(a) == images.filter("bytes IS NOT NULL").count()
+    assert (a.embedding.map(len) == img_ops.FEATURE_DIM).all()
+    am = {r.image_id: tuple(r.embedding) for r in a.itertuples()}
+    bm = {r.image_id: tuple(r.embedding) for r in b.itertuples()}
+    assert am == bm  # id travels with the row -> no positional misalignment
+
+
+def test_resize_roundtrip(spark, images):
+    out = img_ops.resize_images(images, out_px=16).toPandas()
+    assert (out.w == 16).all() and (out.h == 16).all()
+    arr = decode_png(out.bytes.iloc[0])
+    assert arr.shape == (16, 16, 3)
+
+
+def test_av_stub_raises(spark, images):
+    with pytest.raises(NotImplementedError):
+        img_ops.decode_av(images, kind="audio")
+
+
+def test_pyfiles_zip_importable(tmp_path):
+    import zipfile
+    z = build_pyfiles_zip(str(tmp_path / "pkg.zip"))
+    names = zipfile.ZipFile(z).namelist()
+    assert "loc2vec_spark/__init__.py" in names
+    assert "loc2vec_spark/operators/triplets.py" in names

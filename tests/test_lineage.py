@@ -1,0 +1,70 @@
+"""Checkpoint/resume + salting tests (SURVEY.md §5.2 item 5)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from loc2vec_spark import lineage
+from loc2vec_spark.operators import geo
+
+
+@pytest.fixture()
+def pts(spark, fixture_dir):
+    images = spark.read.parquet(f"{fixture_dir}/images.parquet")
+    return geo.with_cells(geo.with_latlon(images), resolutions=(7,)) \
+              .select("image_id", "cell_r7")
+
+
+def test_write_then_resume_skips_done(spark, pts, tmp_path):
+    out = str(tmp_path / "tiles")
+    idx = lineage.write_resumable(pts, out, cell_col="cell_r7",
+                                  id_col="image_id")
+    assert len(idx) == pts.select("cell_r7").distinct().count()
+    total = sum(r["rows"] for r in idx.values())
+    assert total == pts.count()
+    # second run: everything committed -> nothing to do
+    idx2 = lineage.write_resumable(pts, out, cell_col="cell_r7",
+                                   id_col="image_id")
+    assert idx2 == {}
+    # written data complete and readable
+    back = spark.read.parquet(out)
+    assert back.count() == total
+
+
+def test_resume_completes_partial_run(spark, pts, tmp_path):
+    out = str(tmp_path / "tiles")
+    cells_all = [r.cell_r7 for r in
+                 pts.select("cell_r7").distinct().collect()]
+    half = set(cells_all[: len(cells_all) // 2])
+    # simulate a killed job: only half the partitions committed
+    part1 = pts.filter(F.col("cell_r7").isin([int(c) for c in half]))
+    lineage.write_resumable(part1, out, cell_col="cell_r7",
+                            id_col="image_id")
+    assert lineage.done_partitions(out) == {int(c) for c in half}
+    # re-run with the FULL input: only missing partitions are processed
+    idx = lineage.write_resumable(pts, out, cell_col="cell_r7",
+                                  id_col="image_id")
+    assert set(idx) == {int(c) for c in cells_all} - {int(c) for c in half}
+    back = spark.read.parquet(out)
+    assert back.count() == pts.count()  # no duplicates, no gaps
+    # manifests verify: recompute checksums from what landed on disk
+    for c, rec in idx.items():
+        got = back.filter(F.col("cell_r7") == c) \
+                  .agg(F.expr("bit_xor(xxhash64(image_id))")).collect()[0][0]
+        assert got == rec["checksum"]
+
+
+def test_salting_splits_hot_cells(spark, pts, tmp_path):
+    out = str(tmp_path / "salted")
+    # fixture: 3 urban cells carry ~80% of rows; force them to split
+    lineage.write_partitioned(pts, out, cell_col="cell_r7",
+                              id_col="image_id", salt_target=30)
+    back = spark.read.parquet(out)
+    per = back.groupBy("cell_r7", "salt").count()
+    hot = per.groupBy("cell_r7").agg(F.countDistinct("salt").alias("ns")) \
+             .filter(F.col("ns") > 1)
+    assert hot.count() >= 3  # each urban cell got salted
+    # salting never loses rows
+    assert back.count() == pts.count()

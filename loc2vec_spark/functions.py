@@ -16,6 +16,22 @@ SPARK_BASE = 0   # spark SQL a[i] is 0-based
 DUCKDB_BASE = 1  # duckdb l[i] is 1-based
 
 
+def md5_id_sql(expr: str, base: int, hex_chars: int = 12) -> str:
+    """Portable deterministic string -> int64 id via md5 prefix.
+
+    Replaces global ``DENSE_RANK() OVER (ORDER BY tok)`` vocabulary ids:
+    a rank id needs a single-task global sort over the vocabulary (never
+    survives 10^12-row scale), a hash id is embarrassingly parallel. Both
+    engines produce the same lowercase md5 hex, so the derived int64 is
+    identical. ``hex_chars`` <= 15 keeps the value positive in int64
+    (default 48 bits; callers doing modular arithmetic reduce further).
+    """
+    if base == SPARK_BASE:
+        return (f"CAST(conv(substring(md5({expr}), 1, {hex_chars}), 16, 10) "
+                f"AS BIGINT)")
+    return f"CAST(('0x' || substr(md5({expr}), 1, {hex_chars})) AS BIGINT)"
+
+
 def _terms(a: str, b: str, dim: int, base: int, op: str) -> list[str]:
     out = []
     for i in range(dim):

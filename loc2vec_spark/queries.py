@@ -146,9 +146,14 @@ WHERE cj + dj BETWEEN 0 AND {_N7 - 1}
 
 
 def _knn_sql(base: int, k: int = 5) -> str:
+    # the REPARTITION hint parallelizes the broadcast-join probe side:
+    # the testdata parquet is one file -> one scan partition, and the
+    # 855k-pair distance evaluation would otherwise run as a single task
+    # (measured 6.4s -> 1.0s at local[32]). DuckDB reads it as a comment.
     return f"""
 WITH {PTS}, {CPTS}, {OFFS},
-nb AS (SELECT vec_id AS anchor_id, embedding AS a_emb, {_NB} AS nb_cell
+nb AS (SELECT /*+ REPARTITION(64) */ vec_id AS anchor_id,
+              embedding AS a_emb, {_NB} AS nb_cell
        FROM cpts CROSS JOIN offs
        WHERE cj + dj BETWEEN 0 AND {_N7 - 1}),
 cand AS (SELECT nb.anchor_id, c.vec_id AS neighbor_id,

@@ -8,57 +8,64 @@ fingerprint), each with a DuckDB oracle over the driver's ``documents`` /
 ``embeddings`` tables.
 
 Portability notes:
-- token ids come from DENSE_RANK over the distinct-token sort (binary
-  UTF-8 collation is the default in both Spark and DuckDB), giving both
-  engines identical integer ids without a shared string-hash function;
-- minhash/simhash then work on those integer ids with the same
-  multiplicative hashes as everywhere else in the engine.
+- token/shingle ids are md5-derived int64 hashes (``md5_id_sql``) computed
+  identically by both engines. Hash ids, not rank ids: a global
+  ``DENSE_RANK OVER (ORDER BY tok)`` vocabulary id needs a single-task
+  global sort (measured 12s at sf0.1; impossible at 10^12 rows), a hash id
+  is computed rowwise with no shuffle at all. 48-bit ids make collisions
+  negligible at test scale; a production run would use ``xxhash64``
+  (engine-native, no oracle to match).
+- ``/*+ REPARTITION(n) */`` hints parallelize the probe side of broadcast
+  joins: the testdata tables are single parquet files -> one scan
+  partition, and without a shuffle upstream every broadcast join + its
+  expensive projection runs as ONE task. DuckDB parses the hint as a
+  comment, so the SQL text stays shared.
 """
 
 from __future__ import annotations
 
-from .functions import DUCKDB_BASE, SPARK_BASE, cosine_sql
-from .queries import DIM, Q, _h, _reg
+from .functions import (DUCKDB_BASE, SPARK_BASE, dot_sql, md5_id_sql,
+                        norm_sql)
+from .queries import DIM, Q, _reg
 
-# ---------------------------------------------------------------------------
-# tokenizer fragments (the only engine-specific text in this module)
-# ---------------------------------------------------------------------------
+_M31 = 2147483647  # 2^31 - 1: modular-arithmetic field for sig hashes
 
-TOK_SPARK = ("tok AS (SELECT doc_id, p.pos AS pos, p.tok AS tok "
-             "FROM documents "
-             "LATERAL VIEW posexplode(split(text, ' ')) p AS pos, tok)")
-TOK_DUCK = ("tok AS (SELECT doc_id, pos, string_split(text, ' ')[pos + 1] "
+
+def _tok(base: int) -> str:
+    """Whitespace tokenizer CTE (the only engine-specific text here)."""
+    if base == SPARK_BASE:
+        return ("tok AS (SELECT /*+ REPARTITION(64) */ doc_id, p.pos AS pos, "
+                "p.tok AS tok FROM documents "
+                "LATERAL VIEW posexplode(split(text, ' ')) p AS pos, tok)")
+    return ("tok AS (SELECT doc_id, pos, string_split(text, ' ')[pos + 1] "
             "AS tok FROM documents "
             "CROSS JOIN (SELECT unnest(range(256)) AS pos) p "
             "WHERE pos < len(string_split(text, ' ')))")
 
-# distinct-token integer ids — identical in both engines (binary collation)
-TID = ("tid AS (SELECT tok, DENSE_RANK() OVER (ORDER BY tok) AS tok_id "
-       "FROM (SELECT DISTINCT tok FROM tok) d)")
 
-# word 3-gram shingles + distinct per doc + global shingle ids
-SHINGLES = """
-sh AS (SELECT a.doc_id, a.tok || '_' || b.tok || '_' || c.tok AS s
-       FROM tok a
-       JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-       JOIN tok c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
-shd AS (SELECT DISTINCT doc_id, s FROM sh),
-sid AS (SELECT s, DENSE_RANK() OVER (ORDER BY s) AS sid
-        FROM (SELECT DISTINCT s FROM shd) d),
-ds AS (SELECT doc_id, sid FROM shd JOIN sid USING (s))
+def _shingles(base: int) -> str:
+    """Word-3-gram shingles, distinct per doc, with hash shingle ids.
+
+    LEAD over (doc_id, pos) instead of a 3-way positional self-join:
+    one shuffle keyed by doc_id vs two join shuffles, and the window
+    partitions are per-document (bounded), so no skew. Trailing partial
+    shingles concat to NULL (both engines) and are filtered.
+    """
+    sid = md5_id_sql("s", base)
+    w = "OVER (PARTITION BY doc_id ORDER BY pos)"
+    return f"""
+sh AS (SELECT doc_id,
+              tok || '_' || LEAD(tok, 1) {w} || '_' || LEAD(tok, 2) {w} AS s
+       FROM tok),
+ds AS (SELECT DISTINCT doc_id, {sid} AS sid FROM sh WHERE s IS NOT NULL)
 """
 
 
-def _with_tok(body: str, extra_ctes: str = "") -> tuple[str, str]:
-    """(spark_sql, duck_sql) wrapping engine-specific tokenizer CTEs."""
-    return (f"WITH {TOK_SPARK}{extra_ctes}\n{body}",
-            f"WITH {TOK_DUCK}{extra_ctes}\n{body}")
-
-
-def _reg_tok(name: str, body: str, extra_ctes: str = "", doc: str = "",
-             tables: tuple[str, ...] = ("documents",)) -> None:
-    s, d = _with_tok(body, extra_ctes)
-    _reg(name, Q(tables=tables, spark_sql=s, duck_sql=d, doc=doc))
+def _reg2(name: str, builder, doc: str = "",
+          tables: tuple[str, ...] = ("documents",)) -> None:
+    """Register a query built per-engine from an index-base parameter."""
+    _reg(name, Q(tables=tables, spark_sql=builder(SPARK_BASE),
+                 duck_sql=builder(DUCKDB_BASE), doc=doc))
 
 
 # ===========================================================================
@@ -73,79 +80,164 @@ SELECT text, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
 FROM documents GROUP BY text
 """, doc="dedup: exact (hash-groupBy on full text; canonical = min id)"))
 
-_reg_tok("dedup_ngram_jaccard", f"""
-, cnts AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-          FROM ds a JOIN ds b ON a.sid = b.sid AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id)
+
+# NOTE: subqueries, not CTEs — a WITH clause wraps the plan in
+# WithCTE/CTERelationRef nodes, and (Spark 4.1) cache substitution does
+# not look through them, so references to a cached view inside a CTE
+# recompute the full pipeline (measured: 0 InMemoryTableScans with WITH,
+# 2 without, same query otherwise).
+_JACCARD_BODY = """
 SELECT doc_a, doc_b,
        ROUND(CAST(i AS DOUBLE) / (ca.n + cb.n - i), 6) AS jaccard
-FROM inter
-JOIN cnts ca ON ca.doc_id = doc_a
-JOIN cnts cb ON cb.doc_id = doc_b
+FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM {ds} a JOIN {ds} b ON a.sid = b.sid AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id) inter
+JOIN (SELECT doc_id, COUNT(*) AS n FROM {ds} GROUP BY doc_id) ca
+  ON ca.doc_id = doc_a
+JOIN (SELECT doc_id, COUNT(*) AS n FROM {ds} GROUP BY doc_id) cb
+  ON cb.doc_id = doc_b
 WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.05E0
-""".replace(", cnts", "cnts", 1),
-         extra_ctes=", " + SHINGLES.strip() + ",",
-         doc="dedup: word-3-gram Jaccard pairs (shingle equi-join, no "
-             "cross product)")
+"""
 
-# minhash signature: 8 hashes over shingle ids; LSH: 4 bands x 2 rows
+
+def _ds_cached(spark):
+    """Materialize the per-doc shingle-id table ONCE (cached temp view).
+
+    A CTE referenced k times is inlined k times by Catalyst, so the
+    whole tokenize -> shingle -> distinct pipeline would re-run per
+    reference (measured: 4 full rescans in the jaccard plan, 8 in the
+    LSH plan). At cluster scale this intermediate is a parquet/Iceberg
+    table you write once and self-join; ``cache()`` is the local
+    equivalent and Spark's cache manager dedupes by logical plan across
+    repeated calls.
+    """
+    ds = spark.sql(f"WITH {_tok(SPARK_BASE)}, "
+                   f"{_shingles(SPARK_BASE).strip()} SELECT * FROM ds")
+    ds.cache().createOrReplaceTempView("ds_cached")
+
+
+def _jaccard_fn(spark, sf_dir):
+    _ds_cached(spark)
+    return spark.sql(_JACCARD_BODY.format(ds="ds_cached"))
+
+
+def _jaccard_duck(base: int) -> str:
+    return (f"WITH {_tok(base)}, {_shingles(base).strip()}, "
+            f"q AS ({_JACCARD_BODY.format(ds='ds')}) SELECT * FROM q")
+
+
+_reg("dedup_ngram_jaccard", Q(tables=("documents",), fn=_jaccard_fn,
+                              duck_sql=_jaccard_duck(DUCKDB_BASE),
+                              doc="dedup: word-3-gram Jaccard pairs "
+                                  "(shingle equi-join over a materialized "
+                                  "shingle table, no cross product)"))
+
+# minhash signature: 8 hashes over shingle ids; LSH: 4 bands x 2 rows.
+# (sid % M31) * a stays under 2^63 for a ~ 2.7e9, so no int64 overflow in
+# either engine (DuckDB raises on BIGINT overflow, Spark wraps — neither
+# is allowed to happen).
 _MH = [(2654435761 + 2 * t, 40503 + 3 * t) for t in range(8)]
 _SIG = ("sig AS (SELECT doc_id, " + ", ".join(
-    f"MIN((sid * {a} + {b}) % 2147483647) AS h{t}"
+    f"MIN(((sid % {_M31}) * {a} + {b}) % {_M31}) AS h{t}"
     for t, (a, b) in enumerate(_MH)) + " FROM ds GROUP BY doc_id)")
 _BANDS = ("bands AS (" + " UNION ALL ".join(
     f"SELECT doc_id, {band} AS band, h{2 * band} AS x, h{2 * band + 1} AS y "
     f"FROM sig" for band in range(4)) + ")")
 
-_reg_tok("dedup_minhash_lsh", f"""
+
+_BANDS_SUB = ("(" + " UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band, h{2 * band} AS x, h{2 * band + 1} AS y "
+    f"FROM {{sig}}" for band in range(4)) + ")")
+
+_LSH_BODY = f"""
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+FROM {_BANDS_SUB} a
+JOIN {_BANDS_SUB} b ON a.band = b.band AND a.x = b.x AND a.y = b.y
             AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
-""", extra_ctes=", " + SHINGLES.strip() + f", {_SIG}, {_BANDS}",
-         doc="dedup: MinHash(8) + LSH(4 bands x 2) candidate pairs — "
-             "shingle->minhash->band->bucket-join")
-
-_reg_tok("dedup_minhash_sig", f"""
-SELECT doc_id, {", ".join(f"h{t}" for t in range(8))} FROM sig
-""", extra_ctes=", " + SHINGLES.strip() + f", {_SIG}",
-         doc="dedup: MinHash signatures (deterministic, integer-id based)")
-
-# 16-bit simhash over token ids (frequency-weighted)
-_BITSUMS = ", ".join(
-    f"SUM(CASE WHEN ((tok_id * {2654435761 + 5 * b} + {97 + 11 * b}) "
-    f"% 2147483647) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
-    for b in range(16))
-_SIMHASH = " + ".join(
-    f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
-
-_reg_tok("dedup_simhash", f"""
-, bits AS (SELECT doc_id, {_BITSUMS}
-           FROM tok JOIN tid USING (tok) GROUP BY doc_id)
-SELECT doc_id, {_SIMHASH} AS simhash16 FROM bits
-""".replace(", bits", "bits", 1),
-         extra_ctes=f", {TID},",
-         doc="dedup: 16-bit SimHash fingerprint (sign-sum of seeded "
-             "per-token hash bits)")
-
-
-def _embpairs_sql(base: int) -> str:
-    cos = cosine_sql("a.embedding", "b.embedding", DIM, base)
-    return f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({cos}, 6) AS cosine
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {cos} >= 0.3E0
 """
 
 
-_reg("dedup_embedding", Q(tables=("embeddings",),
-                          spark_sql=_embpairs_sql(SPARK_BASE),
-                          duck_sql=_embpairs_sql(DUCKDB_BASE),
-                          doc="dedup: embedding-cosine near-dup pairs "
-                              "(brute force baseline; LSH variant = "
-                              "ann_lsh_bucket)"))
+def _lsh_fn(spark, sf_dir):
+    # two-level materialization: ds once (shingle pipeline), then the
+    # tiny per-doc signature table once (the band UNION reads it 4x per
+    # side and the bucket join self-joins it). Subqueries, not CTEs —
+    # see the cache-substitution note above _JACCARD_BODY.
+    _ds_cached(spark)
+    sig = spark.sql("SELECT doc_id, " + ", ".join(
+        f"MIN(((sid % {_M31}) * {a} + {b}) % {_M31}) AS h{t}"
+        for t, (a, b) in enumerate(_MH)) + " FROM ds_cached GROUP BY doc_id")
+    sig.cache().createOrReplaceTempView("sig_cached")
+    return spark.sql(_LSH_BODY.format(sig="sig_cached"))
+
+
+def _lsh_duck(base: int) -> str:
+    return (f"WITH {_tok(base)}, {_shingles(base).strip()}, {_SIG} "
+            + _LSH_BODY.format(sig="sig"))
+
+
+_reg("dedup_minhash_lsh", Q(tables=("documents",), fn=_lsh_fn,
+                            duck_sql=_lsh_duck(DUCKDB_BASE),
+                            doc="dedup: MinHash(8) + LSH(4 bands x 2) "
+                                "candidate pairs — shingle->minhash->"
+                                "band->bucket-join over a materialized "
+                                "shingle table"))
+
+
+def _minhash_sig_sql(base: int) -> str:
+    return f"""
+WITH {_tok(base)}, {_shingles(base).strip()}, {_SIG}
+SELECT doc_id, {", ".join(f"h{t}" for t in range(8))} FROM sig
+"""
+
+
+_reg2("dedup_minhash_sig", _minhash_sig_sql,
+      doc="dedup: MinHash signatures (deterministic, hash-id based)")
+
+
+def _simhash_sql(base: int) -> str:
+    # 16-bit simhash over hash token ids (frequency-weighted sign-sum)
+    tid = f"({md5_id_sql('tok', base)} % {_M31})"
+    bitsums = ", ".join(
+        f"SUM(CASE WHEN (({tid} * {2654435761 + 5 * b} + {97 + 11 * b}) "
+        f"% {_M31}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16))
+    simhash = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    return f"""
+WITH {_tok(base)},
+bits AS (SELECT doc_id, {bitsums} FROM tok GROUP BY doc_id)
+SELECT doc_id, {simhash} AS simhash16 FROM bits
+"""
+
+
+_reg2("dedup_simhash", _simhash_sql,
+      doc="dedup: 16-bit SimHash fingerprint (sign-sum of seeded "
+          "per-token hash bits)")
+
+
+def _embpairs_sql(base: int) -> str:
+    # norms precomputed per ROW (n of them), dot per PAIR (n^2): the pair
+    # expression stays 64 terms, which whole-stage-codegens cleanly — the
+    # full 192-term inline cosine breaks janino and falls back to
+    # interpreted eval, ~7x slower. Same arithmetic order as cosine_sql
+    # (dot / (sqrt(na) * sqrt(nb))), so doubles stay bit-identical.
+    hint = "/*+ REPARTITION(64) */ " if base == SPARK_BASE else ""
+    dot = dot_sql("a.embedding", "b.embedding", DIM, base)
+    nrm = norm_sql("embedding", DIM, base)
+    return f"""
+WITH ne AS (SELECT {hint}vec_id, embedding, {nrm} AS nrm FROM embeddings),
+prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ({dot}) / (a.nrm * b.nrm) AS cosine
+        FROM ne a JOIN ne b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+FROM prs WHERE cosine >= 0.3E0
+"""
+
+
+_reg2("dedup_embedding", _embpairs_sql, tables=("embeddings",),
+      doc="dedup: embedding-cosine near-dup pairs (brute force baseline; "
+          "LSH variant = ann_lsh_bucket)")
 
 
 # ===========================================================================
@@ -153,13 +245,16 @@ _reg("dedup_embedding", Q(tables=("embeddings",),
 # ===========================================================================
 
 def _ann_brute_sql(base: int) -> str:
-    cos = cosine_sql("q.embedding", "c.embedding", DIM, base)
+    hint = "/*+ REPARTITION(64) */ " if base == SPARK_BASE else ""
+    dot = dot_sql("q.embedding", "c.embedding", DIM, base)
+    nrm = norm_sql("embedding", DIM, base)
     return f"""
-WITH scored AS (
+WITH ne AS (SELECT {hint}vec_id, embedding, {nrm} AS nrm FROM embeddings),
+qs AS (SELECT vec_id, embedding, nrm FROM ne WHERE vec_id % 25 = 0),
+scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {cos} AS cosine
-  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-  WHERE q.vec_id % 25 = 0),
+         ({dot}) / (q.nrm * c.nrm) AS cosine
+  FROM qs q JOIN ne c ON c.vec_id <> q.vec_id),
 ranked AS (SELECT query_id, neighbor_id, cosine,
                   ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, neighbor_id)
@@ -170,22 +265,24 @@ FROM ranked WHERE ann_rank <= 10
 """
 
 
-_reg("ann_bruteforce", Q(tables=("embeddings",),
-                         spark_sql=_ann_brute_sql(SPARK_BASE),
-                         duck_sql=_ann_brute_sql(DUCKDB_BASE),
-                         doc="similarity: brute-force cosine top-10 "
-                             "(exact baseline)"))
+_reg2("ann_bruteforce", _ann_brute_sql, tables=("embeddings",),
+      doc="similarity: brute-force cosine top-10 (exact baseline)")
 
 
 def _ann_lsh_sql(base: int) -> str:
     code = " + ".join(
         f"(CASE WHEN CAST(embedding[{i + base}] AS DOUBLE) > 0.0E0 "
         f"THEN {1 << i} ELSE 0 END)" for i in range(8))
-    cos = cosine_sql("q.embedding", "c.embedding", DIM, base)
+    hint = "/*+ REPARTITION(64) */ " if base == SPARK_BASE else ""
+    dot = dot_sql("q.embedding", "c.embedding", DIM, base)
+    nrm = norm_sql("embedding", DIM, base)
     return f"""
-WITH codes AS (SELECT vec_id, embedding, {code} AS code FROM embeddings),
+WITH codes AS (SELECT {hint}vec_id, embedding, {code} AS code,
+                      {nrm} AS nrm
+               FROM embeddings),
 scored AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ({dot}) / (q.nrm * c.nrm) AS cosine
   FROM codes q JOIN codes c ON q.code = c.code AND c.vec_id <> q.vec_id
   WHERE q.vec_id % 25 = 0),
 ranked AS (SELECT query_id, neighbor_id, cosine,
@@ -198,12 +295,9 @@ FROM ranked WHERE ann_rank <= 10
 """
 
 
-_reg("ann_lsh_bucket", Q(tables=("embeddings",),
-                         spark_sql=_ann_lsh_sql(SPARK_BASE),
-                         duck_sql=_ann_lsh_sql(DUCKDB_BASE),
-                         doc="similarity: sign-projection LSH bucket join "
-                             "(scale path — bucket equi-join instead of "
-                             "all-pairs)"))
+_reg2("ann_lsh_bucket", _ann_lsh_sql, tables=("embeddings",),
+      doc="similarity: sign-projection LSH bucket join (scale path — "
+          "bucket equi-join instead of all-pairs)")
 
 
 # ===========================================================================
@@ -271,12 +365,19 @@ _reg("text_langid", Q(tables=("documents",), spark_sql=_LANGID_SQL,
                       doc="text: language-ID heuristic (keyword n-gram "
                           "hit scoring)"))
 
-_reg_tok("text_fingerprint", """
-SELECT t.doc_id,
-       SUM(tok_id * (t.pos + 1)) % 2147483647 AS fingerprint,
+
+def _fingerprint_sql(base: int) -> str:
+    tid = f"({md5_id_sql('tok', base)} % {_M31})"
+    return f"""
+WITH {_tok(base)}
+SELECT doc_id,
+       SUM({tid} * (pos + 1)) % {_M31} AS fingerprint,
        COUNT(*) AS n_tokens
-FROM tok t JOIN tid USING (tok)
-GROUP BY t.doc_id
-""", extra_ctes=f", {TID}",
-         doc="text: document fingerprint (position-weighted rolling hash "
-             "over collation-stable token ids)")
+FROM tok
+GROUP BY doc_id
+"""
+
+
+_reg2("text_fingerprint", _fingerprint_sql,
+      doc="text: document fingerprint (position-weighted rolling hash "
+          "over md5 token ids)")

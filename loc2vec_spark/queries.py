@@ -517,3 +517,89 @@ FROM events GROUP BY 1, 2
 
 # register the dedup / text-analysis / similarity-search suite
 from . import queries_text  # noqa: E402,F401  (registers into QUERIES)
+
+
+# ===========================================================================
+# 7. A6/A8 + distinct/cube/rank coverage (SURVEY.md §2.4-2.5 notes)
+# ===========================================================================
+
+def _qdec(expr: str) -> str:
+    """Quantize a float expression to DECIMAL(18,6) identically in both
+    engines: ROUND in double first (same double -> same nearest 6dp
+    decimal, no representable ties), then exact decimal arithmetic —
+    fold-order-independent sums, so partial aggregation can't flip the
+    value hash."""
+    return f"CAST(ROUND(CAST({expr} AS DOUBLE), 6) AS DECIMAL(18,6))"
+
+
+def _cov_sql(base: int) -> str:
+    cols = ", ".join(f"{_qdec(f'embedding[{i + base}]')} AS x{i}"
+                     for i in range(4))
+    pairs = [(i, j) for i in range(4) for j in range(4) if i <= j]
+    covs = ", ".join(
+        f"ROUND(CAST(SUM(x{i} * x{j}) AS DOUBLE) / COUNT(*) "
+        f"- (CAST(SUM(x{i}) AS DOUBLE) / COUNT(*)) "
+        f"* (CAST(SUM(x{j}) AS DOUBLE) / COUNT(*)), 6) AS cov_{i}{j}"
+        for i, j in pairs)
+    return f"""
+WITH f AS (SELECT vec_id, {cols} FROM embeddings)
+SELECT COUNT(*) AS n, {covs} FROM f
+"""
+
+
+_reg("a6_cov", Q(tables=("embeddings",),
+                 spark_sql=_cov_sql(SPARK_BASE),
+                 duck_sql=_cov_sql(DUCKDB_BASE),
+                 doc="A6: covariance-matrix entries (dims 0-3) via exact "
+                     "decimal partial+final sums — the SQL face of the "
+                     "PCA prestep (optim.py:53-62); full PCA = "
+                     "operators/stats.py"))
+
+
+def _cosmean_sql(base: int) -> str:
+    cos = cosine_sql("a.embedding", "b.embedding", DIM, base)
+    return f"""
+WITH p AS (SELECT {_qdec(cos)} AS c
+           FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+SELECT COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 6) AS mean_cosine
+FROM p
+"""
+
+
+_reg("a8_cosine_mean", Q(tables=("embeddings",),
+                         spark_sql=_cosmean_sql(SPARK_BASE),
+                         duck_sql=_cosmean_sql(DUCKDB_BASE),
+                         doc="A8: mean cosine similarity "
+                             "(trainset_validation.py:74-77)"))
+
+_shared("w6_ranks", ("orders",), """
+SELECT o_orderkey,
+       RANK() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice) AS drnk,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice), 6) AS prnk,
+       NTILE(4) OVER (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey) AS quartile
+FROM orders
+""", doc="W-extra: rank/dense_rank/percent_rank/ntile (SURVEY.md §2.5 "
+         "note — rank-vs-row_number is the documented kNN tie knob; "
+         "ntile totally ordered for determinism)")
+
+_shared("a9_cube", ("documents",), """
+SELECT lang, source, COUNT(*) AS n,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM documents GROUP BY CUBE(lang, source)
+""", doc="A-extra: CUBE aggregate (SURVEY.md §2.4 note — grouping-set "
+         "family next to tile_rollup's ROLLUP)")
+
+_shared("a10_multidistinct", ("lineitem",), """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""", doc="A-extra: multiple exact distinct aggregates (expand-based "
+         "plan; approx_count_distinct is the documented scale knob)")

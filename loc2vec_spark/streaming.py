@@ -1,0 +1,137 @@
+"""Structured Streaming surface (SURVEY.md §2.8).
+
+The reference is pure batch — its only "stream" is the epoch x batch
+Python loop with skip-on-error (``loc2vec_train.py:56-87``,
+``data_loading.py:116-119``). The engine's streaming face covers the three
+capabilities §2.8 maps onto Spark:
+
+- **resumable incremental processing**: ``incremental_tiling`` runs the
+  tile-assignment pipeline as a file-source stream with
+  ``Trigger.AvailableNow`` + ``checkpointLocation`` — a re-run picks up
+  only files not yet committed to the checkpoint (the streaming analog of
+  :mod:`loc2vec_spark.lineage`'s batch manifests, and of the reference's
+  reloadable model checkpoint ``loc2vec_run.py:30-31``);
+- **late/invalid data handling**: ``quarantine_split`` routes rows that
+  fail decode/validation to a dead-letter sink instead of skipping whole
+  batches (upgrade over ``data_loading.py:116-119``, documented §5.1);
+  event-time lateness is bounded with ``withWatermark``;
+- **tumbling event-time windows**: ``windowed_event_counts`` — the
+  streaming face of the batch ``events_tumbling`` oracle query
+  (fixed-size batch slices ``data_loading.py:61-77`` -> time windows).
+
+Everything is expressed on the streaming DataFrame API so the SAME
+transformation functions (``geo.with_latlon``/``geo.with_cells``) serve
+batch and stream — Catalyst plans both.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators import geo
+
+# input_hint schema (BASELINE.json): the Iceberg images table shape
+IMAGES_SCHEMA = ("image_id STRING, bytes BINARY, w INT, h INT, "
+                 "fmt STRING, caption STRING, phash BIGINT")
+
+EVENTS_SCHEMA = ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                 "event_type STRING, value DOUBLE, props STRING")
+
+
+def read_images_stream(spark: SparkSession, src_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over an images-table directory of parquet files.
+
+    ``maxFilesPerTrigger`` bounds per-microbatch work (backpressure); the
+    source tracks processed files in the checkpoint log, giving
+    exactly-once file-level semantics.
+    """
+    r = spark.readStream.schema(IMAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.parquet(src_dir)
+
+
+def quarantine_split(images: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(good, dead_letter) row split — corrupt-row quarantine.
+
+    Valid := parseable caption coordinates, a supported format and
+    positive dimensions. The same predicate works on batch or streaming
+    frames; the caller sinks ``dead_letter`` separately (S7-style), so
+    one bad row never kills a 10^12-row job and is never silently
+    dropped either.
+    """
+    with_loc = geo.with_latlon(images)
+    ok = (F.col("lat").isNotNull() & F.col("lon").isNotNull()
+          & F.col("fmt").isin("png", "jpg")
+          & (F.col("w") > 0) & (F.col("h") > 0))
+    flagged = with_loc.withColumn("_ok", ok)
+    good = flagged.filter(F.col("_ok")).drop("_ok")
+    bad = (flagged.filter(~F.col("_ok"))
+                  .drop("_ok", "lat", "lon")
+                  .withColumn("quarantine_reason", F.when(
+                      ~F.col("fmt").isin("png", "jpg"),
+                      F.lit("bad_format")).otherwise(F.lit("bad_metadata"))))
+    return good, bad
+
+
+def windowed_event_counts(events: DataFrame, *, window: str = "10 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling event-time window with a late-data watermark.
+
+    On a stream, state for a window is dropped once the watermark passes
+    its end (bounded state at any input size); on a batch frame the same
+    expression computes the identical result (tested against the
+    ``events_tumbling`` oracle query).
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    return (src.groupBy(F.window("ts", window).alias("win"), "event_type")
+               .agg(F.count("*").alias("n"),
+                    F.round(F.sum("value"), 4).alias("sum_value"))
+               .select(F.col("win.start").alias("win_start"),
+                       "event_type", "n", "sum_value"))
+
+
+def incremental_tiling(spark: SparkSession, src_dir: str, out_dir: str,
+                       checkpoint_dir: str,
+                       resolutions: tuple[int, ...] = (5, 7, 9)) -> dict:
+    """Resumable incremental tile assignment (S8 streaming analog).
+
+    ``AvailableNow`` drains everything currently in ``src_dir`` through
+    the normal microbatch machinery and stops; the checkpoint's file log
+    makes the NEXT invocation process only newly arrived files. Each
+    microbatch appends cell-partitioned parquet (good rows) and a
+    dead-letter sink (quarantined rows) — both idempotent per batch id
+    via the streaming commit log.
+
+    Returns {"batches": n, "rows": total_good, "quarantined": total_bad}.
+    """
+    stream = read_images_stream(spark, src_dir)
+    stats = {"batches": 0, "rows": 0, "quarantined": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        good, bad = quarantine_split(batch_df)
+        tiled = geo.with_cells(good, resolutions=resolutions) \
+            .drop("bytes")
+        n_bad = bad.count()
+        if n_bad:
+            (bad.select("image_id", "fmt", "caption", "quarantine_reason")
+                .write.mode("append")
+                .parquet(os.path.join(out_dir, "_dead_letter")))
+        tiled.write.mode("append").partitionBy("cell_r7") \
+             .parquet(os.path.join(out_dir, "tiles"))
+        stats["batches"] += 1
+        stats["rows"] += tiled.count()
+        stats["quarantined"] += n_bad
+
+    q = (stream.writeStream
+               .foreachBatch(sink)
+               .option("checkpointLocation", checkpoint_dir)
+               .trigger(availableNow=True)
+               .start())
+    q.awaitTermination()
+    return stats

@@ -1,0 +1,78 @@
+"""A6: distributed covariance / PCA vs numpy ground truth."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from loc2vec_spark.operators import stats
+
+DIM = 8
+N = 400
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=(N, DIM)).astype(np.float64)
+    # plant correlation so PCA has a meaningful top component
+    x[:, 1] = 0.8 * x[:, 0] + 0.2 * x[:, 1]
+    rows = [(int(i), [float(v) for v in x[i]]) for i in range(N)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, emb ARRAY<DOUBLE>")
+    return df, x
+
+
+def test_covariance_matches_numpy(emb_df):
+    df, x = emb_df
+    cov = stats.covariance(df, emb_col="emb", dim=DIM)
+    expected = np.cov(x, rowvar=False, bias=True)
+    np.testing.assert_allclose(cov, expected, rtol=1e-10, atol=1e-12)
+
+
+def test_covariance_skips_null_rows(emb_df, spark):
+    df, x = emb_df
+    withnull = df.union(spark.createDataFrame(
+        [(10_000, None)], "vec_id BIGINT, emb ARRAY<DOUBLE>"))
+    cov = stats.covariance(withnull, emb_col="emb", dim=DIM)
+    expected = np.cov(x, rowvar=False, bias=True)
+    np.testing.assert_allclose(cov, expected, rtol=1e-10, atol=1e-12)
+
+
+def test_pca_project_matches_numpy(emb_df):
+    df, x = emb_df
+    k = 3
+    out = stats.pca_project(df, id_col="vec_id", emb_col="emb",
+                            dim=DIM, k=k)
+    got = {r["vec_id"]: np.array(r["pca"]) for r in out.collect()}
+    assert len(got) == N and all(len(v) == k for v in got.values())
+
+    cov = np.cov(x, rowvar=False, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = vecs[:, ::-1][:, :k].T
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    expected = x @ comps.T
+    mat = np.stack([got[i] for i in range(N)])
+    np.testing.assert_allclose(mat, expected, rtol=1e-8, atol=1e-10)
+
+
+def test_pca_components_deterministic_across_partitioning(emb_df):
+    df, _ = emb_df
+    c1 = stats.pca_components(df.repartition(1), emb_col="emb",
+                              dim=DIM, k=2)
+    c8 = stats.pca_components(df.repartition(8), emb_col="emb",
+                              dim=DIM, k=2)
+    # float addition order differs across partitionings; the components
+    # must still agree to numerical precision and exact sign
+    np.testing.assert_allclose(c1, c8, rtol=1e-9, atol=1e-11)
+
+
+def test_projection_null_embedding_maps_to_null(emb_df, spark):
+    df, _ = emb_df
+    withnull = df.union(spark.createDataFrame(
+        [(10_000, None)], "vec_id BIGINT, emb ARRAY<DOUBLE>"))
+    out = stats.pca_project(withnull, id_col="vec_id", emb_col="emb",
+                            dim=DIM, k=2)
+    row = out.filter(F.col("vec_id") == 10_000).collect()[0]
+    assert row["pca"] is None

@@ -1,0 +1,103 @@
+"""Structured Streaming surface: incremental resume, quarantine, windows."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from loc2vec_spark import streaming
+from loc2vec_spark.fixtures import write_fixtures
+
+
+@pytest.fixture()
+def img_src(tmp_path):
+    """A source dir seeded with one fixture batch (shard files)."""
+    d = tmp_path / "src"
+    write_fixtures(str(d), n_images=200, with_channels=False, n_shards=2)
+    return str(d / "images.parquet")
+
+
+def _add_batch(src_dir, tmp_path, n, start_tag):
+    """Drop a second, disjoint fixture batch into the same source dir."""
+    d = tmp_path / start_tag
+    write_fixtures(str(d), n_images=n, with_channels=False, n_shards=1)
+    import shutil
+    for fn in os.listdir(str(d / "images.parquet")):
+        if fn.endswith(".parquet"):
+            shutil.copy(os.path.join(str(d / "images.parquet"), fn),
+                        os.path.join(src_dir, f"{start_tag}_{fn}"))
+
+
+def test_incremental_tiling_resumes_from_checkpoint(spark, img_src,
+                                                    tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    s1 = streaming.incremental_tiling(spark, img_src, out, ckpt)
+    # the fixture plants deliberately-corrupt rows; every input row must
+    # land in exactly one of tiles / dead-letter
+    assert s1["rows"] + s1["quarantined"] == 200 and s1["rows"] > 150
+    tiles1 = spark.read.parquet(os.path.join(out, "tiles"))
+    assert tiles1.count() == s1["rows"]
+    assert "cell_r7" in tiles1.columns
+
+    # second invocation with NO new files: checkpoint says all done
+    s2 = streaming.incremental_tiling(spark, img_src, out, ckpt)
+    assert s2["rows"] == 0 and s2["quarantined"] == 0
+
+    # drop new files in; only they are processed
+    _add_batch(img_src, tmp_path, 50, "b2")
+    s3 = streaming.incremental_tiling(spark, img_src, out, ckpt)
+    assert s3["rows"] + s3["quarantined"] == 50
+    total = spark.read.parquet(os.path.join(out, "tiles")).count()
+    assert total == s1["rows"] + s3["rows"]
+
+
+def test_quarantine_split_routes_bad_rows(spark):
+    rows = [
+        ("ok1", b"x", 8, 8, "png", "tile at lat=10.5 lon=20.25", 7),
+        ("bad_fmt", b"x", 8, 8, "bmp", "tile at lat=10.5 lon=20.25", 8),
+        ("bad_cap", b"x", 8, 8, "png", "no coordinates here", 9),
+    ]
+    df = spark.createDataFrame(rows, streaming.IMAGES_SCHEMA)
+    good, bad = streaming.quarantine_split(df)
+    assert [r["image_id"] for r in good.collect()] == ["ok1"]
+    got = {r["image_id"]: r["quarantine_reason"] for r in bad.collect()}
+    assert got == {"bad_fmt": "bad_format", "bad_cap": "bad_metadata"}
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = streaming.windowed_event_counts(events)
+    expected = {(r["win_start"], r["event_type"]): (r["n"], r["sum_value"])
+                for r in batch.collect()}
+
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    stream = (spark.readStream.schema(streaming.EVENTS_SCHEMA)
+                   .parquet(src))
+    agg = streaming.windowed_event_counts(stream)
+    out = []
+
+    def sink(bdf, bid):
+        out.extend(bdf.collect())
+
+    q = (agg.writeStream.outputMode("complete").foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "wc"))
+            .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["win_start"], r["event_type"]): (r["n"], r["sum_value"])
+           for r in out}
+    assert got == expected
+
+
+def test_watermark_present_on_stream(spark, tmp_path):
+    src = str(tmp_path / "ev2")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+         .write.parquet(src)
+    stream = (spark.readStream.schema(streaming.EVENTS_SCHEMA)
+                   .parquet(src))
+    agg = streaming.windowed_event_counts(stream, watermark="15 minutes")
+    assert agg.isStreaming
+    assert "watermark" in agg._jdf.queryExecution().analyzed().toString() \
+        .lower()

@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Embedding export + hard-triplet mining job (E2 + E3, spark-submit).
+
+    spark-submit --py-files loc2vec_spark.zip jobs/run_mining.py \
+        --images <dir> --out <dir> [--res 9] [--k 5] [--pca-k 8]
+
+Pipeline (the reference's ``evaluate_embeddings`` + ``TripletMiner``
+re-expressed, ``loc2vec_run.py:13-48`` / ``triplet_mining.py:22-164``):
+
+images table
+  -> decode + featurize (mapInPandas, one Python crossing)     [E2]
+  -> optional PCA projection (partial+final moments, broadcast
+     components — optim.py:53-62 parity)                       [A6]
+  -> cell assignment from caption/phash lat-lon                [F12]
+  -> cell-blocked kNN top-k in embedding space                 [J5+W1]
+  -> seeded pick within top-k (hard-negative choice)           [W2]
+  -> embeddings + mined pairs written with lineage manifests   [S6/S8]
+
+Every stage is resumable and deterministic; the kNN never materializes
+an all-pairs matrix (the reference's own BAD note,
+triplet_mining.py:17-20).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window, functions as F  # noqa: E402
+
+from loc2vec_spark import lineage  # noqa: E402
+from loc2vec_spark.operators import geo, images as img_ops  # noqa: E402
+from loc2vec_spark.operators import stats, triplets  # noqa: E402
+from loc2vec_spark.session import get_spark  # noqa: E402
+
+_KNUTH = 2654435761
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--res", type=int, default=9,
+                    help="cell resolution for kNN blocking")
+    ap.add_argument("--k", type=int, default=5)
+    ap.add_argument("--pca-k", type=int, default=0,
+                    help="project embeddings to k dims first (0 = off)")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--keep-session", action="store_true",
+                    help="do not stop the SparkSession (in-process tests)")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="loc2vec_mining")
+    from loc2vec_spark.packaging import ensure_workers_can_import
+    ensure_workers_can_import(spark)
+
+    images = spark.read.parquet(args.images)
+
+    # E2: embedding export — id travels in the row (fixes the reference's
+    # positional id/embedding misalignment, loc2vec_run.py:33-48)
+    emb = img_ops.image_features(images)
+    dim = 16
+    if args.pca_k:
+        emb = stats.pca_project(emb.withColumn(
+            "embedding", F.col("embedding").cast("array<double>")),
+            id_col="image_id", emb_col="embedding",
+            dim=dim, k=args.pca_k).withColumnRenamed("pca", "embedding")
+        dim = args.pca_k
+    emb = emb.cache()
+    lineage.write_partitioned(
+        emb.withColumn("bucket",
+                       F.pmod(F.xxhash64("image_id"), F.lit(64))),
+        os.path.join(args.out, "embeddings"),
+        cell_col="bucket", id_col="image_id")
+
+    # F12: cells from metadata; J5+W1: cell-blocked kNN in embedding space
+    pts = geo.with_cells(geo.with_latlon(images), resolutions=(args.res,)) \
+             .select("image_id", F.col(f"cell_r{args.res}").alias("cell")) \
+             .filter(F.col("cell").isNotNull()) \
+             .join(emb, "image_id")
+    topk = triplets.knn_topk(pts, id_col="image_id", emb_col="embedding",
+                             cell_col="cell", res=args.res, dim=dim,
+                             k=args.k)
+
+    # W2: seeded pick within the top-k (triplet_mining.py:147, seeded —
+    # the reference used unseeded random.choice; divergence §5.1)
+    pick = (topk.withColumn(
+        "pick_ord",
+        F.expr(f"pmod(xxhash64(neighbor_id, {args.seed}), 1000000007)"))
+        .withColumn("pr", F.row_number().over(
+            Window.partitionBy("anchor_id").orderBy("pick_ord",
+                                                    "neighbor_id")))
+        .filter(F.col("pr") == 1)
+        .select("anchor_id", F.col("neighbor_id").alias("hard_id")))
+
+    mined = topk.join(pick, "anchor_id", "left")
+    cells_out = geo.with_cells(geo.with_latlon(images),
+                               resolutions=(7,)) \
+        .select(F.col("image_id").alias("anchor_id"),
+                F.col("cell_r7").alias("cell_r7"))
+    out = mined.join(cells_out, "anchor_id") \
+               .filter(F.col("cell_r7").isNotNull())
+    index = lineage.write_resumable(out, os.path.join(args.out, "mined"),
+                                    cell_col="cell_r7", id_col="anchor_id")
+    print(f"committed {len(index)} partitions, "
+          f"{sum(r['rows'] for r in index.values())} mined rows")
+    if not args.keep_session:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

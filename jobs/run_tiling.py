@@ -27,7 +27,7 @@ from loc2vec_spark.operators import geo, triplets  # noqa: E402
 from loc2vec_spark.session import get_spark  # noqa: E402
 
 
-def main() -> None:
+def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", required=True)
     ap.add_argument("--out", required=True)
@@ -35,7 +35,9 @@ def main() -> None:
     ap.add_argument("--triplet-res", type=int, default=13)
     ap.add_argument("--n-neg", type=int, default=5)
     ap.add_argument("--salt-target", type=int, default=100_000)
-    args = ap.parse_args()
+    ap.add_argument("--keep-session", action="store_true",
+                    help="do not stop the SparkSession (in-process tests)")
+    args = ap.parse_args(argv)
 
     spark = get_spark(app_name="loc2vec_tiling")
     from loc2vec_spark.packaging import ensure_workers_can_import
@@ -67,7 +69,8 @@ def main() -> None:
     print(f"committed {len(index)} partitions "
           f"({sum(r['rows'] for r in index.values())} rows), "
           f"quarantined {n_bad} rows")
-    spark.stop()
+    if not args.keep_session:
+        spark.stop()
 
 
 if __name__ == "__main__":

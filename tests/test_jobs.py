@@ -1,0 +1,83 @@
+"""End-to-end spark-submit jobs driven in-process (E1/E2/E3 pipelines)."""
+
+import os
+import sys
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def images_dir(tmp_path_factory):
+    from loc2vec_spark.fixtures import write_fixtures
+    d = tmp_path_factory.mktemp("job_imgs")
+    write_fixtures(str(d), n_images=120, with_channels=False, n_shards=2)
+    return os.path.join(str(d), "images.parquet")
+
+
+def _run_job(module_path, argv, spark):
+    """Execute a jobs/ script's main() in-process against the session."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location("jobmod", module_path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(argv)
+
+
+def test_run_mining_end_to_end(spark, images_dir, tmp_path):
+    out = str(tmp_path / "mined_out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _run_job(os.path.join(repo, "jobs", "run_mining.py"),
+             ["--images", images_dir, "--out", out, "--res", "9",
+              "--k", "3", "--keep-session"], spark)
+
+    emb = spark.read.parquet(os.path.join(out, "embeddings"))
+    assert emb.count() > 100  # corrupt rows quarantined, rest embedded
+    assert "embedding" in emb.columns
+
+    mined = spark.read.parquet(os.path.join(out, "mined"))
+    assert {"anchor_id", "rank", "neighbor_id", "hard_id"} <= \
+        set(mined.columns)
+    n = mined.count()
+    assert n > 0
+    # ranks within k, one hard pick per anchor
+    assert mined.filter("rank > 3").count() == 0
+    per_anchor = mined.groupBy("anchor_id").agg(
+        {"hard_id": "approx_count_distinct"}).collect()
+    assert all(r[1] == 1 for r in per_anchor)
+
+    # resume: second run commits nothing new
+    _run_job(os.path.join(repo, "jobs", "run_mining.py"),
+             ["--images", images_dir, "--out", out, "--res", "9",
+              "--k", "3", "--keep-session"], spark)
+    assert spark.read.parquet(os.path.join(out, "mined")).count() == n
+
+
+def test_run_mining_with_pca(spark, images_dir, tmp_path):
+    out = str(tmp_path / "mined_pca")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _run_job(os.path.join(repo, "jobs", "run_mining.py"),
+             ["--images", images_dir, "--out", out, "--res", "9",
+              "--k", "2", "--pca-k", "4", "--keep-session"], spark)
+    emb = spark.read.parquet(os.path.join(out, "embeddings"))
+    row = emb.select("embedding").first()
+    assert len(row["embedding"]) == 4
+
+
+def test_run_tiling_end_to_end(spark, images_dir, tmp_path):
+    out = str(tmp_path / "tiles_out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _run_job(os.path.join(repo, "jobs", "run_tiling.py"),
+             ["--images", images_dir, "--out", out, "--keep-session"],
+             spark)
+    tiles = spark.read.parquet(out)
+    n = tiles.count()
+    assert n > 100
+    assert {"anchor_id", "positive_id", "negative_ids"} <= set(tiles.columns)
+    # lineage manifests exist and cover every partition
+    from loc2vec_spark import lineage
+    assert len(lineage.done_partitions(out)) > 0
+    # resume: no duplicates after a re-run
+    _run_job(os.path.join(repo, "jobs", "run_tiling.py"),
+             ["--images", images_dir, "--out", out, "--keep-session"],
+             spark)
+    assert spark.read.parquet(out).count() == n

@@ -49,6 +49,8 @@ def main(argv=None) -> None:
     ap.add_argument("--pca-k", type=int, default=0,
                     help="project embeddings to k dims first (0 = off)")
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--cap", type=int, default=1024,
+                    help="per-cell candidate cap (0 = exact, no cap)")
     ap.add_argument("--keep-session", action="store_true",
                     help="do not stop the SparkSession (in-process tests)")
     args = ap.parse_args(argv)
@@ -83,7 +85,7 @@ def main(argv=None) -> None:
              .join(emb, "image_id")
     topk = triplets.knn_topk(pts, id_col="image_id", emb_col="embedding",
                              cell_col="cell", res=args.res, dim=dim,
-                             k=args.k)
+                             k=args.k, cap=args.cap or None)
 
     # W2: seeded pick within the top-k (triplet_mining.py:147, seeded —
     # the reference used unseeded random.choice; divergence §5.1)

@@ -46,9 +46,15 @@ def main(argv=None) -> None:
     images = spark.read.parquet(args.images)
     pts = geo.with_cells(geo.with_latlon(images),
                          resolutions=(5, args.res, args.triplet_res))
+    # the triplet assembly references base 5x (anchor side, positive
+    # pool, negative pool, final join); cache the pruned projection
+    # (~40 bytes/row) so those are memory scans. At true 10^12-row scale
+    # you would skip the cache and let the column-pruned parquet scan
+    # repeat instead — same plan shape either way.
     base = pts.select("image_id", "lat", "lon",
                       F.col(f"cell_r{args.res}").alias("cell_out"),
-                      F.col(f"cell_r{args.triplet_res}").alias("cell"))
+                      F.col(f"cell_r{args.triplet_res}").alias("cell")) \
+              .persist()
     quarantine = base.filter(F.col("cell").isNull())
     n_bad = quarantine.count()
     if n_bad:

@@ -40,13 +40,20 @@ def _hash_sql(expr: str, seed: int, mod: int) -> str:
 
 def knn_topk(pts: DataFrame, *, id_col: str, emb_col: str,
              cell_col: str, res: int, dim: int, k: int = 5,
-             ring: int = 1, include_dist: bool = True) -> DataFrame:
+             ring: int = 1, include_dist: bool = True,
+             cap: int | None = None, seed: int = 42) -> DataFrame:
     """Top-k nearest in-ring neighbors per row.
 
     pts must carry (id_col, emb_col, cell_col at resolution ``res``).
     Output: (anchor_id, rank, neighbor_id[, dist]) — dist rounded to 6dp,
     computed in double with a fixed-order expression so the DuckDB oracle
     hashes identically.
+
+    ``cap`` bounds the CANDIDATE side per cell (seeded uniform sample via
+    :func:`percell_cap`): a hot urban cell with 10^6 rows would otherwise
+    make the join quadratic in that cell. Capping makes the kNN
+    approximate within hot cells only — a documented downsampling, off by
+    default so the oracle-parity path stays exact.
     """
     a = pts.select(F.col(id_col).alias("anchor_id"),
                    F.col(emb_col).alias("a_emb"),
@@ -55,6 +62,9 @@ def knn_topk(pts: DataFrame, *, id_col: str, emb_col: str,
     c = pts.select(F.col(id_col).alias("neighbor_id"),
                    F.col(emb_col).alias("c_emb"),
                    F.col(cell_col).alias("c_cell"))
+    if cap is not None:
+        c = percell_cap(c, cell_col="c_cell", id_col="neighbor_id",
+                        cap=cap, seed=seed)
     cand = (a.join(c, F.col("nb_cell") == F.col("c_cell"))
              .filter(F.col("anchor_id") != F.col("neighbor_id"))
              .withColumn("dist", F.expr(

@@ -503,12 +503,16 @@ _reg("events_tumbling", Q(
     spark_sql="""
 SELECT CAST(FLOOR(unix_timestamp(ts) / 600.0E0) AS BIGINT) * 600
            AS win_start_epoch,
-       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+       event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4)))
+                  AS DOUBLE), 4) AS sum_value
 FROM events GROUP BY 1, 2
 """,
     duck_sql="""
 SELECT CAST(FLOOR(epoch(ts) / 600.0E0) AS BIGINT) * 600 AS win_start_epoch,
-       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+       event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4)))
+                  AS DOUBLE), 4) AS sum_value
 FROM events GROUP BY 1, 2
 """,
     doc="tumbling event-time window (batch face of the Structured "

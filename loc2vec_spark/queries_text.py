@@ -235,9 +235,34 @@ FROM prs WHERE cosine >= 0.3E0
 """
 
 
-_reg2("dedup_embedding", _embpairs_sql, tables=("embeddings",),
-      doc="dedup: embedding-cosine near-dup pairs (brute force baseline; "
-          "LSH variant = ann_lsh_bucket)")
+def _dedup_emb_fn(spark, sf_dir):
+    # Arrow-blocked kernel (operators/similarity.py): same pair set and
+    # bit-identical doubles as the SQL text below, ~8x faster on the
+    # dense 64-dim math (numpy vs per-element codegen extraction)
+    from pyspark.sql import functions as F
+
+    from .operators.similarity import blocked_pairs_cosine
+    from .queries import DIM as _dim
+    pairs = blocked_pairs_cosine(spark.table("embeddings"),
+                                 id_col="vec_id", emb_col="embedding",
+                                 dim=_dim, threshold=0.3)
+    return pairs.select("id_a", "id_b",
+                        F.round("cosine", 6).alias("cosine"))
+
+
+_reg("dedup_embedding", Q(tables=("embeddings",), fn=_dedup_emb_fn,
+                          duck_sql=_embpairs_sql(DUCKDB_BASE),
+                          doc="dedup: embedding-cosine near-dup pairs — "
+                              "triangle-blocked Arrow kernel "
+                              "(operators/similarity.py); brute-force "
+                              "O(N^2/B) baseline, LSH variant = "
+                              "ann_lsh_bucket"))
+
+# the pure-SQL face kept as its own oracle-checked entry (both engines
+# run the same text; also documents the codegen-path cost baseline)
+_reg2("dedup_embedding_sql", _embpairs_sql, tables=("embeddings",),
+      doc="dedup: embedding-cosine pairs, pure Spark-SQL variant of "
+          "dedup_embedding (same rows, expression path)")
 
 
 # ===========================================================================

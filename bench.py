@@ -147,6 +147,15 @@ def main() -> None:
     times["tile_assign_fixture"] = flag["tile_assign_fixture_sec"]
     times["triplets_fixture"] = flag["triplets_fixture_sec"]
 
+    # breadth: single warm pass over the ENTIRE query registry (dedup/
+    # ANN/text/windows/...) — coarse but tracks regressions per round
+    suite_t0 = time.perf_counter()
+    for name in qreg.QUERIES:
+        if name not in HEADLINE:
+            qreg.run_spark(spark, sf_dir, name) \
+                .write.format("noop").mode("overwrite").save()
+    suite_sec = round(time.perf_counter() - suite_t0, 3)
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -158,6 +167,8 @@ def main() -> None:
         "fixture_rows": flag["fixture_rows"],
         "tile_rows_per_sec": flag["tile_rows_per_sec"],
         "triplet_rows_per_sec": flag["triplet_rows_per_sec"],
+        "full_suite_sec": suite_sec,
+        "full_suite_queries": len(qreg.QUERIES),
     }))
     spark.stop()
 

@@ -1,0 +1,145 @@
+"""Generate PLANS.md — physical-plan audit of the flagship operators.
+
+For each audited pipeline: operator counts, join strategies, exchanges,
+scan schemas (column pruning), WindowGroupLimit presence, Python-eval
+nodes. The assertions encode the plan properties the engine promises
+(SURVEY.md §4.3); a regression that breaks one fails this script.
+"""
+from __future__ import annotations
+
+import os
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from loc2vec_spark import queries as qreg
+from loc2vec_spark.operators import geo, triplets
+from loc2vec_spark.session import get_spark
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def summarize(plan: str) -> dict:
+    ops = re.findall(r"^\s*[:+\-\s]*\*?\(?\d*\)?\s*([A-Za-z]+)[\s\[(]",
+                     plan, re.M)
+    c = Counter(ops)
+    schemas = sorted(set(re.findall(r"ReadSchema: (\S+)", plan)))
+    return {"ops": c, "schemas": schemas,
+            "exchanges": plan.count("Exchange("),
+            "bhj": c.get("BroadcastHashJoin", 0),
+            "smj": c.get("SortMergeJoin", 0),
+            "bnlj": c.get("BroadcastNestedLoopJoin", 0),
+            "wgl": plan.count("WindowGroupLimit"),
+            "python": plan.count("EvalPython") + plan.count("MapInPandas")
+                      + plan.count("FlatMapGroupsInPandas")}
+
+
+def main() -> None:
+    spark = get_spark(master="local[8]", shuffle_partitions=32)
+    sections = []
+
+    def audit(name: str, df, expectations: list[tuple[str, bool]]):
+        s = summarize(plan_of(df))
+        lines = [f"## {name}", ""]
+        lines.append(f"- joins: {s['bhj']} broadcast-hash, {s['smj']} "
+                     f"sort-merge, {s['bnlj']} nested-loop")
+        lines.append(f"- WindowGroupLimit (map-side top-k): {s['wgl']}")
+        lines.append(f"- Python eval nodes: {s['python']}")
+        for sch in s["schemas"]:
+            lines.append(f"- ReadSchema: `{sch[:110]}`")
+        ok_all = True
+        for desc, ok in expectations:
+            lines.append(f"- {'PASS' if ok else 'FAIL'}: {desc}")
+            ok_all &= ok
+        lines.append("")
+        sections.append("\n".join(lines))
+        if not ok_all:
+            raise SystemExit(f"plan audit failed for {name}")
+
+    # 1. flagship triplet assembly over the input_hint images table
+    import tempfile
+
+    from loc2vec_spark.fixtures import write_fixtures
+    d = tempfile.mkdtemp()
+    write_fixtures(d, n_images=5000, with_channels=False, n_shards=2)
+    images = spark.read.parquet(os.path.join(d, "images.parquet"))
+    pts = geo.with_cells(geo.with_latlon(images), resolutions=(7, 13))
+    base = pts.select("image_id", "lat", "lon",
+                      F.col("cell_r13").alias("cell"))
+    trip = triplets.triplet_table_spatial(
+        base, id_col="image_id", lat_col="lat", lon_col="lon",
+        cell_col="cell", res=13, n_neg=5, cap=64)
+    p = plan_of(trip)
+    s = summarize(p)
+    audit("triplet_table_spatial (flagship)", trip, [
+        ("bytes column pruned out of every scan",
+         all("bytes" not in sch for sch in s["schemas"])),
+        ("negative pool joined via broadcast (no shuffle of anchors "
+         "against pool)", s["bhj"] >= 1),
+        ("window top-k prunes map-side (WindowGroupLimit)", s["wgl"] >= 2),
+        ("no Python in the hot path (pure Catalyst)", s["python"] == 0),
+        ("no nested-loop joins", s["bnlj"] == 0),
+    ])
+
+    # 2. tile assignment (pure projection — no exchanges at all)
+    tiles = geo.with_cells(geo.with_latlon(images), resolutions=(5, 7, 9)) \
+               .select("image_id", "cell_r5", "cell_r7", "cell_r9")
+    s2 = summarize(plan_of(tiles))
+    audit("tile assignment", tiles, [
+        ("zero shuffles (narrow projection pipeline)",
+         s2["exchanges"] == 0),
+        ("zero Python crossings (Catalyst expressions only)",
+         s2["python"] == 0),
+        ("scan pruned to metadata columns",
+         all("bytes" not in sch for sch in s2["schemas"])),
+    ])
+
+    # 3. oracle-suite kNN (SQL path)
+    knn = qreg.run_spark(spark, SF, "knn_topk")
+    s3 = summarize(plan_of(knn))
+    audit("knn_topk (SQL path)", knn, [
+        ("cell equi-join is broadcast-hash (2k-row build side)",
+         s3["bhj"] >= 1),
+        ("probe side repartitioned (parallel distance eval)",
+         "RoundRobinPartitioning" in plan_of(knn)),
+        ("ReadSchema = (vec_id, embedding) only",
+         any("vec_id" in sch and "label" not in sch
+             for sch in s3["schemas"])),
+    ])
+
+    # 4. blocked similarity kernel — one Arrow crossing, grouped
+    from loc2vec_spark.operators.similarity import blocked_pairs_cosine
+    spark.read.parquet(f"{SF}/embeddings.parquet") \
+         .createOrReplaceTempView("embeddings")
+    sim = blocked_pairs_cosine(spark.table("embeddings"), id_col="vec_id",
+                               emb_col="embedding", dim=64, threshold=0.3)
+    s4 = summarize(plan_of(sim))
+    audit("blocked_pairs_cosine", sim, [
+        ("block-pair table broadcast", s4["bhj"] >= 1 or
+         "BroadcastExchange" in plan_of(sim)),
+        ("exactly one Python (Arrow) crossing", s4["python"] == 1),
+    ])
+
+    hdr = ("# PLANS.md — physical-plan audit (generated by "
+           "tools/audit_plans.py)\n\n"
+           "Every section asserts the plan properties the engine promises "
+           "(SURVEY.md §4.3). Regenerate after operator changes; the "
+           "script exits nonzero if a promise regresses.\n\n")
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS.md")
+    with open(out, "w") as f:
+        f.write(hdr + "\n".join(sections))
+    print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -129,3 +129,58 @@ def rasterize_tiles(spark: SparkSession, features: DataFrame, *,
         return pd.DataFrame(out, columns=["cell", "channel", "png", "nnz"])
 
     return features.groupBy("cell").applyInPandas(assemble, RASTER_SCHEMA)
+
+
+def tile_pyramid(tiles: DataFrame, *, res: int, parent_res: int,
+                 px: int = 64) -> DataFrame:
+    """Roll tiles up one or more levels: 2^d x 2^d child tiles -> one
+    parent tile per channel (d = res - parent_res).
+
+    Each child raster is max-pooled down by 2^d and placed into the
+    parent grid at its (i, j) offset; overlapping contributions merge
+    with ``max`` — associative and commutative, so the rollup is safe
+    under any partitioning/salting and can chain level by level
+    (multi-resolution pyramid; the raster face of GROUP BY ROLLUP over
+    cell_r5/cell_r7 — SURVEY.md §2.4).
+
+    Input/output rows: (cell, channel, png, nnz) — output cells at
+    ``parent_res``.
+    """
+    d = res - parent_res
+    if d <= 0:
+        raise ValueError("parent_res must be coarser than res")
+    if px % (1 << d):
+        raise ValueError(f"px={px} not divisible by 2^{d}")
+    sub = px >> d
+
+    from ..png_codec import decode_png
+
+    tagged = tiles.withColumn(
+        "parent", F.expr(cells.parent_sql("cell", res, parent_res)))
+
+    def assemble(key, pdf):
+        parent = int(key[0])
+        planes: dict[str, np.ndarray] = {}
+        for r in pdf.itertuples():
+            i, j = (int(x) for x in cells.cell_ij(int(r.cell)))
+            oi, oj = i & ((1 << d) - 1), j & ((1 << d) - 1)
+            img = decode_png(bytes(r.png))
+            if img.ndim == 3:
+                img = img[:, :, 0]
+            # max-pool px -> sub (block max keeps set-cover semantics)
+            pooled = img.reshape(sub, 1 << d, sub, 1 << d).max((1, 3))
+            plane = planes.setdefault(
+                r.channel, np.zeros((px, px), dtype=np.uint8))
+            # image rows run north->south: j offset counts from the top
+            r0 = (((1 << d) - 1) - oj) * sub
+            c0 = oi * sub
+            block = plane[r0:r0 + sub, c0:c0 + sub]
+            plane[r0:r0 + sub, c0:c0 + sub] = np.maximum(block, pooled)
+        out = []
+        for ch in sorted(planes):
+            out.append({"cell": parent, "channel": ch,
+                        "png": encode_png(planes[ch]),
+                        "nnz": int((planes[ch] > 0).sum())})
+        return pd.DataFrame(out, columns=["cell", "channel", "png", "nnz"])
+
+    return tagged.groupBy("parent").applyInPandas(assemble, RASTER_SCHEMA)

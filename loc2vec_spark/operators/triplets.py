@@ -261,19 +261,22 @@ def spatial_positive(pts: DataFrame, *, id_col: str, lat_col: str,
                    F.col(lon_col).alias("a_lon"),
                    F.col(cell_col).alias("a_cell"))
     a = kring_explode(a, "a_cell", res, k=1, out_col="nb_cell")
+    # SQUARED distance on the 38M-pair hot path: sqrt is monotone, so
+    # argmin is identical, and the sqrt runs once per anchor (post-agg)
+    # instead of once per candidate pair.
     j = (a.join(cand_pool, F.col("nb_cell") == F.col("c_cell"))
           .filter(F.col("anchor_id") != F.col("positive_id"))
-          .withColumn("sdist", F.expr(
-              "SQRT((a_lat - p_lat) * (a_lat - p_lat) "
-              "+ (a_lon - p_lon) * (a_lon - p_lon))")))
+          .withColumn("sq", F.expr(
+              "(a_lat - p_lat) * (a_lat - p_lat) "
+              "+ (a_lon - p_lon) * (a_lon - p_lon)")))
     # top-1 via min(struct(...)): lexicographic struct min == (dist, id)
     # ordering, and — unlike a row_number window — it partial-aggregates
     # map-side, so the shuffle carries one row per (anchor, partition)
     # instead of every candidate pair.
     best = (j.groupBy("anchor_id")
-             .agg(F.min(F.struct("sdist", "positive_id")).alias("m")))
+             .agg(F.min(F.struct("sq", "positive_id")).alias("m")))
     return best.select("anchor_id", F.col("m.positive_id").alias("positive_id"),
-                       F.round("m.sdist", 9).alias("sdist"))
+                       F.round(F.sqrt("m.sq"), 9).alias("sdist"))
 
 
 def triplet_table_spatial(pts: DataFrame, *, id_col: str, lat_col: str,

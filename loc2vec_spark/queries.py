@@ -521,6 +521,7 @@ FROM events GROUP BY 1, 2
 
 # register the dedup / text-analysis / similarity-search suite
 from . import queries_text  # noqa: E402,F401  (registers into QUERIES)
+from . import queries_geo  # noqa: E402,F401  (registers into QUERIES)
 
 
 # ===========================================================================

@@ -1,0 +1,95 @@
+"""Driver-contract faces of the geometry operators (PIP, raster, pyramid).
+
+Registered into the same QUERIES dict. Inputs are synthesized
+deterministically from the driver's ``nation``/``embeddings`` tables
+(axis-aligned rectangle "OSM layers" derived from nation keys), so each
+run is reproducible at any scale factor with no side files.
+
+``pip_exact`` is oracle-checked: for axis-aligned rectangles the exact
+even-odd ray cast equals bbox containment, so the bbox theta-join SQL is
+a true oracle of the ray-cast path — upgrading J6 from the bbox-only
+check to an oracle-verified exact PIP. The raster/pyramid queries are
+rows-only (binary/pixel outputs; golden checks live in pytest per
+SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from .operators.geo import derived_latlon_sql
+from .queries import PTS, Q, _reg
+
+_BLAT, _BLON = derived_latlon_sql("n_nationkey")
+
+
+def _boxes_pdf(spark) -> pd.DataFrame:
+    """Rectangle 'OSM layer' per nation row (driver-side small table)."""
+    rows = spark.sql(f"""
+        SELECT n_nationkey AS box_id, {_BLAT} AS blat, {_BLON} AS blon
+        FROM nation""").collect()
+    out = []
+    for r in rows:
+        lat, lon = r["blat"], r["blon"]
+        ring = [(lon - 1.0, lat - 1.0), (lon + 1.0, lat - 1.0),
+                (lon + 1.0, lat + 1.0), (lon - 1.0, lat + 1.0)]
+        out.append({"layer_id": int(r["box_id"]), "channel": "box",
+                    "ring": ring, "minx": lon - 1.0, "miny": lat - 1.0,
+                    "maxx": lon + 1.0, "maxy": lat + 1.0})
+    return pd.DataFrame(out)
+
+
+def _pip_exact_fn(spark, sf_dir):
+    from .operators.pip import pip_join
+    pts = spark.sql(f"WITH {PTS} SELECT vec_id, lat, lon FROM pts")
+    out = pip_join(spark, pts, _boxes_pdf(spark), id_col="vec_id")
+    return out.select("vec_id", F.col("layer_id").alias("box_id"))
+
+
+_PIP_ORACLE = f"""
+WITH {PTS},
+boxes AS (SELECT n_nationkey AS box_id, {_BLAT} AS blat, {_BLON} AS blon
+          FROM nation)
+SELECT p.vec_id, b.box_id
+FROM pts p JOIN boxes b
+  ON p.lat BETWEEN b.blat - 1.0E0 AND b.blat + 1.0E0
+ AND p.lon BETWEEN b.blon - 1.0E0 AND b.blon + 1.0E0
+"""
+
+_reg("pip_exact", Q(tables=("embeddings", "nation"), fn=_pip_exact_fn,
+                    duck_sql=_PIP_ORACLE,
+                    doc="J6 exact: broadcast ray-cast PIP join "
+                        "(operators/pip.py); rectangles make the bbox "
+                        "theta-join a true oracle of the exact test"))
+
+
+def _features_df(spark, res: int):
+    from .operators.raster import polygons_to_cells
+    feats = polygons_to_cells(_boxes_pdf(spark), res)
+    return spark.createDataFrame(feats)
+
+
+def _raster_fn(spark, sf_dir):
+    from .operators.raster import rasterize_tiles
+    tiles = rasterize_tiles(spark, _features_df(spark, res=5), px=16)
+    return tiles.select("cell", "channel", "nnz")
+
+
+_reg("raster_assembly", Q(tables=("nation",), fn=_raster_fn, duck_sql=None,
+                          doc="raster<->vector: per-cell scanline "
+                              "rasterization via applyInPandas (rows-only "
+                              "check; pixel goldens in test_raster)"))
+
+
+def _pyramid_fn(spark, sf_dir):
+    from .operators.raster import rasterize_tiles, tile_pyramid
+    tiles = rasterize_tiles(spark, _features_df(spark, res=5), px=16)
+    up = tile_pyramid(tiles, res=5, parent_res=4, px=16)
+    return up.select("cell", "channel", "nnz")
+
+
+_reg("pyramid_rollup", Q(tables=("nation",), fn=_pyramid_fn, duck_sql=None,
+                         doc="raster pyramid: res-5 tiles max-pooled into "
+                             "res-4 parents (rows-only; geometry goldens "
+                             "in test_pyramid)"))

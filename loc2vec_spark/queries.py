@@ -608,3 +608,39 @@ SELECT l_returnflag,
 FROM lineitem GROUP BY l_returnflag
 """, doc="A-extra: multiple exact distinct aggregates (expand-based "
          "plan; approx_count_distinct is the documented scale knob)")
+
+
+# ===========================================================================
+# 8. Sessionization (gap-based session windows, batch face of §2.8)
+# ===========================================================================
+
+def _sessionize_sql(epoch_fn: str) -> str:
+    """Gap-based sessions (30-min) via lag + running sum — the portable
+    formulation of Spark's session_window, expressible in both engines.
+    Outputs epoch seconds (ints hash identically; raw timestamps would
+    compare through engine-specific string forms)."""
+    return f"""
+WITH o AS (SELECT user_id, event_id, {epoch_fn} AS es,
+                  LAG({epoch_fn}) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_es
+           FROM events),
+m AS (SELECT user_id, event_id, es,
+             CASE WHEN prev_es IS NULL OR es - prev_es > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM o),
+s AS (SELECT user_id, event_id, es,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM m)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       MIN(es) AS session_start_epoch, MAX(es) AS session_end_epoch
+FROM s GROUP BY user_id, session_no
+"""
+
+
+_reg("events_sessionize", Q(
+    tables=("events",),
+    spark_sql=_sessionize_sql("CAST(unix_timestamp(ts) AS BIGINT)"),
+    duck_sql=_sessionize_sql("CAST(FLOOR(epoch(ts)) AS BIGINT)"),
+    doc="gap-based session windows (lag + running-sum formulation; the "
+        "streaming face is streaming.sessionize_stream)"))

@@ -135,3 +135,26 @@ def incremental_tiling(spark: SparkSession, src_dir: str, out_dir: str,
                .start())
     q.awaitTermination()
     return stats
+
+
+def sessionize_stream(events: DataFrame, *, gap: str = "30 minutes",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Gap-based session windows per user (stateful streaming aggregate).
+
+    ``session_window`` keeps per-user open-session state in the state
+    store and emits a session once the watermark passes its close —
+    bounded state at any input size. The batch face is the
+    ``events_sessionize`` oracle query (lag + running-sum formulation,
+    identical session boundaries); on a BATCH frame this same expression
+    computes the full result directly, which the tests use for
+    stream-equals-batch equivalence.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming \
+        else events
+    return (src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+               .agg(F.count("*").alias("n_events"))
+               .select("user_id",
+                       F.unix_timestamp("sw.start")
+                        .alias("session_start_epoch"),
+                       F.unix_timestamp("sw.end").alias("session_end_epoch"),
+                       "n_events"))

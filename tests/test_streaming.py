@@ -101,3 +101,38 @@ def test_watermark_present_on_stream(spark, tmp_path):
     assert agg.isStreaming
     assert "watermark" in agg._jdf.queryExecution().analyzed().toString() \
         .lower()
+
+
+def test_sessionize_stream_equals_batch_and_oracle(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    batch = streaming.sessionize_stream(events)
+    expected = {(r["user_id"], r["session_start_epoch"]):
+                (r["n_events"], r["session_end_epoch"])
+                for r in batch.collect()}
+    assert expected
+
+    # session boundaries agree with the lag+cumsum oracle formulation
+    # (session_window end = last event + gap; compare starts and counts)
+    from loc2vec_spark.queries import run_spark
+    oracle = {(r["user_id"], r["session_start_epoch"]): r["n_events"]
+              for r in run_spark(spark, "/root/testdata/sf0.001",
+                                 "events_sessionize").collect()}
+    assert {(k, v[0]) for k, v in expected.items()} == set(oracle.items())
+
+    src = str(tmp_path / "sess_ev")
+    events.write.parquet(src)
+    stream = (spark.readStream.schema(streaming.EVENTS_SCHEMA)
+                   .parquet(src))
+    agg = streaming.sessionize_stream(stream)
+    out = []
+
+    def sink(bdf, bid):
+        out.extend(bdf.collect())
+
+    q = (agg.writeStream.outputMode("complete").foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "sess_ck"))
+            .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["session_start_epoch"]):
+           (r["n_events"], r["session_end_epoch"]) for r in out}
+    assert got == expected

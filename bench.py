@@ -147,13 +147,12 @@ def main() -> None:
     times["tile_assign_fixture"] = flag["tile_assign_fixture_sec"]
     times["triplets_fixture"] = flag["triplets_fixture_sec"]
 
-    # breadth: single warm pass over the ENTIRE query registry (dedup/
+    # breadth: single warm pass over the non-headline registry (dedup/
     # ANN/text/windows/...) — coarse but tracks regressions per round
+    suite_names = [n for n in qreg.QUERIES if n not in HEADLINE]
     suite_t0 = time.perf_counter()
-    for name in qreg.QUERIES:
-        if name not in HEADLINE:
-            qreg.run_spark(spark, sf_dir, name) \
-                .write.format("noop").mode("overwrite").save()
+    for name in suite_names:
+        force(qreg.run_spark(spark, sf_dir, name))
     suite_sec = round(time.perf_counter() - suite_t0, 3)
 
     total = round(sum(times.values()), 3)
@@ -168,7 +167,7 @@ def main() -> None:
         "tile_rows_per_sec": flag["tile_rows_per_sec"],
         "triplet_rows_per_sec": flag["triplet_rows_per_sec"],
         "full_suite_sec": suite_sec,
-        "full_suite_queries": len(qreg.QUERIES),
+        "full_suite_queries": len(suite_names),
     }))
     spark.stop()
 

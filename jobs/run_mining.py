@@ -36,9 +36,6 @@ from loc2vec_spark.operators import geo, images as img_ops  # noqa: E402
 from loc2vec_spark.operators import stats, triplets  # noqa: E402
 from loc2vec_spark.session import get_spark  # noqa: E402
 
-_KNUTH = 2654435761
-
-
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", required=True)
@@ -62,27 +59,35 @@ def main(argv=None) -> None:
     images = spark.read.parquet(args.images)
 
     # E2: embedding export — id travels in the row (fixes the reference's
-    # positional id/embedding misalignment, loc2vec_run.py:33-48)
-    emb = img_ops.image_features(images)
+    # positional id/embedding misalignment, loc2vec_run.py:33-48).
+    # Cache BEFORE PCA: pca_project runs a moments job plus the
+    # projection, and without the cache each would re-decode every PNG.
+    emb = img_ops.image_features(images).cache()
     dim = 16
     if args.pca_k:
-        emb = stats.pca_project(emb.withColumn(
+        feats = emb
+        emb = stats.pca_project(feats.withColumn(
             "embedding", F.col("embedding").cast("array<double>")),
             id_col="image_id", emb_col="embedding",
-            dim=dim, k=args.pca_k).withColumnRenamed("pca", "embedding")
+            dim=dim, k=args.pca_k).withColumnRenamed("pca", "embedding") \
+            .cache()
         dim = args.pca_k
-    emb = emb.cache()
     lineage.write_partitioned(
         emb.withColumn("bucket",
                        F.pmod(F.xxhash64("image_id"), F.lit(64))),
         os.path.join(args.out, "embeddings"),
         cell_col="bucket", id_col="image_id")
 
-    # F12: cells from metadata; J5+W1: cell-blocked kNN in embedding space
-    pts = geo.with_cells(geo.with_latlon(images), resolutions=(args.res,)) \
-             .select("image_id", F.col(f"cell_r{args.res}").alias("cell")) \
-             .filter(F.col("cell").isNotNull()) \
-             .join(emb, "image_id")
+    # F12: cells from metadata (one pass for both the kNN-blocking and
+    # output-partition resolutions); J5+W1: cell-blocked kNN in
+    # embedding space
+    cells_all = geo.with_cells(geo.with_latlon(images),
+                               resolutions=(args.res, 7)) \
+        .select("image_id", F.col(f"cell_r{args.res}").alias("cell"),
+                "cell_r7").cache()
+    pts = cells_all.select("image_id", "cell") \
+                   .filter(F.col("cell").isNotNull()) \
+                   .join(emb, "image_id")
     topk = triplets.knn_topk(pts, id_col="image_id", emb_col="embedding",
                              cell_col="cell", res=args.res, dim=dim,
                              k=args.k, cap=args.cap or None)
@@ -99,10 +104,8 @@ def main(argv=None) -> None:
         .select("anchor_id", F.col("neighbor_id").alias("hard_id")))
 
     mined = topk.join(pick, "anchor_id", "left")
-    cells_out = geo.with_cells(geo.with_latlon(images),
-                               resolutions=(7,)) \
-        .select(F.col("image_id").alias("anchor_id"),
-                F.col("cell_r7").alias("cell_r7"))
+    cells_out = cells_all.select(F.col("image_id").alias("anchor_id"),
+                                 "cell_r7")
     out = mined.join(cells_out, "anchor_id") \
                .filter(F.col("cell_r7").isNotNull())
     index = lineage.write_resumable(out, os.path.join(args.out, "mined"),

@@ -614,18 +614,25 @@ FROM lineitem GROUP BY l_returnflag
 # 8. Sessionization (gap-based session windows, batch face of §2.8)
 # ===========================================================================
 
-def _sessionize_sql(epoch_fn: str) -> str:
+def _sessionize_sql(epoch_us_fn: str) -> str:
     """Gap-based sessions (30-min) via lag + running sum — the portable
     formulation of Spark's session_window, expressible in both engines.
-    Outputs epoch seconds (ints hash identically; raw timestamps would
-    compare through engine-specific string forms)."""
+
+    MICROSECOND epoochs throughout: second-truncated epochs would merge
+    two events whose true gap is in (1800s, 1801s) that session_window
+    splits (parquet timestamps carry micros). New-session condition is
+    ``>=`` gap, matching session_window's exclusive window end (an event
+    at exactly prev + gap starts a new session). Every ordering uses the
+    same integer ``es`` so LAG and the running sum see one total order.
+    """
     return f"""
-WITH o AS (SELECT user_id, event_id, {epoch_fn} AS es,
-                  LAG({epoch_fn}) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id) AS prev_es
+WITH o AS (SELECT user_id, event_id, {epoch_us_fn} AS es,
+                  LAG({epoch_us_fn}) OVER (PARTITION BY user_id
+                                           ORDER BY {epoch_us_fn},
+                                                    event_id) AS prev_es
            FROM events),
 m AS (SELECT user_id, event_id, es,
-             CASE WHEN prev_es IS NULL OR es - prev_es > 1800
+             CASE WHEN prev_es IS NULL OR es - prev_es >= 1800000000
                   THEN 1 ELSE 0 END AS is_new
       FROM o),
 s AS (SELECT user_id, event_id, es,
@@ -633,14 +640,16 @@ s AS (SELECT user_id, event_id, es,
                                ROWS UNBOUNDED PRECEDING) AS session_no
       FROM m)
 SELECT user_id, session_no, COUNT(*) AS n_events,
-       MIN(es) AS session_start_epoch, MAX(es) AS session_end_epoch
+       MIN(es) AS session_start_us, MAX(es) AS session_end_us
 FROM s GROUP BY user_id, session_no
 """
 
 
 _reg("events_sessionize", Q(
     tables=("events",),
-    spark_sql=_sessionize_sql("CAST(unix_timestamp(ts) AS BIGINT)"),
-    duck_sql=_sessionize_sql("CAST(FLOOR(epoch(ts)) AS BIGINT)"),
+    # ts is TIMESTAMP_NTZ in the parquet; session TZ is UTC so the
+    # cast is an identity relabel and matches DuckDB's naive epoch_us
+    spark_sql=_sessionize_sql("unix_micros(CAST(ts AS TIMESTAMP))"),
+    duck_sql=_sessionize_sql("epoch_us(ts)"),
     doc="gap-based session windows (lag + running-sum formulation; the "
         "streaming face is streaming.sessionize_stream)"))

@@ -64,16 +64,22 @@ def quarantine_split(images: DataFrame) -> tuple[DataFrame, DataFrame]:
     dropped either.
     """
     with_loc = geo.with_latlon(images)
-    ok = (F.col("lat").isNotNull() & F.col("lon").isNotNull()
-          & F.col("fmt").isin("png", "jpg")
-          & (F.col("w") > 0) & (F.col("h") > 0))
+    # coalesce to false: fmt/w/h may be NULL (sources.read_image_tree
+    # emits NULL fmt for corrupt files), and a NULL predicate would fail
+    # BOTH filter(ok) and filter(~ok) — the row would vanish from good
+    # AND dead-letter, which is exactly the silent drop this split exists
+    # to prevent
+    fmt_ok = F.coalesce(F.col("fmt").isin("png", "jpg"), F.lit(False))
+    ok = F.coalesce(
+        F.col("lat").isNotNull() & F.col("lon").isNotNull()
+        & fmt_ok & (F.col("w") > 0) & (F.col("h") > 0), F.lit(False))
     flagged = with_loc.withColumn("_ok", ok)
     good = flagged.filter(F.col("_ok")).drop("_ok")
     bad = (flagged.filter(~F.col("_ok"))
                   .drop("_ok", "lat", "lon")
                   .withColumn("quarantine_reason", F.when(
-                      ~F.col("fmt").isin("png", "jpg"),
-                      F.lit("bad_format")).otherwise(F.lit("bad_metadata"))))
+                      ~fmt_ok, F.lit("bad_format"))
+                      .otherwise(F.lit("bad_metadata"))))
     return good, bad
 
 
@@ -103,10 +109,12 @@ def incremental_tiling(spark: SparkSession, src_dir: str, out_dir: str,
 
     ``AvailableNow`` drains everything currently in ``src_dir`` through
     the normal microbatch machinery and stops; the checkpoint's file log
-    makes the NEXT invocation process only newly arrived files. Each
-    microbatch appends cell-partitioned parquet (good rows) and a
-    dead-letter sink (quarantined rows) — both idempotent per batch id
-    via the streaming commit log.
+    makes the NEXT invocation process only newly arrived files.
+    foreachBatch gives AT-LEAST-ONCE delivery (a crash between the data
+    write and the checkpoint commit replays the batch), so each batch
+    writes under its own ``batch_id=<n>`` partition directory with
+    overwrite — a replay rewrites the same directory instead of
+    appending duplicates, making the sink effectively exactly-once.
 
     Returns {"batches": n, "rows": total_good, "quarantined": total_bad}.
     """
@@ -114,19 +122,23 @@ def incremental_tiling(spark: SparkSession, src_dir: str, out_dir: str,
     stats = {"batches": 0, "rows": 0, "quarantined": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()  # each side written AND counted
         good, bad = quarantine_split(batch_df)
         tiled = geo.with_cells(good, resolutions=resolutions) \
             .drop("bytes")
         n_bad = bad.count()
         if n_bad:
             (bad.select("image_id", "fmt", "caption", "quarantine_reason")
-                .write.mode("append")
-                .parquet(os.path.join(out_dir, "_dead_letter")))
-        tiled.write.mode("append").partitionBy("cell_r7") \
-             .parquet(os.path.join(out_dir, "tiles"))
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, "_dead_letter",
+                                      f"batch_id={batch_id}")))
+        tiled.write.mode("overwrite").partitionBy("cell_r7") \
+             .parquet(os.path.join(out_dir, "tiles",
+                                   f"batch_id={batch_id}"))
         stats["batches"] += 1
         stats["rows"] += tiled.count()
         stats["quarantined"] += n_bad
+        batch_df.unpersist()
 
     q = (stream.writeStream
                .foreachBatch(sink)
@@ -151,10 +163,13 @@ def sessionize_stream(events: DataFrame, *, gap: str = "30 minutes",
     """
     src = events.withWatermark("ts", watermark) if events.isStreaming \
         else events
+    # microsecond epochs: matches events_sessionize exactly (sw.start =
+    # first event's timestamp; sw.end = last event + gap)
     return (src.groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
                .agg(F.count("*").alias("n_events"))
                .select("user_id",
-                       F.unix_timestamp("sw.start")
-                        .alias("session_start_epoch"),
-                       F.unix_timestamp("sw.end").alias("session_end_epoch"),
+                       F.unix_micros(F.col("sw.start").cast("timestamp"))
+                        .alias("session_start_us"),
+                       F.unix_micros(F.col("sw.end").cast("timestamp"))
+                        .alias("session_end_us"),
                        "n_events"))

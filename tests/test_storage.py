@@ -9,22 +9,24 @@ from loc2vec_spark import storage
 
 
 @pytest.fixture(scope="module")
-def warehouse(spark, tmp_path_factory):
+def warehouse(spark, fixture_dir):
     # session warehouse dir is fixed at session start; use a schema to
-    # isolate these tables instead
+    # isolate these tables instead. Tables are created here (not in a
+    # test) so every test is runnable in isolation.
     spark.sql("CREATE DATABASE IF NOT EXISTS buckets_test")
+    images = spark.read.parquet(os.path.join(fixture_dir, "images.parquet"))
+    storage.write_bucketed(images.select("image_id", "phash"),
+                           "buckets_test.ids_b",
+                           bucket_col="image_id", n_buckets=8)
+    storage.write_bucketed(images.select("image_id", "caption"),
+                           "buckets_test.caps_b",
+                           bucket_col="image_id", n_buckets=8)
     yield "buckets_test"
     spark.sql("DROP DATABASE IF EXISTS buckets_test CASCADE")
 
 
 def test_bucketed_join_has_no_exchange(spark, warehouse, fixture_dir):
     images = spark.read.parquet(os.path.join(fixture_dir, "images.parquet"))
-    ids = images.select("image_id", "phash")
-    caps = images.select("image_id", "caption")
-    storage.write_bucketed(ids, f"{warehouse}.ids_b",
-                           bucket_col="image_id", n_buckets=8)
-    storage.write_bucketed(caps, f"{warehouse}.caps_b",
-                           bucket_col="image_id", n_buckets=8)
     a = storage.read_table(spark, f"{warehouse}.ids_b")
     b = storage.read_table(spark, f"{warehouse}.caps_b")
     assert storage.bucketed_join_is_shuffle_free(a, b, "image_id")

@@ -106,18 +106,20 @@ def test_watermark_present_on_stream(spark, tmp_path):
 def test_sessionize_stream_equals_batch_and_oracle(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     batch = streaming.sessionize_stream(events)
-    expected = {(r["user_id"], r["session_start_epoch"]):
-                (r["n_events"], r["session_end_epoch"])
+    expected = {(r["user_id"], r["session_start_us"]):
+                (r["n_events"], r["session_end_us"])
                 for r in batch.collect()}
     assert expected
 
-    # session boundaries agree with the lag+cumsum oracle formulation
-    # (session_window end = last event + gap; compare starts and counts)
+    # exact boundary agreement with the lag+cumsum oracle formulation:
+    # session_window.start = first event ts; .end = last event + gap
     from loc2vec_spark.queries import run_spark
-    oracle = {(r["user_id"], r["session_start_epoch"]): r["n_events"]
+    gap_us = 30 * 60 * 1_000_000
+    oracle = {(r["user_id"], r["session_start_us"]):
+              (r["n_events"], r["session_end_us"] + gap_us)
               for r in run_spark(spark, "/root/testdata/sf0.001",
                                  "events_sessionize").collect()}
-    assert {(k, v[0]) for k, v in expected.items()} == set(oracle.items())
+    assert expected == oracle
 
     src = str(tmp_path / "sess_ev")
     events.write.parquet(src)
@@ -133,6 +135,19 @@ def test_sessionize_stream_equals_batch_and_oracle(spark, tmp_path):
             .option("checkpointLocation", str(tmp_path / "sess_ck"))
             .trigger(availableNow=True).start())
     q.awaitTermination()
-    got = {(r["user_id"], r["session_start_epoch"]):
-           (r["n_events"], r["session_end_epoch"]) for r in out}
+    got = {(r["user_id"], r["session_start_us"]):
+           (r["n_events"], r["session_end_us"]) for r in out}
     assert got == expected
+
+
+def test_quarantine_split_null_metadata_not_dropped(spark):
+    # NULL fmt/w/h (what sources.read_image_tree emits for corrupt
+    # files) must land in dead-letter, not vanish (NULL predicate fails
+    # both filter(ok) and filter(~ok) without the coalesce guard)
+    rows = [("n1", b"x", None, None, None, "tile at lat=1.5 lon=2.25", 1),
+            ("n2", None, 8, 8, "png", None, 2)]
+    df = spark.createDataFrame(rows, streaming.IMAGES_SCHEMA)
+    good, bad = streaming.quarantine_split(df)
+    assert good.count() == 0
+    got = {r["image_id"]: r["quarantine_reason"] for r in bad.collect()}
+    assert got == {"n1": "bad_format", "n2": "bad_metadata"}

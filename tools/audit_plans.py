@@ -32,8 +32,12 @@ def summarize(plan: str) -> dict:
                      plan, re.M)
     c = Counter(ops)
     schemas = sorted(set(re.findall(r"ReadSchema: (\S+)", plan)))
+    # shuffle exchanges print as "Exchange hashpartitioning(...)" /
+    # "Exchange SinglePartition" etc.; the lookbehind excludes
+    # BroadcastExchange (which is not a shuffle)
+    shuffles = len(re.findall(r"(?<!Broadcast)Exchange \w+", plan))
     return {"ops": c, "schemas": schemas,
-            "exchanges": plan.count("Exchange("),
+            "exchanges": shuffles,
             "bhj": c.get("BroadcastHashJoin", 0),
             "smj": c.get("SortMergeJoin", 0),
             "bnlj": c.get("BroadcastNestedLoopJoin", 0),

@@ -173,3 +173,50 @@ def sessionize_stream(events: DataFrame, *, gap: str = "30 minutes",
                        F.unix_micros(F.col("sw.end").cast("timestamp"))
                         .alias("session_end_us"),
                        "n_events"))
+
+
+def running_user_stats(events: DataFrame,
+                       timeout_minutes: int | None = None) -> DataFrame:
+    """Custom stateful operator: cumulative per-user event stats
+    maintained in the state store via ``applyInPandasWithState``.
+
+    The reference keeps running loss/metric lists in driver memory
+    (``loc2vec_train.py:52-55,85``); here the running state is
+    per-group, distributed, and checkpointed — the engine's pattern for
+    any custom streaming state Spark's built-in aggregates can't
+    express. Emits one updated (user_id, n_events, total_value) row per
+    user per microbatch.
+
+    ``timeout_minutes`` arms a processing-time expiry for idle keys
+    (timed-out state is removed, never re-armed). Default is NoTimeout:
+    with ``Trigger.AvailableNow``, armed processing-time timers keep
+    scheduling empty microbatches until they fire, so the drain-and-stop
+    pattern the tests use would never terminate.
+    """
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    out_schema = ("user_id BIGINT, n_events BIGINT, total_value DOUBLE")
+    state_schema = "n BIGINT, total DOUBLE"
+
+    def update(key, pdfs, state: GroupState):
+        if timeout_minutes is not None and state.hasTimedOut:
+            state.remove()
+            return
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        import pandas as pd
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [round(total, 6)]})
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if timeout_minutes is not None
+               else GroupStateTimeout.NoTimeout)
+    return (events.groupBy("user_id")
+                  .applyInPandasWithState(
+                      update, out_schema, state_schema, "update", timeout))

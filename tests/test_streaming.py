@@ -151,3 +151,36 @@ def test_quarantine_split_null_metadata_not_dropped(spark):
     assert good.count() == 0
     got = {r["image_id"]: r["quarantine_reason"] for r in bad.collect()}
     assert got == {"n1": "bad_format", "n2": "bad_metadata"}
+
+
+def test_running_user_stats_accumulates_across_microbatches(spark,
+                                                            tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    expected = {r["user_id"]: (r["n"], round(r["total"], 6))
+                for r in events.groupBy("user_id")
+                .agg(F.count("*").alias("n"),
+                     F.sum("value").alias("total")).collect()}
+
+    # two source files -> maxFilesPerTrigger=1 forces TWO microbatches
+    # in one run; the final emitted row per user must hold the
+    # cumulative state, not the last batch's local count
+    src = str(tmp_path / "st_ev")
+    events.repartition(2).write.parquet(src)
+    stream = (spark.readStream.schema(streaming.EVENTS_SCHEMA)
+                   .option("maxFilesPerTrigger", "1").parquet(src))
+    agg = streaming.running_user_stats(stream)
+    latest = {}
+
+    def sink(bdf, bid):
+        for r in bdf.collect():
+            latest[r["user_id"]] = (r["n_events"],
+                                    round(r["total_value"], 6))
+
+    q = (agg.writeStream.outputMode("update").foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "st_ck"))
+            .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert {u: v[0] for u, v in latest.items()} == \
+        {u: v[0] for u, v in expected.items()}
+    for u in expected:
+        assert latest[u][1] == pytest.approx(expected[u][1], abs=1e-4)

@@ -406,3 +406,30 @@ GROUP BY doc_id
 _reg2("text_fingerprint", _fingerprint_sql,
       doc="text: document fingerprint (position-weighted rolling hash "
           "over md5 token ids)")
+
+
+def _canonical_sql(base: int) -> str:
+    """Dedup resolution: map every doc to the smallest doc_id among its
+    LSH candidate neighbors (one-hop canonicalization — the grouping
+    step after candidate generation; full transitive closure is an
+    iterative driver loop out of single-query scope)."""
+    return f"""
+WITH {_tok(base)}, {_shingles(base).strip()}, {_SIG}, {_BANDS},
+prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.x = b.x AND a.y = b.y
+                    AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+nb AS (SELECT doc_a AS doc_id, doc_b AS nb FROM prs
+       UNION ALL SELECT doc_b, doc_a FROM prs),
+mn AS (SELECT doc_id, MIN(nb) AS min_nb FROM nb GROUP BY doc_id)
+SELECT d.doc_id,
+       CASE WHEN m.min_nb IS NULL OR d.doc_id < m.min_nb
+            THEN d.doc_id ELSE m.min_nb END AS canonical_id
+FROM documents d LEFT JOIN mn m ON m.doc_id = d.doc_id
+"""
+
+
+_reg2("dedup_canonical", _canonical_sql,
+      doc="dedup: one-hop canonical-id assignment over MinHash-LSH "
+          "candidate pairs (resolution step after pair generation)")

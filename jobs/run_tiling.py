@@ -35,6 +35,11 @@ def main(argv=None) -> None:
     ap.add_argument("--triplet-res", type=int, default=13)
     ap.add_argument("--n-neg", type=int, default=5)
     ap.add_argument("--salt-target", type=int, default=100_000)
+    ap.add_argument("--join-salt", type=int, default=8,
+                    help="positive-join output-skew salt: spreads each "
+                         "hot cell's quadratic candidate pairs over this "
+                         "many tasks (AQE skew-split can't see join-"
+                         "OUTPUT skew); result is salt-invariant")
     ap.add_argument("--keep-session", action="store_true",
                     help="do not stop the SparkSession (in-process tests)")
     args = ap.parse_args(argv)
@@ -64,7 +69,8 @@ def main(argv=None) -> None:
 
     trip = triplets.triplet_table_spatial(
         base, id_col="image_id", lat_col="lat", lon_col="lon",
-        cell_col="cell", res=args.triplet_res, n_neg=args.n_neg)
+        cell_col="cell", res=args.triplet_res, n_neg=args.n_neg,
+        join_salt=args.join_salt)
     out = trip.join(base.select("image_id", "cell_out")
                         .withColumnRenamed("image_id", "anchor_id"),
                     "anchor_id")

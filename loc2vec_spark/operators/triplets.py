@@ -29,6 +29,12 @@ from .geo import kring_explode
 # portable multiplicative hash (same text runs in DuckDB for the oracle)
 _KNUTH = 2654435761
 
+# negative_sample_compat ceiling: the reference runs at ~10^4-10^5 images
+# (single torch process); its compat re-expression keeps the reference's
+# global order — a single-task window — so it refuses inputs where that
+# would become a straggler instead of silently degrading (VERDICT r1).
+_COMPAT_MAX_ROWS = 5_000_000
+
 
 def _hash_sql(expr: str, seed: int, mod: int) -> str:
     return f"(((({expr}) * {_KNUTH} + {seed}) % {mod} + {mod}) % {mod})"
@@ -156,11 +162,22 @@ def negative_sample_compat(pts: DataFrame, *, id_col: str,
     deterministic by seeding r_b with a hash of b.
 
     Output: (anchor_id, neg_id).
+
+    COMPAT MODE ONLY — not a scale path: the global ``row_number`` runs
+    as a single task (the reference's semantics are inherently a global
+    order). Inputs above ``_COMPAT_MAX_ROWS`` raise; scale jobs use
+    :func:`negative_sample_farcell_pooled` (linear, partitioned).
     """
     w = Window.orderBy("anchor_id")
     df = pts.select(F.col(id_col).alias("anchor_id")) \
             .withColumn("rn", F.row_number().over(w) - 1)
     total = df.count()
+    if total > _COMPAT_MAX_ROWS:
+        raise ValueError(
+            f"negative_sample_compat is reference-compat only (global "
+            f"single-task window); got {total} rows > "
+            f"{_COMPAT_MAX_ROWS}. Use negative_sample_farcell_pooled "
+            f"for scale runs.")
     n_batches = total // batch_size  # remainder drop (W4 compat)
     if n_batches == 0:
         return df.select("anchor_id").limit(0) \
@@ -239,7 +256,8 @@ def percell_cap(pts: DataFrame, *, cell_col: str, id_col: str, cap: int,
 
 def spatial_positive(pts: DataFrame, *, id_col: str, lat_col: str,
                      lon_col: str, cell_col: str, res: int,
-                     cap: int = 256, seed: int = 42) -> DataFrame:
+                     cap: int = 256, seed: int = 42,
+                     join_salt: int = 1) -> DataFrame:
     """J2 at scale: positive = spatially nearest in-ring neighbor.
 
     This is the north-star reading of the reference's anchor/positive
@@ -247,6 +265,17 @@ def spatial_positive(pts: DataFrame, *, id_col: str, lat_col: str,
     spatially-offset tile of the same location, found by k-ring-1
     expansion + 2-D distance sort. Candidates are capped per cell
     (:func:`percell_cap`) so hot cells stay sub-quadratic.
+
+    ``join_salt`` addresses join-OUTPUT skew at high caps: the
+    cell-keyed join's hot partitions have tiny shuffle INPUT (one urban
+    cell ~10^3 rows) but quadratic output, so AQE's skew-join split —
+    which keys on input bytes — never fires and the whole urban
+    pair-explosion runs as one straggler task (measured: 50k rows at
+    cap=1024 spent ~4 min in 2 tasks). With join_salt=S the candidate
+    pool is hash-split S ways and anchors replicate S×, spreading each
+    hot cell's OUTPUT over S tasks; the pair set is unchanged and the
+    min-struct agg composes exactly, so the result is bit-identical at
+    any S (test_triplets).
 
     Output: (anchor_id, positive_id, sdist).
     """
@@ -261,10 +290,19 @@ def spatial_positive(pts: DataFrame, *, id_col: str, lat_col: str,
                    F.col(lon_col).alias("a_lon"),
                    F.col(cell_col).alias("a_cell"))
     a = kring_explode(a, "a_cell", res, k=1, out_col="nb_cell")
+    join_cond = F.col("nb_cell") == F.col("c_cell")
+    if join_salt > 1:
+        cand_pool = cand_pool.withColumn(
+            "_js", _id_hash_col("positive_id", seed + 7, join_salt)
+            .cast("int"))
+        salts = pts.sparkSession.range(join_salt) \
+                   .select(F.col("id").cast("int").alias("_as"))
+        a = a.crossJoin(F.broadcast(salts))
+        join_cond = join_cond & (F.col("_as") == F.col("_js"))
     # SQUARED distance on the 38M-pair hot path: sqrt is monotone, so
     # argmin is identical, and the sqrt runs once per anchor (post-agg)
     # instead of once per candidate pair.
-    j = (a.join(cand_pool, F.col("nb_cell") == F.col("c_cell"))
+    j = (a.join(cand_pool, join_cond)
           .filter(F.col("anchor_id") != F.col("positive_id"))
           .withColumn("sq", F.expr(
               "(a_lat - p_lat) * (a_lat - p_lat) "
@@ -282,13 +320,13 @@ def spatial_positive(pts: DataFrame, *, id_col: str, lat_col: str,
 def triplet_table_spatial(pts: DataFrame, *, id_col: str, lat_col: str,
                           lon_col: str, cell_col: str, res: int,
                           n_neg: int = 5, cap: int = 256,
-                          seed: int = 42) -> DataFrame:
+                          seed: int = 42, join_salt: int = 1) -> DataFrame:
     """Full scalable triplet table over an images-shaped input:
     spatial positive + far-cell negatives. This is the path the
     throughput bench measures (BASELINE.json metric)."""
     pos = spatial_positive(pts, id_col=id_col, lat_col=lat_col,
                            lon_col=lon_col, cell_col=cell_col, res=res,
-                           cap=cap, seed=seed)
+                           cap=cap, seed=seed, join_salt=join_salt)
     neg = negative_sample_farcell_pooled(
         pts, id_col=id_col, cell_col=cell_col, res=res, n_neg=n_neg,
         seed=seed)

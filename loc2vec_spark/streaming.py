@@ -89,15 +89,22 @@ def windowed_event_counts(events: DataFrame, *, window: str = "10 minutes",
 
     On a stream, state for a window is dropped once the watermark passes
     its end (bounded state at any input size); on a batch frame the same
-    expression computes the identical result (tested against the
-    ``events_tumbling`` oracle query).
+    expression computes the identical result.
+
+    sum_value sums DECIMAL(18,4)-quantized values exactly like the
+    ``events_tumbling`` oracle query (test_streaming asserts batch-frame
+    equality against it): a plain ROUND(SUM(double)) can legitimately
+    differ in the 4th decimal between engines/parallelism levels because
+    double addition is fold-order-dependent — exactly why the oracle
+    uses the decimal form (ADVICE r1).
     """
     src = events
     if events.isStreaming:
         src = events.withWatermark("ts", watermark)
+    sum_dec = F.sum(F.round(F.col("value"), 4).cast("decimal(18,4)"))
     return (src.groupBy(F.window("ts", window).alias("win"), "event_type")
                .agg(F.count("*").alias("n"),
-                    F.round(F.sum("value"), 4).alias("sum_value"))
+                    F.round(sum_dec.cast("double"), 4).alias("sum_value"))
                .select(F.col("win.start").alias("win_start"),
                        "event_type", "n", "sum_value"))
 

@@ -91,6 +91,24 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path):
     assert got == expected
 
 
+def test_windowed_counts_match_events_tumbling_oracle_query(spark):
+    """The streaming face must agree with the oracle-checked batch query
+    exactly — incl. the 4th decimal of sum_value, which is why both sum
+    DECIMAL(18,4)-quantized values rather than raw doubles (ADVICE r1:
+    double-sum fold order can flip ROUND(x, 4))."""
+    from loc2vec_spark import queries as qreg
+    import tests.conftest as c
+    events = spark.read.parquet(f"{c.TESTDATA}/events.parquet")
+    face = {(int(r["win_start"].timestamp()), r["event_type"]):
+            (r["n"], r["sum_value"])
+            for r in streaming.windowed_event_counts(events).collect()}
+    oracle = {(r["win_start_epoch"], r["event_type"]):
+              (r["n"], r["sum_value"])
+              for r in qreg.run_spark(spark, c.TESTDATA,
+                                      "events_tumbling").collect()}
+    assert face == oracle
+
+
 def test_watermark_present_on_stream(spark, tmp_path):
     src = str(tmp_path / "ev2")
     spark.read.parquet("/root/testdata/sf0.001/events.parquet") \

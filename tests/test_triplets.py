@@ -126,3 +126,17 @@ def test_triplet_candidates_schema(pts):
     assert len(pdf) == N
     with_neg = pdf[pdf.negative_ids.notna()]
     assert (with_neg.negative_ids.map(len) <= 3).all()
+
+
+def test_spatial_positive_identical_across_join_salt(pts):
+    """Output-skew salting (join_salt) must not change the result: same
+    pair set, min-struct agg composes exactly -> bit-identical rows."""
+    def rows(js):
+        return sorted(
+            tuple(r) for r in triplets.spatial_positive(
+                pts, id_col="id", lat_col="lat", lon_col="lon",
+                cell_col="cell", res=RES, cap=64, join_salt=js).collect())
+    base = rows(1)
+    assert len(base) > 0
+    assert rows(4) == base
+    assert rows(8) == base

@@ -132,6 +132,38 @@ def main() -> None:
         ("exactly one Python (Arrow) crossing", s4["python"] == 1),
     ])
 
+    # 5. multi-probe ANN — bucket equi-join over cached codes
+    ann = qreg.run_spark(spark, SF, "ann_lsh_multiprobe")
+    p5 = plan_of(ann)
+    s5 = summarize(p5)
+    audit("ann_lsh_multiprobe", ann, [
+        ("candidate generation + scoring are broadcast-hash equi-joins "
+         "on (table, code) / vec_id", s5["bhj"] >= 2),
+        ("only nested-loop is the 9-row probe-mask stencil broadcast "
+         "(like the kring offset stencil)", s5["bnlj"] <= 1
+         and "CartesianProduct" not in p5),
+        ("code projection computed once and reused from cache",
+         p5.count("InMemoryTableScan") >= 2),
+        ("scoring stays JVM-side (no Python crossing)", s5["python"] == 0),
+    ])
+
+    # 6. connected components — one large-star/small-star round
+    from loc2vec_spark.operators.components import (_large_star,
+                                                    _small_star)
+    edges = spark.range(2000).select(
+        (F.col("id") % 997).alias("a"), (F.col("id") % 499).alias("b"))
+    rnd = _small_star(_large_star(edges))
+    p6 = plan_of(rnd)
+    s6 = summarize(p6)
+    audit("connected_components (one star round)", rnd, [
+        ("per-node min via grouped aggregation (partial+final, "
+         "shuffle keyed by node)", s6["ops"].get("HashAggregate", 0) >= 2),
+        ("no cartesian/nested-loop anywhere in the round",
+         s6["bnlj"] == 0 and "CartesianProduct" not in p6),
+        ("pure Catalyst (no Python, no driver graph state)",
+         s6["python"] == 0),
+    ])
+
     hdr = ("# PLANS.md — physical-plan audit (generated by "
            "tools/audit_plans.py)\n\n"
            "Every section asserts the plan properties the engine promises "

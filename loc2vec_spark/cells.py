@@ -10,8 +10,9 @@ Chosen over S2's cube-face Hilbert layout because every operation here is a
 handful of integer/floor expressions — which means (a) the hot path is a pure
 Catalyst expression tree (whole-stage codegen, no Python), and (b) the exact
 same formula text runs in DuckDB for the correctness oracle. The API mirrors
-H3/S2 (``latlon_to_cell``, ``cell_to_parent``, ``kring``) so a real H3
-backend can be swapped in behind the same operator surface.
+H3/S2 (``latlon_to_cell``, ``cell_to_parent``, ``kring``); the real-H3
+swap-in exists as :mod:`loc2vec_spark.cells_h3` (import-gated — pandas-UDF
+Column face, parity-tested against the h3 library where installed).
 
 Cell id layout (single int64, always >= 0, sortable by resolution):
 

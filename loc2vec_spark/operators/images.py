@@ -14,9 +14,9 @@ Python exactly once per stage via Arrow-batched ``mapInPandas``:
   (torch absent in sandbox, SURVEY.md §7.3); swapping in a real model is
   a one-function change behind the same operator surface,
 - :func:`resize_images` — nearest-neighbor resize, re-encoded PNG,
-- audio/video decode: STUBBED (:func:`decode_av`) — the sandbox has no
-  codecs; the Spark-side plumbing (schema, batching, binary transport)
-  is identical and tested via the stub.
+- audio/video decode (:func:`decode_av`): real codec-free paths for
+  WAV (``operators/audio.py``) and YUV4MPEG2 (``operators/video.py``);
+  compressed codecs stay stubbed — the sandbox has none.
 
 Corrupt rows never abort the job: failed decodes emit NULL stats and are
 quarantined by filter (dead-letter semantics, SURVEY.md §2.8).
@@ -143,19 +143,24 @@ def resize_images(images: DataFrame, *, out_px: int = 32) -> DataFrame:
 def decode_av(images: DataFrame, *, kind: str) -> DataFrame:
     """Audio/video decode dispatcher.
 
-    Audio has a REAL executable path — WAV parses with stdlib wave +
-    numpy, no external codecs (:mod:`loc2vec_spark.operators.audio`:
-    decode, stats, spectral features, quarantine-on-error, same
-    one-Arrow-crossing template as :func:`decode_stats`). Compressed
-    audio and video remain honest stubs: those codecs aren't in this
-    container; plugging one in is a one-function swap behind the same
-    operator surface.
+    Audio and video both have REAL executable paths — WAV parses with
+    stdlib wave + numpy (:mod:`loc2vec_spark.operators.audio`) and
+    YUV4MPEG2 parses with pure numpy
+    (:mod:`loc2vec_spark.operators.video`): decode, stats, features,
+    frame sampling, quarantine-on-error, all through the same
+    one-Arrow-crossing template as :func:`decode_stats`. Compressed
+    codecs (mp3/aac/h264/mp4) remain honest stubs: those libraries
+    aren't in this container; plugging one in is a one-function swap
+    behind the same operator surface.
     """
     if kind == "audio":
         from .audio import audio_stats
         return audio_stats(images)
+    if kind == "video":
+        from .video import video_stats
+        return video_stats(images)
     raise NotImplementedError(
         f"{kind} decoding requires external codec libraries not present "
         "in this environment; plug a decoder into the decode_stats "
-        "mapInPandas template (see operators/audio.py for the audio "
-        "instance of exactly that swap)")
+        "mapInPandas template (see operators/audio.py and video.py for "
+        "the wav/y4m instances of exactly that swap)")

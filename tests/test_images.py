@@ -57,11 +57,11 @@ def test_resize_roundtrip(spark, images):
     assert arr.shape == (16, 16, 3)
 
 
-def test_av_stub_raises_for_video_only(spark, images):
-    # audio is a real path now (operators/audio.py, test_audio.py);
-    # video stays an honest stub until a codec exists in the env
+def test_av_stub_raises_for_compressed_only(spark, images):
+    # audio (operators/audio.py) and video (operators/video.py) are real
+    # paths now; compressed codecs stay honest stubs until one exists
     with pytest.raises(NotImplementedError):
-        img_ops.decode_av(images, kind="video")
+        img_ops.decode_av(images, kind="h264")
 
 
 def test_pyfiles_zip_importable(tmp_path):

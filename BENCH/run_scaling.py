@@ -130,7 +130,8 @@ def main() -> None:
                 [ln for ln in f.read().strip().splitlines()
                  if ln.startswith("{")][-1])
         for k in ("triplet_cap", "triplet_jobcap", "triplet_jobcap_rows",
-                  "ann_recall_at10", "ann_candidate_frac"):
+                  "ann_recall_at10", "ann_candidate_frac",
+                  "ann_ivf_recall_at10", "ann_ivf_candidate_frac"):
             lo.setdefault(k, extras.get(k))
             hi.setdefault(k, extras.get(k))
         for t in (lo, hi):
@@ -142,6 +143,10 @@ def main() -> None:
     def eff(key: str) -> tuple[float, float, float]:
         a, b = lo[key], hi[key]
         return a, b, round(b / (ratio * a), 3)
+
+    def _lift(t: dict, key: str) -> str:
+        r, f = t.get(f"{key}_recall_at10"), t.get(f"{key}_candidate_frac")
+        return f"{r / f:.1f}x" if r and f else "n/a"
 
     tile = eff("tile_rows_per_sec")
     trip = eff("triplet_rows_per_sec")
@@ -179,11 +184,20 @@ the capped path is the 100-TB design (and why join-output-skew salting
 exists: unsalted, the same run is ~26x slower in 2 straggler tasks —
 see operators/triplets.py spatial_positive docstring).
 
-ANN recall (multi-table Hamming-1 multi-probe vs exact brute force,
-uniform-random embeddings = the no-structure worst case):
-recall@10 = {hi.get('ann_recall_at10', 'n/a')} while scoring
-{hi.get('ann_candidate_frac', 'n/a')} of the table (sf0.1; planted-
-cluster regime ~1.0 recall at bounded scan — tests/test_ann.py).
+ANN recall vs exact brute force (uniform-random embeddings = the
+no-structure worst case; both paths are ~1.0-recall on the planted-
+cluster near-dup regime at bounded scan — tests/test_ann.py):
+
+| path | recall@10 | candidate frac | lift (recall/frac) |
+|---|---|---|---|
+| LSH multi-table Hamming-1 multi-probe \
+| {hi.get('ann_recall_at10', 'n/a')} \
+| {hi.get('ann_candidate_frac', 'n/a')} \
+| {_lift(hi, 'ann')} |
+| IVF-flat (sampled quantizer, nprobe=4) \
+| {hi.get('ann_ivf_recall_at10', 'n/a')} \
+| {hi.get('ann_ivf_candidate_frac', 'n/a')} \
+| {_lift(hi, 'ann_ivf')} |
 
 Per-query seconds:
 

@@ -167,21 +167,26 @@ def bench_ann_recall(spark, sf_dir: str) -> dict:
     ann_bruteforce top-10 on the driver's (uniform-random — worst-case)
     embeddings; see queries_text.py's ANN note and test_ann for the
     planted-cluster regime."""
-    from loc2vec_spark.queries_text import ann_multi_candidates
+    from loc2vec_spark.queries_text import (ann_ivf_candidates,
+                                            ann_multi_candidates)
     brute = qreg.run_spark(spark, sf_dir, "ann_bruteforce") \
                 .select("query_id", "neighbor_id").cache()
-    multi = qreg.run_spark(spark, sf_dir, "ann_lsh_multiprobe") \
-                .select("query_id", "neighbor_id")
     n_want = brute.count()
-    n_hit = brute.join(multi, ["query_id", "neighbor_id"]).count()
     n_q = brute.select("query_id").distinct().count()
-    brute.unpersist()
     n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
-    n_cand = ann_multi_candidates(spark).count()
-    return {
-        "ann_recall_at10": round(n_hit / n_want, 3),
-        "ann_candidate_frac": round(n_cand / (n_q * (n_emb - 1)), 3),
-    }
+    denom_cand = n_q * (n_emb - 1)
+    out = {}
+    for key, qname, cand_fn in (
+            ("ann", "ann_lsh_multiprobe", ann_multi_candidates),
+            ("ann_ivf", "ann_ivf", ann_ivf_candidates)):
+        approx = qreg.run_spark(spark, sf_dir, qname) \
+                     .select("query_id", "neighbor_id")
+        n_hit = brute.join(approx, ["query_id", "neighbor_id"]).count()
+        out[f"{key}_recall_at10"] = round(n_hit / n_want, 3)
+        out[f"{key}_candidate_frac"] = round(
+            cand_fn(spark).count() / denom_cand, 3)
+    brute.unpersist()
+    return out
 
 
 def main() -> None:

@@ -667,6 +667,10 @@ from . import queries_text  # noqa: E402,F401  (dedup/ANN/text suite)
 # 9. Extras beyond the §2 contract (may land past the driver's window)
 # ===========================================================================
 
+# first extra slot: ann_ivf — self-registered at the bottom of
+# queries_text (a call from here would race its circular import when
+# queries_text is imported first, e.g. by tests)
+
 _shared("w6_ranks", ("orders",), """
 SELECT o_orderkey,
        RANK() OVER (PARTITION BY o_orderpriority

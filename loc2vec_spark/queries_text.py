@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from .functions import (DUCKDB_BASE, SPARK_BASE, dot_sql, md5_id_sql,
                         norm_sql)
-from .queries import DIM, Q, _reg
+from .queries import DIM, QUERIES, Q, _reg
 
 _M31 = 2147483647  # 2^31 - 1: modular-arithmetic field for sig hashes
 
@@ -536,6 +536,116 @@ _reg("ann_lsh_multiprobe", Q(tables=("embeddings",), fn=_ann_multi_fn,
                                  "measured in bench vs ann_bruteforce"))
 
 
+# --- IVF-flat ANN ---------------------------------------------------------
+# The second scale path next to LSH: partition the space by a coarse
+# quantizer, probe only the nprobe nearest cells. Centroids here are a
+# deterministic 1/29 sample of the vectors themselves (test-scale
+# stand-in sharable as SQL text with the oracle; a production codebook
+# is C = O(sqrt N) Lloyd-trained centroids on a driver-side sample,
+# broadcast — swapping it in changes only the `cent` relation).
+# Assignment = broadcast cross join vectors x centroids, argmin by
+# window (the at-scale form replaces the window with a map-side
+# MAX_BY(cid, cosine) partial agg — same result, no N x C shuffle).
+
+_IVF_MOD, _IVF_NPROBE = 29, 4
+
+
+def _ivf_prelude(base: int) -> str:
+    """ne (vectors+norms), cent (sampled centroids), asg (centroid
+    ranks per vector, exact fixed-order cosine, cid tie-break)."""
+    hint = "/*+ REPARTITION(64) */ " if base == SPARK_BASE else ""
+    nrm = norm_sql("embedding", DIM, base)
+    dot_nc = dot_sql("n.embedding", "c.cemb", DIM, base)
+    return f"""
+ne AS (SELECT {hint}vec_id, embedding, {nrm} AS nrm FROM embeddings),
+cent AS (SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+         FROM ne WHERE vec_id % {_IVF_MOD} = 1),
+asg AS (SELECT n.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY n.vec_id
+                   ORDER BY ({dot_nc}) / (n.nrm * c.cnrm) DESC, c.cid)
+                   AS crank
+        FROM ne n CROSS JOIN cent c)
+"""
+
+
+def _ivf_cand_sql() -> str:
+    """cells (every vector's home cell) -> probes (each query's nprobe
+    nearest cells) -> distinct candidate pairs."""
+    return f"""
+cells AS (SELECT vec_id, cid FROM asg WHERE crank = 1),
+probes AS (SELECT vec_id, cid FROM asg
+           WHERE crank <= {_IVF_NPROBE} AND vec_id % 25 = 0),
+cand AS (SELECT DISTINCT p.vec_id AS query_id, m.vec_id AS neighbor_id
+         FROM probes p JOIN cells m ON m.cid = p.cid
+         WHERE m.vec_id <> p.vec_id)
+"""
+
+
+def _ivf_body(base: int) -> str:
+    dot = dot_sql("q.embedding", "c.embedding", DIM, base)
+    return f"""
+{_ivf_cand_sql()},
+scored AS (SELECT cand.query_id, cand.neighbor_id,
+                  ({dot}) / (q.nrm * c.nrm) AS cosine
+           FROM cand JOIN ne q ON q.vec_id = cand.query_id
+                     JOIN ne c ON c.vec_id = cand.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, cosine,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id)
+                      AS ann_rank
+           FROM scored)
+SELECT query_id, ann_rank, neighbor_id, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE ann_rank <= 10
+"""
+
+
+def _ivf_asg_df(spark):
+    """Materialize the N x C assignment ONCE (read by cells AND probes;
+    uncached, Spark would run the cross-join cosine twice)."""
+    asg = spark.sql(f"WITH {_ivf_prelude(SPARK_BASE)} "
+                    "SELECT vec_id, cid, crank FROM asg "
+                    f"WHERE crank <= {max(_IVF_NPROBE, 1)}")
+    asg.cache().createOrReplaceTempView("asg")
+    nrm = norm_sql("embedding", DIM, SPARK_BASE)
+    ne = spark.sql("SELECT /*+ REPARTITION(64) */ vec_id, embedding, "
+                   f"{nrm} AS nrm FROM embeddings")
+    ne.cache().createOrReplaceTempView("ne")
+
+
+def _ann_ivf_fn(spark, sf_dir):
+    _ivf_asg_df(spark)
+    return spark.sql("WITH " + _ivf_body(SPARK_BASE).lstrip())
+
+
+def ann_ivf_candidates(spark):
+    """Candidate pairs only — bench reports IVF candidate fraction."""
+    _ivf_asg_df(spark)
+    return spark.sql(
+        f"WITH {_ivf_cand_sql().strip()} SELECT * FROM cand")
+
+
+def _ann_ivf_duck(base: int) -> str:
+    return f"WITH {_ivf_prelude(base).strip()}, {_ivf_body(base).strip()}"
+
+
+def register_ann_ivf() -> None:
+    """Self-invoked at the bottom of this module, so via queries.py's
+    import ann_ivf takes the FIRST extras slot (position 51, right after
+    the 50 contract/pipeline registrations) — driver-checked when the
+    sweep has room, always covered by the repo mirror + test_ann.
+    Registration is idempotent: the module can also be imported first
+    (tests), where this runs after queries.py's own extras."""
+    if "ann_ivf" in QUERIES:
+        return
+    _reg("ann_ivf", Q(tables=("embeddings",), fn=_ann_ivf_fn,
+                      duck_sql=_ann_ivf_duck(DUCKDB_BASE),
+                      doc="similarity: IVF-flat — sampled coarse "
+                          f"quantizer (1/{_IVF_MOD}), nprobe="
+                          f"{_IVF_NPROBE} cell probe, exact re-rank; "
+                          "recall measured in bench vs ann_bruteforce"))
+
+
 # ===========================================================================
 # Text analysis
 # ===========================================================================
@@ -599,3 +709,5 @@ _reg("text_langid", Q(tables=("documents",), spark_sql=_LANGID_SQL,
 # dedup_components above: one-hop min-neighbor resolves duplicate CHAINS
 # inconsistently — A~B~C gave B->A but C->B — so the proper transitive
 # closure replaced it in the registry.)
+
+register_ann_ivf()

@@ -11,7 +11,8 @@ Two regimes, matching BENCH/BASELINE.md's "ANN recall" section:
 import numpy as np
 import pytest
 
-from loc2vec_spark.queries_text import (_ANN_B, _ANN_T, _ann_multi_fn,
+from loc2vec_spark.queries_text import (_ANN_B, _ANN_T, _ann_ivf_fn,
+                                        _ann_multi_fn, ann_ivf_candidates,
                                         ann_multi_candidates)
 
 DIM = 64
@@ -30,17 +31,18 @@ def _as_view(spark, X):
          .createOrReplaceTempView("embeddings")
 
 
-def _recall_and_frac(spark, X):
+def _recall_and_frac(spark, X, fn=_ann_multi_fn,
+                     cand_fn=ann_multi_candidates):
     n = len(X)
     qidx = [i for i in range(n) if i % 25 == 0]
     exact = _exact_top10(X.astype(np.float64), qidx)
     _as_view(spark, X)
     got = {}
-    for r in _ann_multi_fn(spark, None).collect():
+    for r in fn(spark, None).collect():
         got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     hits = sum(len(exact[q] & got.get(q, set())) for q in qidx)
     recall = hits / (10 * len(qidx))
-    n_cand = ann_multi_candidates(spark).count()
+    n_cand = cand_fn(spark).count()
     frac = n_cand / (len(qidx) * (n - 1))
     return recall, frac
 
@@ -66,6 +68,35 @@ def test_uniform_random_floor(spark):
     assert recall >= 0.45, recall
     # multi-probe must stay far from a full scan
     assert frac <= 0.45, frac
+
+
+def test_ivf_planted_clusters_high_recall_low_scan(spark):
+    """IVF: near-dup clusters align with quantizer cells -> recall ~1
+    while probing nprobe cells per query."""
+    rng = np.random.default_rng(5)
+    cents = rng.normal(size=(40, DIM))
+    X = np.repeat(cents, 12, axis=0) + 0.05 * rng.normal(size=(480, DIM))
+    recall, frac = _recall_and_frac(spark, X.astype(np.float32),
+                                    _ann_ivf_fn, ann_ivf_candidates)
+    assert recall >= 0.95, recall
+    assert frac <= 0.45, frac
+
+
+def test_ivf_uniform_random_floor(spark):
+    """No-structure worst case: random Voronoi cells from sampled
+    centroids carry little signal on uniform data, so IVF's recall here
+    (~0.4 at ~0.22 scan) trails multi-probe LSH (~0.64 at ~0.27) — the
+    two scale paths split regimes: IVF wins on clustered (real) corpora
+    at a small scan (test above), LSH wins on unstructured noise. Both
+    numbers are reported side-by-side in BENCH/BASELINE.md."""
+    rng = np.random.default_rng(12)
+    X = rng.uniform(-0.217, 0.217, size=(500, DIM)).astype(np.float32)
+    recall, frac = _recall_and_frac(spark, X, _ann_ivf_fn,
+                                    ann_ivf_candidates)
+    assert recall >= 0.3, recall
+    # still far better than the random-scan baseline (recall ~= frac)
+    assert recall >= 1.5 * frac, (recall, frac)
+    assert frac <= 0.35, frac
 
 
 def test_rank_is_dense_and_bounded(spark):

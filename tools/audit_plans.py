@@ -147,6 +147,23 @@ def main() -> None:
         ("scoring stays JVM-side (no Python crossing)", s5["python"] == 0),
     ])
 
+    # 5b. IVF ANN — cached assignment, equi-join cell probe
+    ivf = qreg.run_spark(spark, SF, "ann_ivf")
+    p5b = plan_of(ivf)
+    s5b = summarize(p5b)
+    audit("ann_ivf", ivf, [
+        ("cell-probe candidate generation + scoring are hash equi-joins",
+         s5b["bhj"] + s5b["smj"] >= 2),
+        ("the only unkeyed join is the bounded vectors x centroids "
+         "assignment (C small, broadcast; its cached plan prints once "
+         "per InMemoryTableScan of asg)", s5b["bnlj"] <= 2
+         and "CartesianProduct" not in p5b),
+        ("N x C assignment computed once and reused from cache "
+         "(cells + probes)", p5b.count("InMemoryTableScan") >= 2),
+        ("scoring stays JVM-side (no Python crossing)",
+         s5b["python"] == 0),
+    ])
+
     # 6. connected components — one large-star/small-star round
     from loc2vec_spark.operators.components import (_large_star,
                                                     _small_star)

@@ -629,6 +629,36 @@ def _ann_ivf_duck(base: int) -> str:
     return f"WITH {_ivf_prelude(base).strip()}, {_ivf_body(base).strip()}"
 
 
+def _ivf_dedup_body(base: int) -> str:
+    """Near-dup pairs, IVF-blocked: candidate (a, b) iff one's home cell
+    is among the other's nprobe nearest cells (symmetric by LEAST/
+    GREATEST + DISTINCT), then exact cosine >= 0.3 — same threshold and
+    arithmetic order as dedup_embedding, so the survivors are a verified
+    subset of the brute-force pair set (test_ann asserts containment +
+    planted-cluster recall). Blocked candidate volume ~ nprobe x
+    cell_size x N instead of N^2."""
+    dot = dot_sql("a.embedding", "b.embedding", DIM, base)
+    return f"""
+cells AS (SELECT vec_id, cid FROM asg WHERE crank = 1),
+near AS (SELECT vec_id, cid FROM asg WHERE crank <= {_IVF_NPROBE}),
+cand AS (SELECT DISTINCT LEAST(n.vec_id, c.vec_id) AS id_a,
+                GREATEST(n.vec_id, c.vec_id) AS id_b
+         FROM near n JOIN cells c ON c.cid = n.cid
+         WHERE n.vec_id <> c.vec_id),
+prs AS (SELECT cand.id_a, cand.id_b,
+               ({dot}) / (a.nrm * b.nrm) AS cosine
+        FROM cand JOIN ne a ON a.vec_id = cand.id_a
+                  JOIN ne b ON b.vec_id = cand.id_b)
+SELECT id_a, id_b, ROUND(cosine, 6) AS cosine
+FROM prs WHERE cosine >= 0.3E0
+"""
+
+
+def _dedup_emb_ivf_fn(spark, sf_dir):
+    _ivf_asg_df(spark)
+    return spark.sql("WITH " + _ivf_dedup_body(SPARK_BASE).lstrip())
+
+
 def register_ann_ivf() -> None:
     """Self-invoked at the bottom of this module, so via queries.py's
     import ann_ivf takes the FIRST extras slot (position 51, right after
@@ -644,6 +674,14 @@ def register_ann_ivf() -> None:
                           f"quantizer (1/{_IVF_MOD}), nprobe="
                           f"{_IVF_NPROBE} cell probe, exact re-rank; "
                           "recall measured in bench vs ann_bruteforce"))
+    _reg("dedup_embedding_ivf", Q(
+        tables=("embeddings",), fn=_dedup_emb_ivf_fn,
+        duck_sql="WITH " + _ivf_prelude(DUCKDB_BASE).strip() + ", "
+                 + _ivf_dedup_body(DUCKDB_BASE).strip(),
+        doc="dedup: embedding near-dup pairs, IVF-cell-blocked — the "
+            "linear-candidate scale path next to the brute "
+            "dedup_embedding baseline (containment + recall in "
+            "test_ann)"))
 
 
 # ===========================================================================

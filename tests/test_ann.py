@@ -12,7 +12,8 @@ import numpy as np
 import pytest
 
 from loc2vec_spark.queries_text import (_ANN_B, _ANN_T, _ann_ivf_fn,
-                                        _ann_multi_fn, ann_ivf_candidates,
+                                        _ann_multi_fn, _dedup_emb_ivf_fn,
+                                        ann_ivf_candidates,
                                         ann_multi_candidates)
 
 DIM = 64
@@ -97,6 +98,25 @@ def test_ivf_uniform_random_floor(spark):
     # still far better than the random-scan baseline (recall ~= frac)
     assert recall >= 1.5 * frac, (recall, frac)
     assert frac <= 0.35, frac
+
+
+def test_ivf_dedup_subset_and_cluster_recall(spark):
+    """IVF-blocked near-dup pairs are a strict subset of the brute-force
+    pair set (same threshold + arithmetic), and on planted clusters the
+    blocking loses almost nothing — the regime embedding dedup runs in."""
+    from loc2vec_spark.operators.similarity import blocked_pairs_cosine
+    rng = np.random.default_rng(5)
+    cents = rng.normal(size=(40, DIM))
+    X = np.repeat(cents, 12, axis=0) + 0.05 * rng.normal(size=(480, DIM))
+    _as_view(spark, X.astype(np.float32))
+    brute = {(r["id_a"], r["id_b"])
+             for r in blocked_pairs_cosine(
+                 spark.table("embeddings"), id_col="vec_id",
+                 emb_col="embedding", dim=DIM, threshold=0.3).collect()}
+    ivf = {(r["id_a"], r["id_b"])
+           for r in _dedup_emb_ivf_fn(spark, None).collect()}
+    assert ivf <= brute
+    assert len(ivf) >= 0.95 * len(brute), (len(ivf), len(brute))
 
 
 def test_rank_is_dense_and_bounded(spark):

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis) for the pure-numpy kernels.
+
+These cover the engine's self-written codecs and cell math with
+generated inputs rather than fixed fixtures — the invariants that must
+hold for ANY input: lossless round-trips, containment/idempotence of
+the cell hierarchy, and the batch-probe bounds. No SparkSession here;
+every property is a driver-side kernel, so hypothesis can run hundreds
+of cases in seconds.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from loc2vec_spark import cells, sizing
+from loc2vec_spark.operators.audio import decode_wav, encode_wav
+from loc2vec_spark.operators.video import decode_y4m, encode_y4m
+from loc2vec_spark.png_codec import decode_png, encode_png
+
+# hypothesis and numpy arrays: generate shape + seed, build with numpy
+# (st.arrays via hypothesis.extra.numpy would also work; seed-based
+# construction keeps examples tiny in the failure database)
+
+
+def _arr(seed: int, shape: tuple[int, ...], dtype=np.uint8) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, shape).astype(dtype)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 40), st.integers(1, 40),
+       st.booleans())
+def test_png_roundtrip(seed, h, w, rgb):
+    arr = _arr(seed, (h, w, 3) if rgb else (h, w))
+    assert np.array_equal(decode_png(encode_png(arr)), arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 3000),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip(seed, n, rate):
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, n).astype(np.int16)
+    got_rate, back = decode_wav(encode_wav(x, rate=rate))
+    assert got_rate == rate
+    assert np.array_equal((back * 32768.0).astype(np.int16), x)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(1, 6),
+       st.integers(1, 12), st.integers(1, 12))
+def test_y4m_roundtrip(seed, n, h2, w2):
+    fr = _arr(seed, (n, 2 * h2, 2 * w2))  # C420 needs even dims
+    fps, back = decode_y4m(encode_y4m(fr, fps=10))
+    assert fps == 10.0
+    assert np.array_equal(back, fr)
+
+
+_lat = st.floats(-84.9, 84.9)  # engine clamps near poles; stay inside
+_lon = st.floats(-179.9, 179.9)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_lat, _lon, st.integers(1, 20))
+def test_cell_center_refixes(lat, lon, res):
+    """A cell's center maps back to the same cell (idempotence)."""
+    c = int(np.atleast_1d(cells.latlon_to_cell(lat, lon, res))[0])
+    clat, clon = cells.cell_center(np.array([c]))
+    c2 = int(np.atleast_1d(cells.latlon_to_cell(
+        float(clat[0]), float(clon[0]), res))[0])
+    assert c == c2
+
+
+@settings(max_examples=100, deadline=None)
+@given(_lat, _lon, st.integers(2, 20))
+def test_parent_contains_child(lat, lon, res):
+    """parent(cell(p, res)) == cell(p, res-1): hierarchy is nested."""
+    child = np.atleast_1d(cells.latlon_to_cell(lat, lon, res))
+    direct = np.atleast_1d(cells.latlon_to_cell(lat, lon, res - 1))
+    assert int(np.atleast_1d(
+        cells.cell_to_parent(child, res - 1))[0]) == int(direct[0])
+
+
+@settings(max_examples=60, deadline=None)
+@given(_lat, _lon, st.integers(1, 18), st.integers(1, 2))
+def test_kring_contains_self_and_is_unique(lat, lon, res, k):
+    c = int(np.atleast_1d(cells.latlon_to_cell(lat, lon, res))[0])
+    ring = cells.kring(c, k)
+    assert c in ring
+    assert len(ring) == len(set(ring))
+    assert len(ring) <= (2 * k + 1) ** 2
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 10**7), st.integers(8, 10**4),
+       st.integers(4, 10**6))
+def test_batch_probe_bounds(n_rows, width, budget):
+    """Pure-arithmetic core of the probe: result is a power of two (or
+    the max clamp), within budget or at the row-count halving bound."""
+    class _FakeDF:
+        def count(self):
+            return n_rows
+
+        def limit(self, k):
+            return self
+
+        def toPandas(self):
+            import pandas as pd
+            return pd.DataFrame({"x": np.zeros(min(n_rows, 10),
+                                               dtype=np.int64)})
+
+    # monkeypatch-free: arrow_batch_records only uses count/limit/toPandas
+    df = _FakeDF()
+    n = sizing.arrow_batch_records(df, mem_budget_bytes=budget,
+                                   max_records=4096)
+    assert 1 <= n <= 4096
+    assert n == 4096 or (n & (n - 1)) == 0

@@ -226,3 +226,39 @@ def cell_col(lat_col: str, lon_col: str, res: int):
 def parent_col(cell_colname: str, res: int, parent_res: int):
     from pyspark.sql import functions as F
     return F.expr(parent_sql(cell_colname, res, parent_res))
+
+
+# ---------------------------------------------------------------------------
+# Resolution chooser (SURVEY.md §4.1(c): target rows/cell -> pick res)
+# ---------------------------------------------------------------------------
+
+def choose_resolution(df, lat_col: str, lon_col: str, *,
+                      target_rows_per_cell: int = 100_000,
+                      res_candidates=range(3, 16),
+                      rsd: float = 0.05) -> tuple[int, dict[int, float]]:
+    """Pick the resolution whose mean occupied-cell size is closest to
+    ``target_rows_per_cell`` (ties -> finer).
+
+    The third planner-like driver utility next to the salt-factor chooser
+    (lineage.salted) and the broadcast sizer (sizing.py): too-coarse cells
+    skew the per-cell work (rasterize/kNN candidate blowup), too-fine
+    cells drown in task overhead and tiny files. One distributed pass
+    measures ALL candidate resolutions at once — each res is an
+    independent ``approx_count_distinct(cell_sql(res))`` expression in a
+    single global aggregate (map-side partials, one row out; the HLL
+    sketch keeps it O(1) memory per res regardless of N).
+
+    Returns ``(best_res, {res: mean_rows_per_occupied_cell})``.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for r in res_candidates:
+        aggs.append(F.approx_count_distinct(
+            F.expr(cell_sql(lat_col, lon_col, r)), rsd).alias(f"c{r}"))
+    row = df.agg(*aggs).first()
+    n = row["n"]
+    occupancy = {r: n / max(1, row[f"c{r}"]) for r in res_candidates}
+    best = min(occupancy,
+               key=lambda r: (abs(occupancy[r] - target_rows_per_cell), -r))
+    return best, occupancy

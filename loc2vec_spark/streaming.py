@@ -156,6 +156,63 @@ def incremental_tiling(spark: SparkSession, src_dir: str, out_dir: str,
     return stats
 
 
+# BIGINT for the integer metadata: the fixture tables are written by
+# pandas (int64 parquet physical type), and a declared INT would make
+# the file-source scan fail the whole microbatch on type mismatch
+MEDIA_SCHEMAS = {
+    "audio": ("audio_id STRING, bytes BINARY, rate BIGINT, "
+              "n_samples BIGINT, fmt STRING"),
+    "video": ("video_id STRING, bytes BINARY, w BIGINT, h BIGINT, "
+              "n_frames BIGINT, fps DOUBLE, fmt STRING"),
+}
+
+
+def incremental_media_stats(spark: SparkSession, src_dir: str,
+                            out_dir: str, checkpoint_dir: str, *,
+                            kind: str) -> dict:
+    """Resumable incremental ingestion of a multimodal binary table.
+
+    The media analog of :func:`incremental_tiling`: a file-source stream
+    over an audio/video parquet table, each microbatch decoded through
+    :func:`..operators.images.decode_av` (WAV / Y4M codec-free paths),
+    rows that fail decode landing in a per-batch dead-letter directory
+    (``ok=false`` quarantine — the decoder never aborts a batch), good
+    stats written under ``batch_id=<n>`` with overwrite for effective
+    exactly-once on replay. A re-run drains only files the checkpoint
+    has not committed.
+
+    Returns {"batches": n, "rows": good, "quarantined": bad}.
+    """
+    from .operators.images import decode_av
+
+    stream = spark.readStream.schema(MEDIA_SCHEMAS[kind]).parquet(src_dir)
+    stats = {"batches": 0, "rows": 0, "quarantined": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        decoded = decode_av(batch_df, kind=kind).cache()
+        good = decoded.filter(F.col("ok"))
+        bad = decoded.filter(~F.col("ok"))
+        n_bad = bad.count()
+        if n_bad:
+            bad.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "_dead_letter",
+                             f"batch_id={batch_id}"))
+        good.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "stats", f"batch_id={batch_id}"))
+        stats["batches"] += 1
+        stats["rows"] += good.count()
+        stats["quarantined"] += n_bad
+        decoded.unpersist()
+
+    q = (stream.writeStream
+               .foreachBatch(sink)
+               .option("checkpointLocation", checkpoint_dir)
+               .trigger(availableNow=True)
+               .start())
+    q.awaitTermination()
+    return stats
+
+
 def sessionize_stream(events: DataFrame, *, gap: str = "30 minutes",
                       watermark: str = "1 hour") -> DataFrame:
     """Gap-based session windows per user (stateful streaming aggregate).

@@ -202,3 +202,53 @@ def test_running_user_stats_accumulates_across_microbatches(spark,
         {u: v[0] for u, v in expected.items()}
     for u in expected:
         assert latest[u][1] == pytest.approx(expected[u][1], abs=1e-4)
+
+
+def test_incremental_media_stats_resume_and_quarantine(spark, tmp_path):
+    """Multimodal ingestion composes with the streaming resume machinery:
+    first drain decodes everything (corrupt clips -> dead-letter), a
+    re-run with no new files is a no-op, new files alone re-trigger."""
+    import pandas as pd
+
+    from loc2vec_spark.operators.audio import synth_audio_pdf
+    from loc2vec_spark.streaming import incremental_media_stats
+
+    src = tmp_path / "asrc"
+    src.mkdir()
+    pdf = synth_audio_pdf(34)  # 2 corrupt (i % 17 == 3)
+    pdf.iloc[:20].to_parquet(src / "part0.parquet")
+    pdf.iloc[20:].to_parquet(src / "part1.parquet")
+
+    out, ckpt = str(tmp_path / "aout"), str(tmp_path / "ackpt")
+    s1 = incremental_media_stats(spark, str(src), out, ckpt, kind="audio")
+    assert s1["rows"] + s1["quarantined"] == 34
+    assert s1["quarantined"] == 2
+    # all good rows decoded with real stats
+    got = spark.read.parquet(f"{out}/stats/*")
+    assert got.filter("rms IS NULL").count() == 0
+
+    # drained checkpoint: nothing new -> no batches, no rows
+    s2 = incremental_media_stats(spark, str(src), out, ckpt, kind="audio")
+    assert s2["rows"] == 0 and s2["quarantined"] == 0
+
+    # a late-arriving shard is picked up alone
+    pd.concat([synth_audio_pdf(5)]).assign(
+        audio_id=lambda d: "late_" + d["audio_id"]) \
+        .to_parquet(src / "part2.parquet")
+    s3 = incremental_media_stats(spark, str(src), out, ckpt, kind="audio")
+    assert s3["rows"] + s3["quarantined"] == 5
+
+
+def test_incremental_media_stats_video(spark, tmp_path):
+    from loc2vec_spark.operators.video import synth_video_pdf
+    from loc2vec_spark.streaming import incremental_media_stats
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    synth_video_pdf(13).to_parquet(src / "part0.parquet")  # 1 corrupt
+    s = incremental_media_stats(
+        spark, str(src), str(tmp_path / "vout"),
+        str(tmp_path / "vckpt"), kind="video")
+    assert s["rows"] == 12 and s["quarantined"] == 1
+    got = spark.read.parquet(str(tmp_path / "vout") + "/stats/*")
+    assert got.filter("motion IS NULL").count() == 0

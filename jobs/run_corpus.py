@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Training-corpus preparation job (task-brief pipeline, spark-submit).
+
+    spark-submit --py-files loc2vec_spark.zip jobs/run_corpus.py \
+        --docs <documents.parquet> --out <dir> \
+        [--min-quality 0.2] [--langs en,de,fr] [--embeddings <parquet>]
+
+The end-to-end run a 100-TB corpus owner would schedule nightly, wiring
+the pipeline operators this engine adds beyond the reference into one
+resumable job:
+
+documents table
+  -> quality scoring + token counts + language ID    (rowwise, codegen)
+  -> filter: min quality, allowed languages
+  -> exact dedup (full-text hash groupBy)
+  -> MinHash-LSH near-dup pairs -> connected components (transitive
+     duplicate clusters, large-star/small-star — no driver graph state)
+  -> canonical representative per cluster (min doc_id, the
+     dedup_components convention)
+  -> deduped corpus written with lineage manifests (bucketed, resumable)
+  [-> optional: IVF-blocked embedding near-dup pair count, reported]
+
+Every stage is a registered, oracle-checked operator (text_quality,
+text_langid, dedup_exact, dedup_minhash_lsh, dedup_components,
+dedup_embedding_ivf); this job is their composition, so the
+correctness evidence carries over. Prints one JSON stats line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from loc2vec_spark import lineage  # noqa: E402
+from loc2vec_spark.queries import QUERIES  # noqa: E402
+from loc2vec_spark.session import get_spark  # noqa: E402
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.0,
+                    help="min stopword_ratio-based quality score")
+    ap.add_argument("--langs", default="",
+                    help="comma-separated allowed lang_pred (empty = all)")
+    ap.add_argument("--embeddings", default=None,
+                    help="optional embeddings parquet for the IVF "
+                         "near-dup report")
+    ap.add_argument("--keep-session", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="loc2vec_corpus")
+    from loc2vec_spark.packaging import ensure_workers_can_import
+    ensure_workers_can_import(spark)
+
+    docs = spark.read.parquet(args.docs)
+    docs.createOrReplaceTempView("documents")
+    stats = {"input_docs": docs.count()}
+
+    # 1. rowwise annotation: quality + tokens (text_quality) and langid —
+    # the registered operators' own SQL, joined on doc_id
+    quality = spark.sql(QUERIES["text_quality"].spark_sql)
+    langid = spark.sql(QUERIES["text_langid"].spark_sql) \
+                  .select("doc_id", "lang_pred")
+    annotated = docs.join(quality, "doc_id").join(langid, "doc_id")
+
+    # 2. filters (NULL-safe: NULL text/quality rows are dropped and
+    # counted, never silently lost)
+    keep = F.coalesce(F.col("stopword_ratio") >= args.min_quality,
+                      F.lit(False))
+    if args.langs:
+        keep = keep & F.col("lang_pred").isin(args.langs.split(","))
+    kept = annotated.filter(keep).cache()
+    stats["after_quality_filter"] = kept.count()
+    stats["filtered_out"] = stats["input_docs"] - stats["after_quality_filter"]
+
+    # 3. exact dedup: one representative (min doc_id) per identical text
+    exact = kept.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("n_exact_copies"))
+    survivors = kept.join(exact.select("doc_id", "n_exact_copies"),
+                          "doc_id").cache()
+    stats["after_exact_dedup"] = survivors.count()
+
+    # 4. near-dup clusters: the registered transitive-closure operator
+    # runs over the FULL documents view (its pair generation is the
+    # materialized shingle->minhash->band pipeline); survivors then map
+    # to their component's canonical id and only canonical docs remain
+    comp = QUERIES["dedup_components"].fn(spark, None) \
+        .withColumnRenamed("node", "doc_id")
+    labeled = survivors.join(comp, "doc_id")
+    cluster_sizes = labeled.groupBy("component").agg(
+        F.count("*").alias("cluster_size"),
+        F.min("doc_id").alias("canonical_id"))
+    final = labeled.join(cluster_sizes, "component") \
+                   .filter(F.col("doc_id") == F.col("canonical_id")) \
+                   .drop("canonical_id")
+    stats["near_dup_clusters_collapsed"] = \
+        cluster_sizes.filter("cluster_size > 1").count()
+
+    # 5. resumable bucketed write with lineage manifests
+    out_df = final.select(
+        "doc_id", "text", "lang", "lang_pred", "n_tokens",
+        "stopword_ratio", "n_exact_copies", "cluster_size",
+        F.pmod(F.xxhash64("doc_id"), F.lit(16)).alias("bucket"))
+    index = lineage.write_resumable(out_df,
+                                    os.path.join(args.out, "corpus"),
+                                    cell_col="bucket", id_col="doc_id")
+    stats["final_docs"] = sum(r["rows"] for r in index.values())
+    stats["partitions"] = len(index)
+
+    # 6. optional embedding near-dup report (IVF-blocked pairs)
+    if args.embeddings:
+        spark.read.parquet(args.embeddings) \
+             .createOrReplaceTempView("embeddings")
+        stats["embedding_near_dup_pairs"] = \
+            QUERIES["dedup_embedding_ivf"].fn(spark, None).count()
+
+    print(json.dumps(stats))
+    if not args.keep_session:
+        spark.stop()
+    return stats
+
+
+if __name__ == "__main__":
+    main()

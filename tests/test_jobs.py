@@ -81,3 +81,47 @@ def test_run_tiling_end_to_end(spark, images_dir, tmp_path):
              ["--images", images_dir, "--out", out, "--keep-session"],
              spark)
     assert spark.read.parquet(out).count() == n
+
+
+def test_run_corpus_end_to_end(spark, tmp_path):
+    """documents -> quality/langid filter -> exact + transitive near-dup
+    dedup -> lineage-manifested corpus; composition of the registered
+    oracle-checked operators."""
+    import json
+
+    out = str(tmp_path / "corpus_out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "corpusmod", os.path.join(repo, "jobs", "run_corpus.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stats = mod.main(["--docs", "/root/testdata/sf0.01/documents.parquet",
+                      "--out", out,
+                      "--embeddings",
+                      "/root/testdata/sf0.01/embeddings.parquet",
+                      "--keep-session"])
+
+    assert stats["input_docs"] == 500
+    # each stage only shrinks the corpus
+    assert stats["input_docs"] >= stats["after_quality_filter"] \
+        >= stats["after_exact_dedup"] >= stats["final_docs"] > 0
+    assert stats["embedding_near_dup_pairs"] > 0
+
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert corpus.count() == stats["final_docs"]
+    # canonical representatives are unique docs with cluster provenance
+    assert corpus.select("doc_id").distinct().count() == stats["final_docs"]
+    assert {"text", "lang_pred", "n_tokens", "cluster_size"} <= \
+        set(corpus.columns)
+    # a canonical doc is its cluster's min id: no doc in the output may
+    # have a smaller-id duplicate elsewhere in the output cluster
+    assert corpus.filter("cluster_size < 1").count() == 0
+
+    # resume: a re-run commits nothing new
+    stats2 = mod.main(["--docs",
+                       "/root/testdata/sf0.01/documents.parquet",
+                       "--out", out, "--keep-session"])
+    assert spark.read.parquet(os.path.join(out, "corpus")).count() \
+        == stats["final_docs"]
+    assert stats2["final_docs"] == 0  # all partitions already committed

@@ -146,7 +146,10 @@ def main() -> None:
 
     def _lift(t: dict, key: str) -> str:
         r, f = t.get(f"{key}_recall_at10"), t.get(f"{key}_candidate_frac")
-        return f"{r / f:.1f}x" if r and f else "n/a"
+        if r is None or f is None:
+            return "n/a"          # measurement genuinely absent
+        # a real 0.0 recall must print as 0.0x, not masquerade as n/a
+        return f"{r / f:.1f}x" if f else "inf" if r else "0.0x"
 
     tile = eff("tile_rows_per_sec")
     trip = eff("triplet_rows_per_sec")

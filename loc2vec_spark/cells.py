@@ -252,7 +252,14 @@ def choose_resolution(df, lat_col: str, lon_col: str, *,
     """
     from pyspark.sql import functions as F
 
-    aggs = [F.count(F.lit(1)).alias("n")]
+    res_candidates = list(res_candidates)
+    # numerator = rows that actually land in a cell: cell_sql is NULL-safe
+    # (NULL lat/lon -> NULL cell) and approx_count_distinct skips NULLs,
+    # so counting ALL rows would inflate occupancy on dirty data and bias
+    # the choice; F.count over the (res-independent) NULL-ness of one
+    # candidate's cell expression counts exactly the assignable rows
+    aggs = [F.count(F.expr(cell_sql(lat_col, lon_col,
+                                    res_candidates[0]))).alias("n")]
     for r in res_candidates:
         aggs.append(F.approx_count_distinct(
             F.expr(cell_sql(lat_col, lon_col, r)), rsd).alias(f"c{r}"))

@@ -46,6 +46,11 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         width = w.getsampwidth()
         ch = w.getnchannels()
         raw = w.readframes(n)
+    if rate <= 0:
+        # stdlib wave accepts a 0 fmt-chunk rate; it would crash rate
+        # consumers outside the quarantine try-blocks (audio_features'
+        # log-duration) — reject at the decode boundary instead
+        raise ValueError(f"non-positive sample rate {rate}")
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:

@@ -76,6 +76,13 @@ def decode_y4m(data: bytes) -> tuple[float, np.ndarray]:
             chroma = t[1:]
     if not w or not h:
         raise ValueError("Y4M header missing W/H")
+    if fps <= 0:
+        # a declared F0:1 would "decode" fine and then ZeroDivisionError
+        # in every fps consumer OUTSIDE the quarantine try-blocks
+        # (frame_sample's fno/fps, video_features' duration) — reject at
+        # the decode boundary so such clips quarantine like any corrupt
+        # input instead of aborting the task
+        raise ValueError(f"non-positive frame rate {fps}")
     if chroma.startswith("420"):
         frame_bytes = h * w + 2 * (h // 2) * (w // 2)
     elif chroma == "mono":

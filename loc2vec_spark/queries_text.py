@@ -292,8 +292,9 @@ _reg("dedup_embedding", Q(tables=("embeddings",), fn=_dedup_emb_fn,
 
 # The pure-SQL face of dedup_embedding is no longer its own registry
 # entry (the driver checks ~50 registrations; a duplicate face spent a
-# slot a contract query needs — VERDICT r1). test_similarity asserts the
-# Arrow kernel equals this SQL text bit-for-bit instead.
+# slot a contract query needs — VERDICT r1).
+# test_similarity.py::test_arrow_kernel_equals_registered_sql_text runs
+# THIS constant against the Arrow kernel bit-for-bit instead.
 EMBPAIRS_SPARK_SQL = _embpairs_sql(SPARK_BASE)
 
 
@@ -749,3 +750,10 @@ _reg("text_langid", Q(tables=("documents",), spark_sql=_LANGID_SQL,
 # closure replaced it in the registry.)
 
 register_ann_ivf()
+
+# §9 extras (w6/a9/a10/raster) register HERE, after this module's suite,
+# so the driver-window order is identical no matter whether queries or
+# queries_text is imported first (see _register_extras' rationale)
+from . import queries as _queries_mod  # noqa: E402
+
+_queries_mod._register_extras()

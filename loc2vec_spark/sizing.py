@@ -110,12 +110,16 @@ def arrow_batch_records(df: DataFrame, *,
                        / max(1, len(sample))))
     batch = start
     while True:
+        # budget check FIRST, on the CURRENT batch — checking only the
+        # next double could bless a start value that already exceeds the
+        # budget (wide binary rows: 40MB/row at a 64MB budget must yield
+        # 1, not start*2's worth of OOM)
+        if batch * width > mem_budget_bytes:      # would-OOM -> halve back
+            return max(1, batch // 2)
         if batch >= max_records:          # reference: >= max_batch_size
             return max_records
         if n_rows and batch >= n_rows:    # reference: >= no_samples
             return max(1, batch // 2)
-        if batch * 2 * width > mem_budget_bytes:  # would-OOM -> stop
-            return batch
         batch *= 2
 
 

@@ -64,3 +64,16 @@ def test_different_tones_get_different_spectra(spark):
     a = embs["aud_00000"]  # 110 Hz
     b = embs["aud_00005"]  # 660 Hz
     assert int(np.argmax(a)) != int(np.argmax(b))
+
+
+def test_zero_rate_wav_rejected_at_decode():
+    """stdlib wave accepts a 0 fmt-chunk sample rate; it must raise at
+    the decode boundary, not ZeroDivisionError in audio_features
+    (review finding r2)."""
+    import struct
+
+    good = A.encode_wav(np.zeros(16, dtype=np.int16), rate=8000)
+    i = good.index(struct.pack("<I", 8000))
+    bad = good[:i] + struct.pack("<I", 0) + good[i + 4:]
+    with pytest.raises(ValueError):
+        A.decode_wav(bad)

@@ -1,0 +1,40 @@
+"""Driver-window registration-order invariants (no SparkSession).
+
+The round driver records only the first ~50 entries of the registry in
+registration order, so the order is part of the driver contract: the 50
+contract/pipeline queries must precede the extras under EVERY import
+entry point (the circular queries <-> queries_text import makes this
+easy to silently invert — review finding r2)."""
+
+import subprocess
+import sys
+
+_PROBE = ("import loc2vec_spark.{first}; "
+          "import loc2vec_spark.queries as q; "
+          "print('\\n'.join(q.QUERIES))")
+
+
+def _order(first: str) -> list[str]:
+    out = subprocess.run(
+        [sys.executable, "-c", _PROBE.format(first=first)],
+        capture_output=True, text=True, check=True, cwd="/root/repo")
+    return out.stdout.strip().splitlines()
+
+
+def test_order_is_import_order_independent() -> None:
+    assert _order("queries") == _order("queries_text")
+
+
+def test_contract_block_precedes_extras() -> None:
+    names = _order("queries")
+    idx = {n: i for i, n in enumerate(names)}
+    extras = ["ann_ivf", "dedup_embedding_ivf", "w6_ranks", "a9_cube",
+              "a10_multidistinct", "raster_assembly", "pyramid_rollup"]
+    n_contract = len(names) - len(extras)
+    # every non-extra (contract/pipeline) query sits in the first block
+    for n in names:
+        if n not in extras:
+            assert idx[n] < n_contract, (n, idx[n])
+    # extras keep their documented internal order, after the block
+    assert [n for n in names if n in extras] == extras
+    assert idx["ann_ivf"] == n_contract

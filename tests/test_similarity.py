@@ -68,3 +68,24 @@ def test_block_count_invariance(spark, emb_df):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb
+
+
+def test_arrow_kernel_equals_registered_sql_text(spark):
+    """The de-registered SQL face (EMBPAIRS_SPARK_SQL) is exactly what
+    dedup_embedding's Arrow kernel must reproduce bit-for-bit — this is
+    the literal constant the queries_text comment points at, run on the
+    real embeddings table it was written for."""
+    from loc2vec_spark.queries import DIM as REG_DIM
+    from loc2vec_spark.queries_text import EMBPAIRS_SPARK_SQL
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    emb.createOrReplaceTempView("embeddings")
+    exp = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in spark.sql(EMBPAIRS_SPARK_SQL).collect()}
+    got = {(r["id_a"], r["id_b"]): round(r["cosine"], 6)
+           for r in blocked_pairs_cosine(
+               emb, id_col="vec_id", emb_col="embedding",
+               dim=REG_DIM, threshold=0.3).collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == exp[k], (k, got[k], exp[k])

@@ -104,3 +104,13 @@ def test_decode_av_dispatches_video(spark, video_df):
     assert out.filter("ok").count() == N_CLIPS - N_CORRUPT
     with pytest.raises(NotImplementedError):
         img_ops.decode_av(video_df, kind="mp4")
+
+
+def test_zero_fps_header_rejected_at_decode():
+    """F0:1 would 'decode' and then ZeroDivisionError in every fps
+    consumer outside the quarantine try-blocks (review finding r2) —
+    it must raise at the decode boundary instead."""
+    good = V.encode_y4m(np.zeros((2, 8, 8), dtype=np.uint8), fps=10)
+    bad = good.replace(b"F10:1", b"F0:1", 1)
+    with pytest.raises(ValueError):
+        V.decode_y4m(bad)

@@ -677,9 +677,49 @@ from . import queries_geo  # noqa: E402  (registers pip_exact)
 # text suite -> ann_ivf -> these extras -> raster) no matter which
 # module is imported first; the guard makes stray double-calls no-ops.
 
+def _asof_sql(base: int) -> str:
+    """Inclusive backward as-of join via the union-tag + last_value
+    window (operators/asof.py is the DataFrame face; the formulation —
+    ONE shuffle of |L|+|R| rows, no range-join blowup — is the same).
+    Each click gets the latest prior-or-equal view's value per user.
+    Engine-specific only in the IGNORE NULLS placement; DuckDB's native
+    ASOF JOIN independently cross-checks this in test_asof."""
+    lv = ("LAST_VALUE(rv IGNORE NULLS)" if base == DUCKDB_BASE
+          else "LAST_VALUE(rv) IGNORE NULLS")
+    ts_us = "epoch_us(ts)" if base == DUCKDB_BASE \
+        else "unix_micros(CAST(ts AS TIMESTAMP))"
+    return f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, value AS rv, NULL AS lv, 0 AS side
+  FROM events WHERE event_type = 'view'
+  UNION ALL
+  SELECT user_id, ts, event_id, NULL AS rv, value AS lv, 1 AS side
+  FROM events WHERE event_type = 'click'),
+filled AS (
+  SELECT user_id, ts, event_id, lv, side,
+         {lv} OVER (PARTITION BY user_id
+                    ORDER BY ts, side, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS asof_view_value
+  FROM tagged)
+SELECT event_id, user_id, CAST({ts_us} AS BIGINT) AS ts_us,
+       ROUND(lv, 6) AS click_value,
+       ROUND(asof_view_value, 6) AS asof_view_value
+FROM filled WHERE side = 1
+"""
+
+
 def _register_extras() -> None:
     if "w6_ranks" in QUERIES:
         return
+
+    _reg("asof_events", Q(tables=("events",),
+                          spark_sql=_asof_sql(SPARK_BASE),
+                          duck_sql=_asof_sql(DUCKDB_BASE),
+                          doc="as-of (temporal) join: each click joined "
+                              "to the latest prior-or-equal view per "
+                              "user — union-tag + last_value window, "
+                              "one |L|+|R| shuffle, no range blowup"))
 
     _shared("w6_ranks", ("orders",), """
 SELECT o_orderkey,

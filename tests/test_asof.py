@@ -1,0 +1,94 @@
+"""As-of join: DataFrame operator vs SQL face vs DuckDB native ASOF."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from loc2vec_spark.operators.asof import asof_join
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet").cache()
+
+
+def test_operator_matches_sql_face(spark, events):
+    """The DataFrame operator computes exactly the registered
+    asof_events SQL (same union-tag formulation)."""
+    from loc2vec_spark.functions import SPARK_BASE
+    from loc2vec_spark.queries import QUERIES, _asof_sql
+
+    events.createOrReplaceTempView("events")
+    clicks = events.filter("event_type = 'click'") \
+                   .select("event_id", "user_id", "ts", "value")
+    views = events.filter("event_type = 'view'") \
+                  .select("event_id", "user_id", "ts", "value")
+    got = asof_join(clicks, views, key_col="user_id", ts_col="ts",
+                    value_col="value", tiebreak_col="event_id",
+                    out_col="asof_view_value") \
+        .select("event_id", F.round("asof_view_value", 6)
+                .alias("asof_view_value"))
+    exp = spark.sql(QUERIES["asof_events"].spark_sql) \
+               .select("event_id", "asof_view_value")
+    assert got.count() == exp.count() == clicks.count()
+    assert got.exceptAll(exp).count() == 0
+    assert exp.exceptAll(got).count() == 0
+    assert _asof_sql(SPARK_BASE) == QUERIES["asof_events"].spark_sql
+
+
+def test_matches_duckdb_native_asof(spark, events):
+    """Independent cross-check against DuckDB's built-in ASOF JOIN
+    (different algorithm entirely). Native ASOF has no tie rule for
+    equal-ts right rows, so compare on the unambiguous rows (unique
+    (user_id, ts) on the view side — virtually all of them)."""
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{SF}/events.parquet')")
+    native = con.execute("""
+        WITH l AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+             r AS (SELECT user_id, ts, value FROM events
+                   WHERE event_type = 'view'
+                   QUALIFY COUNT(*) OVER (PARTITION BY user_id, ts) = 1)
+        SELECT l.event_id, ROUND(r.value, 6) AS v
+        FROM l ASOF LEFT JOIN r
+          ON l.user_id = r.user_id AND l.ts >= r.ts
+    """).fetchdf().set_index("event_id")["v"]
+
+    events.createOrReplaceTempView("events")
+    from loc2vec_spark.queries import QUERIES
+    mine = {r["event_id"]: r["asof_view_value"]
+            for r in spark.sql(QUERIES["asof_events"].spark_sql).collect()}
+    # restrict to clicks whose match came from an unambiguous view ts
+    n_checked = 0
+    for eid, v in native.items():
+        if pd.isna(v):
+            continue
+        assert mine[eid] == pytest.approx(v, abs=1e-9), eid
+        n_checked += 1
+    assert n_checked > 1000  # the check has teeth
+
+
+def test_semantics_handbuilt(spark):
+    """Inclusive boundary, tie-break by max id, NULL before any right."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(100, 1, t(5)), (101, 1, t(10)), (102, 2, t(3))],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+    right = spark.createDataFrame(
+        [(1, 1, t(5), 1.0), (2, 1, t(5), 2.0), (3, 1, t(7), 7.0),
+         (4, 9, t(1), 9.0)],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    out = {r["event_id"]: r["v"] for r in asof_join(
+        left, right.withColumnRenamed("event_id", "rid"),
+        key_col="user_id", ts_col="ts", value_col="value",
+        tiebreak_col="rid", out_col="v").collect()}
+    assert out[100] == 2.0   # inclusive ts=5; max-id tie wins over 1.0
+    assert out[101] == 7.0   # latest prior
+    assert out[102] is None  # user 2 has no views at all

@@ -721,6 +721,48 @@ def _register_extras() -> None:
                               "user — union-tag + last_value window, "
                               "one |L|+|R| shuffle, no range blowup"))
 
+    def _range_windows_sql(base: int) -> str:
+        """Per-(user, day) active window of 'view' events + the 'click'
+        points — the shared prelude of both range_events faces."""
+        us = "epoch_us(ts)" if base == DUCKDB_BASE \
+            else "unix_micros(CAST(ts AS TIMESTAMP))"
+        return f"""
+win AS (SELECT user_id,
+               CAST(FLOOR(CAST({us} AS DOUBLE) / 86400.0E6) AS BIGINT)
+                   AS day,
+               CAST(MIN({us}) AS BIGINT) AS start_us,
+               CAST(MAX({us}) AS BIGINT) AS end_us
+        FROM events WHERE event_type = 'view'
+        GROUP BY 1, 2),
+pts AS (SELECT event_id, user_id, CAST({us} AS BIGINT) AS ts_us
+        FROM events WHERE event_type = 'click')
+"""
+
+    def _range_fn(spark, sf_dir):
+        # Spark face: the BUCKETED operator (equi-join on (key, bucket),
+        # exact filter after) — deliberately a different algorithm from
+        # the oracle's theta join, so the hash match tests the bucketing
+        from .operators.interval import range_join
+        spark.sql(f"WITH {_range_windows_sql(SPARK_BASE).strip()} "
+                  "SELECT * FROM win").createOrReplaceTempView("_rw")
+        spark.sql(f"WITH {_range_windows_sql(SPARK_BASE).strip()} "
+                  "SELECT * FROM pts").createOrReplaceTempView("_rp")
+        out = range_join(spark.table("_rp"), spark.table("_rw"),
+                         key_col="user_id", ts_col="ts_us",
+                         start_col="start_us", end_col="end_us",
+                         bucket_width=3_600_000_000)  # 1h buckets
+        return out.select("event_id", "user_id", "day", "ts_us")
+
+    _reg("range_events", Q(
+        tables=("events",), fn=_range_fn,
+        duck_sql=f"WITH {_range_windows_sql(DUCKDB_BASE).strip()} "
+                 "SELECT p.event_id, p.user_id, w.day, p.ts_us "
+                 "FROM pts p JOIN win w ON w.user_id = p.user_id "
+                 "AND p.ts_us BETWEEN w.start_us AND w.end_us",
+        doc="range (interval-containment) join: clicks inside the same "
+            "user's daily view window — bucketed equi-join operator vs "
+            "a plain theta-join oracle (different algorithms)"))
+
     _shared("w6_ranks", ("orders",), """
 SELECT o_orderkey,
        RANK() OVER (PARTITION BY o_orderpriority

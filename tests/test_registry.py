@@ -28,9 +28,9 @@ def test_order_is_import_order_independent() -> None:
 def test_contract_block_precedes_extras() -> None:
     names = _order("queries")
     idx = {n: i for i, n in enumerate(names)}
-    extras = ["ann_ivf", "dedup_embedding_ivf", "asof_events", "w6_ranks",
-              "a9_cube", "a10_multidistinct", "raster_assembly",
-              "pyramid_rollup"]
+    extras = ["ann_ivf", "dedup_embedding_ivf", "asof_events",
+              "range_events", "w6_ranks", "a9_cube", "a10_multidistinct",
+              "raster_assembly", "pyramid_rollup"]
     n_contract = len(names) - len(extras)
     # every non-extra (contract/pipeline) query sits in the first block
     for n in names:

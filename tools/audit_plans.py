@@ -164,6 +164,26 @@ def main() -> None:
          s5b["python"] == 0),
     ])
 
+    # 5c. temporal joins — both must avoid nested-loop/cartesian plans
+    asof = qreg.run_spark(spark, SF, "asof_events")
+    s5c = summarize(plan_of(asof))
+    audit("asof_events (union-tag as-of join)", asof, [
+        ("no join operator at all — ONE shuffle (union + window), the "
+         "whole point vs a range theta join",
+         s5c["bhj"] + s5c["smj"] + s5c["bnlj"] == 0),
+        ("single window pass, pure Catalyst", s5c["python"] == 0),
+    ])
+    rng_q = qreg.run_spark(spark, SF, "range_events")
+    p5d = plan_of(rng_q)
+    s5d = summarize(p5d)
+    audit("range_events (bucketed range join)", rng_q, [
+        ("containment rides an equi-join (hash/sort-merge), never "
+         "BroadcastNestedLoopJoin",
+         s5d["bnlj"] == 0 and "CartesianProduct" not in p5d
+         and (s5d["bhj"] + s5d["smj"]) >= 1),
+        ("pure Catalyst", s5d["python"] == 0),
+    ])
+
     # 6. connected components — one large-star/small-star round
     from loc2vec_spark.operators.components import (_large_star,
                                                     _small_star)

@@ -92,3 +92,44 @@ def test_semantics_handbuilt(spark):
     assert out[100] == 2.0   # inclusive ts=5; max-id tie wins over 1.0
     assert out[101] == 7.0   # latest prior
     assert out[102] is None  # user 2 has no views at all
+
+
+def test_bucketed_scale_path_identical(spark, events):
+    """The hot-key scale path (bounded per-task history via time
+    buckets + carry-in summaries) computes exactly the plain result —
+    at several widths, including ones smaller than typical gaps (many
+    empty-carry buckets) and huge ones (single bucket = plain path)."""
+    clicks = events.filter("event_type = 'click'") \
+                   .select("event_id", "user_id", "ts", "value")
+    views = events.filter("event_type = 'view'") \
+                  .select(F.col("event_id").alias("rid"), "user_id",
+                          "ts", "value")
+    kw = dict(key_col="user_id", ts_col="ts", value_col="value",
+              tiebreak_col="rid", out_col="v")
+    plain = asof_join(clicks, views, **kw).cache()
+    assert plain.filter("v IS NOT NULL").count() > 1000
+    for width in (3600, 86_400, 10**9):
+        bucketed = asof_join(clicks, views, bucket_width=width, **kw)
+        assert plain.exceptAll(bucketed).count() == 0
+        assert bucketed.exceptAll(plain).count() == 0
+    plain.unpersist()
+
+
+def test_bucketed_semantics_handbuilt(spark):
+    """Carry-in crosses empty buckets; within-bucket right rows win."""
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, 0) \
+        + dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(100, 1, t(5)), (101, 1, t(3600 * 10)), (102, 1, t(3600 * 10 + 1))],
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP")
+    right = spark.createDataFrame(
+        [(1, 1, t(2), 2.0), (2, 1, t(3600 * 10), 10.0)],
+        "rid BIGINT, user_id BIGINT, ts TIMESTAMP, value DOUBLE")
+    out = {r["event_id"]: r["v"] for r in asof_join(
+        left, right, key_col="user_id", ts_col="ts", value_col="value",
+        tiebreak_col="rid", out_col="v", bucket_width=3600).collect()}
+    assert out[100] == 2.0    # same-bucket right row
+    assert out[101] == 10.0   # inclusive boundary inside bucket 10
+    assert out[102] == 10.0   # and it persists within the bucket

@@ -68,20 +68,34 @@ def parse_wkt(wkt: str) -> list[list[list[float]]]:
     m = _WKT_RE.match(wkt)
     if not m:
         raise ValueError(f"unsupported WKT geometry: {wkt[:40]!r}")
-    kind, body = m.group(1).upper(), m.group(2)
+    kind, body = m.group(1).upper(), m.group(2).strip()
+    # EMPTY geometries (real OSM extracts contain them) and any body not
+    # wrapped in parens raise the documented loud error, not IndexError
+    if not body.startswith("("):
+        raise ValueError(f"empty or malformed {kind} body: {body[:20]!r}")
     if kind == "POLYGON":
-        rings = _split_groups(body.strip()[1:-1])
+        rings = _split_groups(body[1:-1])
+        if not rings:
+            raise ValueError("POLYGON with no rings")
         if len(rings) > 1:
             raise ValueError("polygon holes are not supported (see "
                              "module docstring)")
         return [_parse_ring(rings[0])]
     parts = []
-    for part in _split_groups(body.strip()[1:-1]):
-        rings = _split_groups(part) or [part]
+    for part in _split_groups(body[1:-1]):
+        rings = _split_groups(part)
+        if not rings:
+            # a well-formed MULTIPOLYGON part is always ((...)); a
+            # single-paren part is a POLYGON body smuggled in — reject,
+            # never silently accept (review r2)
+            raise ValueError("malformed MULTIPOLYGON part (parts must "
+                             "be double-parenthesized)")
         if len(rings) > 1:
             raise ValueError("polygon holes are not supported (see "
                              "module docstring)")
         parts.append(_parse_ring(rings[0]))
+    if not parts:
+        raise ValueError("MULTIPOLYGON with no parts")
     return parts
 
 
@@ -135,9 +149,12 @@ def polygons_from_text(records, *, fmt: str = "wkt") -> pd.DataFrame:
                 "minx": float(xs.min()), "miny": float(ys.min()),
                 "maxx": float(xs.max()), "maxy": float(ys.max()),
             })
-    pdf = pd.DataFrame(rows)
-    if len(pdf):
-        pdf["layer_id"] = pdf["layer_id"].astype("int64")
+    cols = ["layer_id", "channel", "kind", "ring",
+            "minx", "miny", "maxx", "maxy"]
+    # typed-but-empty frame for empty input: pack_polygons downstream
+    # would otherwise KeyError on the missing columns
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf["layer_id"] = pdf["layer_id"].astype("int64")
     return pdf
 
 

@@ -90,14 +90,22 @@ def asof_join(left: DataFrame, right: DataFrame, *, key_col: str,
     # right value (max (ts, tb) wins, matching pass 1's order) — then a
     # per-key window over these FEW rows yields each bucket's carry-in
     # from strictly earlier buckets
+    # ordering key only for right rows with a NON-NULL value: the plain
+    # path's last(ignorenulls) skips null right values, so a bucket
+    # whose latest right row carries NULL must expose its latest
+    # non-null value as the carry, not mask earlier ones (review r2)
     summ = tagged.groupBy(key_col, "_b").agg(
-        F.max_by("_v", F.when(F.col("_side") == 0,
+        F.max_by("_v", F.when((F.col("_side") == 0)
+                              & F.col("_v").isNotNull(),
                               F.struct("_ts", "_tb"))).alias("_bv"))
     w2 = Window.partitionBy(key_col).orderBy("_b") \
                .rowsBetween(Window.unboundedPreceding, -1)
     carry = summ.withColumn("_cv",
                             F.last("_bv", ignorenulls=True).over(w2)) \
                 .select(key_col, "_b", "_cv")
-    out = within.join(carry, [key_col, "_b"]) \
+    # LEFT join: an inner join would silently drop left rows whose key
+    # or ts is NULL (equi-join keys are null-unsafe), breaking the
+    # "returns every left row" contract the plain path honors
+    out = within.join(carry, [key_col, "_b"], "left") \
                 .withColumn(out_col, F.coalesce("_wv", "_cv"))
     return out.filter(F.col("_side") == 1).select(*lcols, out_col)

@@ -48,27 +48,35 @@ def test_matches_duckdb_native_asof(spark, events):
     con = duckdb.connect()
     con.execute(f"CREATE VIEW events AS SELECT * FROM "
                 f"read_parquet('{SF}/events.parquet')")
+    # native ASOF over the FULL view set; ambiguity handled by skipping
+    # the affected CLICKS during comparison (filtering duplicate-ts view
+    # rows out of the reference input would change which view earlier
+    # clicks match, asserting a wrong expected value — review r2)
     native = con.execute("""
         WITH l AS (SELECT event_id, user_id, ts FROM events
                    WHERE event_type = 'click'),
              r AS (SELECT user_id, ts, value FROM events
-                   WHERE event_type = 'view'
-                   QUALIFY COUNT(*) OVER (PARTITION BY user_id, ts) = 1)
-        SELECT l.event_id, ROUND(r.value, 6) AS v
+                   WHERE event_type = 'view')
+        SELECT l.event_id, l.user_id, r.ts AS matched_ts,
+               ROUND(r.value, 6) AS v
         FROM l ASOF LEFT JOIN r
           ON l.user_id = r.user_id AND l.ts >= r.ts
-    """).fetchdf().set_index("event_id")["v"]
+    """).fetchdf().set_index("event_id")
+    dup = {(r[0], r[1]) for r in con.execute("""
+        SELECT user_id, ts FROM events WHERE event_type = 'view'
+        GROUP BY 1, 2 HAVING COUNT(*) > 1""").fetchall()}
 
     events.createOrReplaceTempView("events")
     from loc2vec_spark.queries import QUERIES
     mine = {r["event_id"]: r["asof_view_value"]
             for r in spark.sql(QUERIES["asof_events"].spark_sql).collect()}
-    # restrict to clicks whose match came from an unambiguous view ts
     n_checked = 0
-    for eid, v in native.items():
-        if pd.isna(v):
+    for eid, row in native.iterrows():
+        if pd.isna(row["v"]):
             continue
-        assert mine[eid] == pytest.approx(v, abs=1e-9), eid
+        if (row["user_id"], row["matched_ts"]) in dup:
+            continue  # native ASOF has no tie rule for equal-ts rights
+        assert mine[eid] == pytest.approx(row["v"], abs=1e-9), eid
         n_checked += 1
     assert n_checked > 1000  # the check has teeth
 
@@ -133,3 +141,25 @@ def test_bucketed_semantics_handbuilt(spark):
     assert out[100] == 2.0    # same-bucket right row
     assert out[101] == 10.0   # inclusive boundary inside bucket 10
     assert out[102] == 10.0   # and it persists within the bucket
+
+
+def test_bucketed_null_rows_and_null_values(spark):
+    """Review r2 regressions: NULL-ts left rows survive the bucketed
+    path, and a bucket whose LATEST right value is NULL still carries
+    its latest non-null value forward."""
+    left = spark.createDataFrame(
+        [(100, 1, 5000), (101, 1, None), (102, 1, 9000)],
+        "event_id BIGINT, user_id BIGINT, ts BIGINT")
+    right = spark.createDataFrame(
+        [(1, 1, 1000, 7.0), (2, 1, 2000, None)],
+        "rid BIGINT, user_id BIGINT, ts BIGINT, value DOUBLE")
+    for width in (100, 10_000):
+        out = {r["event_id"]: r["v"] for r in asof_join(
+            left, right, key_col="user_id", ts_col="ts",
+            value_col="value", tiebreak_col="rid", out_col="v",
+            bucket_width=width).collect()}
+        assert len(out) == 3          # NULL-ts row not dropped
+        assert out[101] is None
+        # latest right row (ts=2000) has NULL value; the non-null 7.0
+        # must still reach later buckets/rows
+        assert out[100] == 7.0 and out[102] == 7.0

@@ -77,3 +77,17 @@ def test_pip_join_identical_through_wkt(spark):
     b = pip.point_in_polygons(pip.pack_polygons(via_text), lon, lat)
     assert len(a[0]) > 50  # real hits
     assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+def test_empty_geometries_raise_loudly():
+    for bad in ("POLYGON EMPTY", "MULTIPOLYGON EMPTY", "POLYGON ()",
+                "MULTIPOLYGON ((0 0, 1 0, 1 1, 0 0))"):  # single-paren part
+        with pytest.raises(ValueError):
+            geotext.parse_wkt(bad)
+
+
+def test_empty_input_gives_typed_frame():
+    pdf = geotext.polygons_from_text([])
+    assert list(pdf.columns) == ["layer_id", "channel", "kind", "ring",
+                                 "minx", "miny", "maxx", "maxy"]
+    assert len(pdf) == 0

@@ -117,6 +117,74 @@ def write_partitioned(df: DataFrame, out_dir: str, *, cell_col: str,
             if r.get("run_id") == run_id}
 
 
+def compact_partitions(spark: SparkSession, out_dir: str, *,
+                       cell_col: str,
+                       target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Rewrite partitions holding more files than their bytes warrant
+    (Iceberg ``rewrite_data_files`` analog on plain parquet).
+
+    Long-running incremental jobs accrete a file per (run, partition);
+    at 10^5 partitions x 10^2 runs that is the small-files bomb that
+    slows every later scan (footer opens dominate). Driver-side fs
+    listing plays the role a table format's metadata would; each listed
+    partition is compacted when its file count exceeds
+    ``ceil(bytes / target_bytes)``. The rewrite repartitions rows into
+    per-partition hash slots so every compacted partition lands in at
+    most that many files, and commits via dynamic partition overwrite —
+    untouched partitions keep their files byte-identical, content and
+    lineage manifests (row counts, order-insensitive checksums) are
+    unchanged by construction, so ``done_partitions``/``resume_filter``
+    semantics survive compaction.
+    """
+    plan: dict[str, int] = {}
+    before = after = 0
+    for entry in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, entry)
+        if not entry.startswith(f"{cell_col}=") or not os.path.isdir(d):
+            continue
+        if any(e.startswith("salt=") for e in os.listdir(d)):
+            raise NotImplementedError(
+                "compact_partitions handles cell-partitioned layouts; "
+                "salted layouts compact per (cell, salt) — flatten the "
+                "salt first or extend the listing")
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        size = sum(os.path.getsize(os.path.join(d, f)) for f in files)
+        want = max(1, math.ceil(size / target_bytes))
+        before += len(files)
+        if len(files) > want:
+            plan[entry.split("=", 1)[1]] = want
+        else:
+            after += len(files)
+
+    if not plan:
+        return {"partitions_compacted": 0, "files_before": before,
+                "files_after": before}
+
+    slots = spark.createDataFrame([(int(c), k) for c, k in plan.items()],
+                                  f"{cell_col} BIGINT, _nslots INT")
+    table = spark.read.parquet(out_dir)
+    todo = table.join(F.broadcast(slots), cell_col)
+    data_cols = [c for c in table.columns if c != cell_col]
+    slot = F.pmod(F.xxhash64(*data_cols), F.col("_nslots"))
+    packed = todo.withColumn("_slot", slot) \
+                 .repartition(max(32, 2 * len(plan)), cell_col, "_slot") \
+                 .drop("_nslots", "_slot")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                          "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        packed.write.partitionBy(cell_col).mode("overwrite") \
+              .parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    for c in plan:
+        d = os.path.join(out_dir, f"{cell_col}={c}")
+        after += sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+    return {"partitions_compacted": len(plan), "files_before": before,
+            "files_after": after}
+
+
 def done_partitions(out_dir: str) -> set[int]:
     """Partitions with a committed lineage manifest row."""
     lin_dir = os.path.join(out_dir, LINEAGE_DIR)

@@ -68,3 +68,39 @@ def test_salting_splits_hot_cells(spark, pts, tmp_path):
     assert hot.count() >= 3  # each urban cell got salted
     # salting never loses rows
     assert back.count() == pts.count()
+
+
+def test_compact_partitions_preserves_content_and_resume(spark, tmp_path):
+    """Small-file compaction: file counts drop, bytes/rows/checksums and
+    resume semantics are untouched."""
+    import pandas as pd
+
+    from loc2vec_spark.lineage import (compact_partitions, done_partitions,
+                                       resume_filter, write_partitioned)
+
+    out = str(tmp_path / "compact_me")
+    pdf = pd.DataFrame({
+        "doc_id": range(4000),
+        "cell": [i % 5 for i in range(4000)],
+        "payload": [f"row_{i}" for i in range(4000)]})
+    # 16 shuffle partitions -> ~16 files PER cell partition
+    df = spark.createDataFrame(pdf).repartition(16)
+    write_partitioned(df, out, cell_col="cell", id_col="doc_id")
+    before = spark.read.parquet(out).orderBy("doc_id").collect()
+    done_before = done_partitions(out)
+
+    stats = compact_partitions(spark, out, cell_col="cell")
+    assert stats["partitions_compacted"] == 5
+    assert stats["files_after"] == 5  # tiny data -> 1 file per cell
+    assert stats["files_before"] > 5 * 10
+
+    # content identical, manifests + resume untouched
+    assert spark.read.parquet(out).orderBy("doc_id").collect() == before
+    assert done_partitions(out) == done_before
+    assert resume_filter(spark.createDataFrame(pdf), out,
+                         cell_col="cell").count() == 0
+
+    # idempotent: second compaction is a no-op
+    stats2 = compact_partitions(spark, out, cell_col="cell")
+    assert stats2["partitions_compacted"] == 0
+    assert stats2["files_after"] == stats2["files_before"] == 5

@@ -213,6 +213,28 @@ def incremental_media_stats(spark: SparkSession, src_dir: str,
     return stats
 
 
+def dedup_stream(rows: DataFrame, *, key_cols: list[str], ts_col: str,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: first arrival per key wins, re-deliveries
+    within the watermark are dropped with BOUNDED state.
+
+    The streaming face of the batch ``dedup_exact`` operator: an
+    at-least-once upstream (the replay semantics of every foreachBatch
+    sink here) re-delivers rows, and an unbounded ``dropDuplicates``
+    would grow its state key-set forever at 10^12-row scale.
+    ``dropDuplicatesWithinWatermark`` expires a key's state once the
+    watermark passes its event time — exact dedup against any
+    re-delivery inside the lateness bound, O(active window) state. On a
+    batch frame the same call degrades to plain dropDuplicates
+    semantics (first row per key in event-time order is kept by the
+    test's sort), which the stream-equals-batch test uses.
+    """
+    if rows.isStreaming:
+        return rows.withWatermark(ts_col, watermark) \
+                   .dropDuplicatesWithinWatermark(key_cols)
+    return rows.dropDuplicates(key_cols)
+
+
 def sessionize_stream(events: DataFrame, *, gap: str = "30 minutes",
                       watermark: str = "1 hour") -> DataFrame:
     """Gap-based session windows per user (stateful streaming aggregate).

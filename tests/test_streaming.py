@@ -252,3 +252,55 @@ def test_incremental_media_stats_video(spark, tmp_path):
     assert s["rows"] == 12 and s["quarantined"] == 1
     got = spark.read.parquet(str(tmp_path / "vout") + "/stats/*")
     assert got.filter("motion IS NULL").count() == 0
+
+
+def test_dedup_stream_drops_redeliveries_within_watermark(spark, tmp_path):
+    """Streaming exact dedup with bounded state: duplicate event_ids
+    re-delivered across microbatches surface exactly once."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from loc2vec_spark.streaming import EVENTS_SCHEMA, dedup_stream
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    mk = lambda eid, s: {  # noqa: E731
+        "event_id": eid, "ts": t0 + dt.timedelta(seconds=s),
+        "user_id": eid % 7, "event_type": "view",
+        "value": float(eid), "props": "{}"}
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    # batch 0: ids 0-49; batch 1 (same file drain): ids 25-74 — 25
+    # re-deliveries inside the watermark
+    def _write(rows, path):
+        pdf = pd.DataFrame(rows)
+        # microsecond timestamps: pandas' default ns parquet type
+        # mismatches the stream schema's TIMESTAMP
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(path)
+
+    _write([mk(i, i) for i in range(50)], src / "part0.parquet")
+    _write([mk(i, i) for i in range(25, 75)], src / "part1.parquet")
+
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    out_rows = []
+
+    def sink(batch_df, batch_id):
+        out_rows.extend(batch_df.collect())
+
+    q = (dedup_stream(stream, key_cols=["event_id"], ts_col="ts")
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "dckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    ids = [r["event_id"] for r in out_rows]
+    assert sorted(ids) == list(range(75))  # every id exactly once
+    assert len(ids) == len(set(ids))
+
+    # batch face: plain first-per-key dedup
+    batch = spark.createDataFrame(
+        pd.DataFrame([mk(i % 10, i) for i in range(40)]))
+    assert dedup_stream(batch, key_cols=["event_id"],
+                        ts_col="ts").count() == 10

@@ -47,7 +47,12 @@ def _read_manifest_rows(lin_dir: str) -> list[dict]:
             for line in f:
                 line = line.strip()
                 if line:
-                    out.append(json.loads(line))
+                    row = json.loads(line)
+                    # defensive: a row without a partition key (e.g.
+                    # written by an older build before NULL cells were
+                    # excluded) must not poison every consumer's int()
+                    if row.get("partition") is not None:
+                        out.append(row)
     return out
 
 
@@ -101,7 +106,14 @@ def write_partitioned(df: DataFrame, out_dir: str, *, cell_col: str,
 
     run_id = uuid.uuid4().hex
     lin_dir = os.path.join(out_dir, LINEAGE_DIR)
-    stats = (df.groupBy(cell_col)
+    # NULL-cell rows (cell_sql quarantines NULL lat/lon as NULL cells)
+    # land in Hive's default partition but get NO manifest row: a
+    # partition=null row would be dropped-field JSON that poisons every
+    # later done_partitions()/resume int() parse (review r2). They are
+    # therefore rewritten on every resume — quarantine rows belong in a
+    # dead-letter sink (streaming.quarantine_split), not here.
+    stats = (df.filter(F.col(cell_col).isNotNull())
+               .groupBy(cell_col)
                .agg(F.count("*").alias("rows"),
                     F.expr(f"bit_xor(xxhash64({id_col}))").alias("checksum"))
                .select(F.col(cell_col).cast("long").alias("partition"),

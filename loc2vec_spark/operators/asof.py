@@ -103,9 +103,14 @@ def asof_join(left: DataFrame, right: DataFrame, *, key_col: str,
     carry = summ.withColumn("_cv",
                             F.last("_bv", ignorenulls=True).over(w2)) \
                 .select(key_col, "_b", "_cv")
-    # LEFT join: an inner join would silently drop left rows whose key
-    # or ts is NULL (equi-join keys are null-unsafe), breaking the
-    # "returns every left row" contract the plain path honors
-    out = within.join(carry, [key_col, "_b"], "left") \
+    # LEFT join with NULL-SAFE keys: an inner join would silently drop
+    # left rows whose key or ts is NULL, and a null-unsafe left join
+    # would lose their cross-bucket carry-in (the plain path's window
+    # groups NULL keys together, so NULL-key carry is real — review r2)
+    carry = carry.withColumnRenamed(key_col, "_ck") \
+                 .withColumnRenamed("_b", "_cb")
+    cond = (F.col(key_col).eqNullSafe(F.col("_ck"))
+            & F.col("_b").eqNullSafe(F.col("_cb")))
+    out = within.join(carry, cond, "left") \
                 .withColumn(out_col, F.coalesce("_wv", "_cv"))
     return out.filter(F.col("_side") == 1).select(*lcols, out_col)

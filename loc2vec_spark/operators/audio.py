@@ -87,8 +87,12 @@ def audio_stats(audio: DataFrame) -> DataFrame:
                     sb = np.signbit(x).astype(np.int8)
                     zc = float(np.mean(np.abs(np.diff(sb)))) \
                         if len(x) > 1 else 0.0
+                    # len-guard on rms too: np.mean over an empty clip
+                    # is NaN (+ RuntimeWarning), and a NaN rms under
+                    # ok=true silently falsifies downstream comparisons
                     out.append((aid, True, rate, len(x), len(x) / rate,
-                                round(float(np.sqrt(np.mean(x * x))), 6),
+                                round(float(np.sqrt(np.mean(x * x))), 6)
+                                if len(x) else 0.0,
                                 round(float(np.max(np.abs(x))), 6)
                                 if len(x) else 0.0,
                                 round(zc, 6)))

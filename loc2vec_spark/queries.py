@@ -796,8 +796,12 @@ FROM lineitem GROUP BY l_returnflag
 
     # raster/pyramid last: rows-only checks (no SQL oracle — pixel
     # goldens live in pytest), so they spend window slots least
-    # productively
-    queries_geo.register_raster()
+    # productively. hasattr guard: when queries_geo itself is the first
+    # import, it is still mid-initialization here (its own bottom call
+    # finishes the job — see queries_geo's tail); calling through a
+    # partial module would AttributeError (review r2)
+    if hasattr(queries_geo, "register_raster"):
+        queries_geo.register_raster()
 
 
 from . import queries_text  # noqa: E402,F401  (dedup/ANN/text suite;

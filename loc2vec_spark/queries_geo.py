@@ -97,3 +97,16 @@ def register_raster() -> None:
          Q(tables=("nation",), fn=_pyramid_fn, duck_sql=None,
            doc="raster pyramid: res-5 tiles max-pooled into res-4 "
                "parents (rows-only; geometry goldens in test_pyramid)"))
+
+
+# Completion hook for the queries_geo-first import path: queries.py's
+# _register_extras ran while this module was mid-initialization and had
+# to skip register_raster (hasattr guard). If that happened, finish here
+# so every entry point exposes the full registry (order of pip_exact/
+# raster shifts in this exotic path; the driver's entry point imports
+# queries first, where the canonical order holds — test_registry).
+from . import queries as _queries_mod  # noqa: E402
+
+if ("w6_ranks" in _queries_mod.QUERIES
+        and "raster_assembly" not in _queries_mod.QUERIES):
+    register_raster()

@@ -92,13 +92,18 @@ def _fingerprint_sql(base: int) -> str:
     # CAST(SUM(..) AS BIGINT): DuckDB SUM over integers yields HUGEINT,
     # which arrow-transfers as float64/decimal and hash-mismatched in the
     # driver env (CORRECTNESS_r01) — see the int-SUM note in queries.py.
-    # No overflow: tid < 2^31, pos+1 <= tokens/doc, sum < 2^47 at any
-    # realistic document length, well inside int64 on the Spark side too.
+    # Per-TERM modular reduction, not just on the final sum: an unreduced
+    # SUM(tid * (pos+1)) with tid < 2^31 passes 2^63 near ~93k tokens —
+    # a long book-length document would ARITHMETIC_OVERFLOW Spark's ANSI
+    # int64 while DuckDB sails on in HUGEINT (review r2). Reduced terms
+    # are < 2^31 each (products < 2^62, in-range), so the running sum
+    # stays in int64 up to 2^32 tokens per document.
     tid = f"({md5_id_sql('tok', base)} % {_M31})"
+    term = f"(({tid} * ((pos + 1) % {_M31})) % {_M31})"
     return f"""
 WITH {_tok(base)}
 SELECT doc_id,
-       CAST(SUM({tid} * (pos + 1)) % {_M31} AS BIGINT) AS fingerprint,
+       CAST(SUM({term}) % {_M31} AS BIGINT) AS fingerprint,
        COUNT(*) AS n_tokens
 FROM tok
 GROUP BY doc_id

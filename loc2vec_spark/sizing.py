@@ -46,21 +46,27 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     return size
 
 
+def _row_width(df: DataFrame, sample_rows: int) -> int:
+    """Avg serialized row width from a bounded Arrow-path sample —
+    measured, not declared (variable-width strings/arrays make declared
+    widths fiction). Shared by the size estimator and the batch probe so
+    the two can't silently diverge."""
+    sample = df.limit(sample_rows).toPandas()
+    return max(1, int(sample.memory_usage(index=False, deep=True).sum()
+                      / max(1, len(sample))))
+
+
 def sampled_size_bytes(df: DataFrame, sample_rows: int = 1000) -> int:
     """Row-count x sampled-avg-serialized-row-width estimate.
 
     One count + one bounded sample — two cheap jobs. The width probe
     serializes ``sample_rows`` rows through the same Arrow path the
     engine's operators use, mirroring nelement*element_size from the
-    reference but measured, not declared (variable-width strings/arrays
-    make declared widths fiction)."""
+    reference."""
     n = df.count()
     if n == 0:
         return 0
-    sample = df.limit(sample_rows).toPandas()
-    width = max(1, int(sample.memory_usage(index=False, deep=True).sum()
-                       / max(1, len(sample))))
-    return n * width
+    return n * _row_width(df, sample_rows)
 
 
 def estimate_bytes(df: DataFrame, sample_rows: int = 1000) -> int:
@@ -105,9 +111,7 @@ def arrow_batch_records(df: DataFrame, *,
     ``spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", n)``.
     """
     n_rows = df.count()
-    sample = df.limit(sample_rows).toPandas()
-    width = max(1, int(sample.memory_usage(index=False, deep=True).sum()
-                       / max(1, len(sample))))
+    width = _row_width(df, sample_rows)
     batch = start
     while True:
         # budget check FIRST, on the CURRENT batch — checking only the

@@ -225,14 +225,20 @@ def dedup_stream(rows: DataFrame, *, key_cols: list[str], ts_col: str,
     ``dropDuplicatesWithinWatermark`` expires a key's state once the
     watermark passes its event time — exact dedup against any
     re-delivery inside the lateness bound, O(active window) state. On a
-    batch frame the same call degrades to plain dropDuplicates
-    semantics (first row per key in event-time order is kept by the
-    test's sort), which the stream-equals-batch test uses.
+    batch frame the SAME semantics are computed deterministically: the
+    event-time-earliest row per key wins, ties broken by a hash of the
+    remaining columns (plain ``dropDuplicates`` keeps an arbitrary
+    scan-order row — run-to-run nondeterministic values, review r2).
     """
     if rows.isStreaming:
         return rows.withWatermark(ts_col, watermark) \
                    .dropDuplicatesWithinWatermark(key_cols)
-    return rows.dropDuplicates(key_cols)
+    from pyspark.sql import Window
+    others = [c for c in rows.columns if c not in key_cols]
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc_nulls_last(), F.xxhash64(*others))
+    return rows.withColumn("_rn", F.row_number().over(w)) \
+               .filter(F.col("_rn") == 1).drop("_rn")
 
 
 def sessionize_stream(events: DataFrame, *, gap: str = "30 minutes",

@@ -163,3 +163,21 @@ def test_bucketed_null_rows_and_null_values(spark):
         # latest right row (ts=2000) has NULL value; the non-null 7.0
         # must still reach later buckets/rows
         assert out[100] == 7.0 and out[102] == 7.0
+
+
+def test_bucketed_null_key_carry(spark):
+    """Review r2: NULL join keys group together in the plain path's
+    window, so the bucketed carry join must be null-safe to deliver
+    their cross-bucket carry-in."""
+    left = spark.createDataFrame(
+        [(100, None, 5000)],
+        "event_id BIGINT, user_id BIGINT, ts BIGINT")
+    right = spark.createDataFrame(
+        [(1, None, 1000, 7.0)],
+        "rid BIGINT, user_id BIGINT, ts BIGINT, value DOUBLE")
+    kw = dict(key_col="user_id", ts_col="ts", value_col="value",
+              tiebreak_col="rid", out_col="v")
+    plain = asof_join(left, right, **kw).collect()
+    buck = asof_join(left, right, bucket_width=100, **kw).collect()
+    assert plain[0]["v"] == 7.0
+    assert buck[0]["v"] == 7.0  # carry crosses buckets for NULL key too

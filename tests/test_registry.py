@@ -25,6 +25,14 @@ def test_order_is_import_order_independent() -> None:
     assert _order("queries") == _order("queries_text")
 
 
+def test_queries_geo_first_import_does_not_crash() -> None:
+    """The third public entry point (review r2: it AttributeError'd via
+    the partial-module register_raster call). Its order legitimately
+    shifts pip_exact/raster later — the driver enters via queries — but
+    the full registry must exist."""
+    assert sorted(_order("queries_geo")) == sorted(_order("queries"))
+
+
 def test_contract_block_precedes_extras() -> None:
     names = _order("queries")
     idx = {n: i for i, n in enumerate(names)}

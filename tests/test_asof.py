@@ -181,3 +181,42 @@ def test_bucketed_null_key_carry(spark):
     buck = asof_join(left, right, bucket_width=100, **kw).collect()
     assert plain[0]["v"] == 7.0
     assert buck[0]["v"] == 7.0  # carry crosses buckets for NULL key too
+
+
+def test_randomized_against_python_reference(spark):
+    """50 random instances in ONE Spark pass (case id folded into the
+    join key) vs a brute-force python as-of: plain and bucketed paths
+    both match on duplicates, ties, empty sides, and boundary hits."""
+    rng = np.random.default_rng(123)
+    lrows, rrows, expected = [], [], {}
+    eid = rid = 0
+    for case in range(50):
+        n_l, n_r = rng.integers(0, 12, 2)
+        rs = sorted(
+            [(int(rng.integers(0, 40)), float(rng.integers(0, 9)))
+             for _ in range(n_r)])
+        for ts, v in rs:
+            rid += 1
+            rrows.append((rid, case, ts, v))
+        for _ in range(n_l):
+            ts = int(rng.integers(0, 45))
+            eid += 1
+            lrows.append((eid, case, ts))
+            # python reference: latest right with r.ts <= ts; ties by
+            # max rid (insertion order is ts-sorted, so scan works)
+            best = None
+            for i, (rts, rv) in enumerate(rs):
+                if rts <= ts:
+                    best = (rts, i, rv)
+            expected[eid] = best[2] if best else None
+    left = spark.createDataFrame(lrows,
+                                 "event_id BIGINT, k BIGINT, ts BIGINT")
+    right = spark.createDataFrame(
+        rrows, "rid BIGINT, k BIGINT, ts BIGINT, value DOUBLE")
+    kw = dict(key_col="k", ts_col="ts", value_col="value",
+              tiebreak_col="rid", out_col="v")
+    for bw in (None, 7):
+        got = {r["event_id"]: r["v"]
+               for r in asof_join(left, right, bucket_width=bw,
+                                  **kw).collect()}
+        assert got == expected, f"bucket_width={bw}"

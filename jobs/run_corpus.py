@@ -108,7 +108,7 @@ def main(argv=None) -> None:
     # 5. resumable bucketed write with lineage manifests
     out_df = final.select(
         "doc_id", "text", "lang", "lang_pred", "n_tokens",
-        "stopword_ratio", "n_exact_copies", "cluster_size",
+        "stopword_ratio", "n_exact_copies", "component", "cluster_size",
         F.pmod(F.xxhash64("doc_id"), F.lit(16)).alias("bucket"))
     index = lineage.write_resumable(out_df,
                                     os.path.join(args.out, "corpus"),

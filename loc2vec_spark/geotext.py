@@ -116,7 +116,9 @@ def parse_geojson(geom: str | dict) -> list[list[list[float]]]:
         if len(rings) > 1:
             raise ValueError("polygon holes are not supported (see "
                              "module docstring)")
-        ring = [[float(x), float(y)] for x, y in rings[0]]
+        # RFC 7946 allows a third (altitude) element per position —
+        # accept and drop it rather than crash on valid extracts
+        ring = [[float(p[0]), float(p[1])] for p in rings[0]]
         if len(ring) < 4 or ring[0] != ring[-1]:
             raise ValueError("GeoJSON ring must be closed with >= 4 "
                              "points")

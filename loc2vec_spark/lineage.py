@@ -154,6 +154,11 @@ def compact_partitions(spark: SparkSession, out_dir: str, *,
         d = os.path.join(out_dir, entry)
         if not entry.startswith(f"{cell_col}=") or not os.path.isdir(d):
             continue
+        if entry.endswith("__HIVE_DEFAULT_PARTITION__"):
+            # NULL-cell quarantine rows: the writer itself creates this
+            # dir and rewrites it every resume — not an int partition,
+            # not compactable here (int() on it aborted the whole run)
+            continue
         if any(e.startswith("salt=") for e in os.listdir(d)):
             raise NotImplementedError(
                 "compact_partitions handles cell-partitioned layouts; "

@@ -85,8 +85,22 @@ def auto_broadcast_join(left: DataFrame, right: DataFrame, on,
     same decision for stats-less mid-pipeline frames. Over-threshold on
     both sides -> plain join (sort-merge / AQE decides), because a
     too-big broadcast is a driver+executor OOM, the cluster equivalent
-    of the reference's CUDA OOM this module exists to avoid."""
-    ls, rs = estimate_bytes(left), estimate_bytes(right)
+    of the reference's CUDA OOM this module exists to avoid.
+
+    The probe is CAPPED: deciding a hint must never cost a full pass
+    over an expensive pipeline, so the stats-less fallback counts at
+    most threshold/row_width + 1 rows (limit().count() stops early) —
+    hitting the cap already proves "too big to broadcast"."""
+    def probe(df: DataFrame) -> int:
+        size = plan_size_bytes(df)
+        if size is not None:
+            return size
+        width = _row_width(df, 1000)
+        cap = threshold_bytes // width + 1
+        n = df.limit(cap).count()
+        return n * width if n < cap else threshold_bytes + 1
+
+    ls, rs = probe(left), probe(right)
     if min(ls, rs) <= threshold_bytes:
         # operand order (and therefore join semantics) never changes —
         # only the small side gets the hint; Spark honors it when the

@@ -185,13 +185,28 @@ def incremental_media_stats(spark: SparkSession, src_dir: str,
     """
     from .operators.images import decode_av
 
+    id_col = f"{kind}_id"
     stream = spark.readStream.schema(MEDIA_SCHEMAS[kind]).parquet(src_dir)
     stats = {"batches": 0, "rows": 0, "quarantined": 0}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.cache()
         decoded = decode_av(batch_df, kind=kind).cache()
         good = decoded.filter(F.col("ok"))
-        bad = decoded.filter(~F.col("ok"))
+        # two quarantine classes, NEITHER silently dropped: decode
+        # failures (ok=false rows) and NULL-bytes rows, which the
+        # decoders filter out BEFORE decoding and so appear in neither
+        # ok bucket — without this union they'd vanish from both the
+        # output and the counts (the exact silent drop quarantine_split
+        # exists to prevent)
+        bad = decoded.filter(~F.col("ok")) \
+                     .select(id_col, F.lit("decode_failed").alias(
+                         "quarantine_reason")) \
+                     .unionByName(
+                         batch_df.filter(F.col("bytes").isNull())
+                                 .select(id_col,
+                                         F.lit("null_bytes").alias(
+                                             "quarantine_reason")))
         n_bad = bad.count()
         if n_bad:
             bad.write.mode("overwrite").parquet(
@@ -203,6 +218,7 @@ def incremental_media_stats(spark: SparkSession, src_dir: str,
         stats["rows"] += good.count()
         stats["quarantined"] += n_bad
         decoded.unpersist()
+        batch_df.unpersist()
 
     q = (stream.writeStream
                .foreachBatch(sink)
@@ -235,8 +251,11 @@ def dedup_stream(rows: DataFrame, *, key_cols: list[str], ts_col: str,
                    .dropDuplicatesWithinWatermark(key_cols)
     from pyspark.sql import Window
     others = [c for c in rows.columns if c not in key_cols]
+    # full-row key sets leave no tie-break columns — and need none, the
+    # candidate rows are identical (xxhash64 requires >= 1 arg)
+    tie = F.xxhash64(*others) if others else F.lit(0)
     w = Window.partitionBy(*key_cols).orderBy(
-        F.col(ts_col).asc_nulls_last(), F.xxhash64(*others))
+        F.col(ts_col).asc_nulls_last(), tie)
     return rows.withColumn("_rn", F.row_number().over(w)) \
                .filter(F.col("_rn") == 1).drop("_rn")
 

@@ -91,3 +91,10 @@ def test_empty_input_gives_typed_frame():
     assert list(pdf.columns) == ["layer_id", "channel", "kind", "ring",
                                  "minx", "miny", "maxx", "maxy"]
     assert len(pdf) == 0
+
+
+def test_geojson_altitude_positions_accepted():
+    geom = {"type": "Polygon",
+            "coordinates": [[[0, 0, 5.0], [2, 0, 5.0], [2, 2, 5.0],
+                             [0, 0, 5.0]]]}
+    assert geotext.parse_geojson(geom) == [[[0, 0], [2, 0], [2, 2], [0, 0]]]

@@ -112,11 +112,12 @@ def test_run_corpus_end_to_end(spark, tmp_path):
     assert corpus.count() == stats["final_docs"]
     # canonical representatives are unique docs with cluster provenance
     assert corpus.select("doc_id").distinct().count() == stats["final_docs"]
-    assert {"text", "lang_pred", "n_tokens", "cluster_size"} <= \
-        set(corpus.columns)
-    # a canonical doc is its cluster's min id: no doc in the output may
-    # have a smaller-id duplicate elsewhere in the output cluster
-    assert corpus.filter("cluster_size < 1").count() == 0
+    assert {"text", "lang_pred", "n_tokens", "component",
+            "cluster_size"} <= set(corpus.columns)
+    # exactly ONE representative per duplicate cluster survives — the
+    # component column is written precisely so this is checkable
+    assert corpus.select("component").distinct().count() \
+        == stats["final_docs"]
 
     # resume: a re-run commits nothing new
     stats2 = mod.main(["--docs",

@@ -104,3 +104,28 @@ def test_compact_partitions_preserves_content_and_resume(spark, tmp_path):
     stats2 = compact_partitions(spark, out, cell_col="cell")
     assert stats2["partitions_compacted"] == 0
     assert stats2["files_after"] == stats2["files_before"] == 5
+
+
+def test_compact_skips_hive_default_partition(spark, tmp_path):
+    """NULL-cell rows land in __HIVE_DEFAULT_PARTITION__; compaction
+    must skip that dir, not abort the whole run on int() (review r2)."""
+    import pandas as pd
+
+    from loc2vec_spark.lineage import compact_partitions, write_partitioned
+
+    out = str(tmp_path / "with_nulls")
+    pdf = pd.DataFrame({
+        "doc_id": range(400),
+        # nullable Int64: a plain None list would float-cast the column
+        # and write "cell=0.0" dirs the engine never produces
+        "cell": pd.array([None if i % 7 == 0 else i % 3
+                          for i in range(400)], dtype="Int64"),
+        "payload": ["x" * 10] * 400})
+    df = spark.createDataFrame(pdf).repartition(8)
+    write_partitioned(df, out, cell_col="cell", id_col="doc_id")
+    stats = compact_partitions(spark, out, cell_col="cell")
+    assert stats["partitions_compacted"] == 3  # the 3 real cells only
+    back = spark.read.parquet(out)
+    assert back.count() == 400  # NULL-cell rows untouched and present
+    assert back.filter("cell IS NULL").count() == len(
+        [i for i in range(400) if i % 7 == 0])

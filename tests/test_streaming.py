@@ -231,12 +231,17 @@ def test_incremental_media_stats_resume_and_quarantine(spark, tmp_path):
     s2 = incremental_media_stats(spark, str(src), out, ckpt, kind="audio")
     assert s2["rows"] == 0 and s2["quarantined"] == 0
 
-    # a late-arriving shard is picked up alone
-    pd.concat([synth_audio_pdf(5)]).assign(
-        audio_id=lambda d: "late_" + d["audio_id"]) \
-        .to_parquet(src / "part2.parquet")
+    # a late-arriving shard is picked up alone; include one NULL-bytes
+    # row — it must be QUARANTINED (dead-letter + count), not vanish
+    late = synth_audio_pdf(5).assign(
+        audio_id=lambda d: "late_" + d["audio_id"])
+    late.loc[len(late)] = {"audio_id": "late_null", "bytes": None,
+                           "rate": 8000, "n_samples": 0, "fmt": "wav"}
+    late.to_parquet(src / "part2.parquet")
     s3 = incremental_media_stats(spark, str(src), out, ckpt, kind="audio")
-    assert s3["rows"] + s3["quarantined"] == 5
+    assert s3["rows"] + s3["quarantined"] == 6
+    dl = spark.read.parquet(f"{out}/_dead_letter/*")
+    assert dl.filter("quarantine_reason = 'null_bytes'").count() == 1
 
 
 def test_incremental_media_stats_video(spark, tmp_path):

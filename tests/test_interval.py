@@ -67,3 +67,35 @@ def test_bucket_width_invariance(spark, fixture):
     b = range_join(pts_df, iv_df, key_col="key", ts_col="ts",
                    start_col="start", end_col="end", bucket_width=50_000)
     assert a.exceptAll(b).count() == 0 == b.exceptAll(a).count()
+
+
+def test_randomized_against_python_reference(spark):
+    """40 random cases in one pass (case folded into key): bucketed
+    range join vs brute-force python containment, odd widths included."""
+    rng = np.random.default_rng(77)
+    prow, irow, expected = [], [], set()
+    pid = iid = 0
+    for case in range(40):
+        ivs = []
+        for _ in range(int(rng.integers(0, 6))):
+            s = int(rng.integers(-50, 50))
+            e = s + int(rng.integers(0, 30))
+            iid += 1
+            ivs.append((iid, s, e))
+            irow.append((case, iid, s, e))
+        for _ in range(int(rng.integers(0, 10))):
+            ts = int(rng.integers(-60, 60))
+            pid += 1
+            prow.append((case, pid, ts))
+            for jid, s, e in ivs:
+                if s <= ts <= e:
+                    expected.add((pid, jid))
+    pts = spark.createDataFrame(prow, "key INT, pt_id INT, ts INT")
+    iv = spark.createDataFrame(irow,
+                               "key INT, iv_id INT, start INT, end INT")
+    for width in (1, 7, 1000):
+        got = {(r["pt_id"], r["iv_id"])
+               for r in range_join(pts, iv, key_col="key", ts_col="ts",
+                                   start_col="start", end_col="end",
+                                   bucket_width=width).collect()}
+        assert got == expected, f"width={width}"

@@ -17,8 +17,14 @@ from loc2vec_spark.png_codec import decode_png  # noqa: E402
 
 @pytest.fixture(scope="module")
 def images(spark, fixture_dir):
-    return spark.read.parquet(
+    # unpersist on teardown: the shared-session cache otherwise substitutes
+    # into OTHER modules' reads of the same parquet (cache substitution is
+    # plan-level), turning their pruned parquet scans into full-width
+    # InMemoryTableScans and breaking test_geo's ReadSchema pruning assert
+    df = spark.read.parquet(
         os.path.join(fixture_dir, "images.parquet")).cache()
+    yield df
+    df.unpersist()
 
 
 def test_sampling_is_seeded_and_capped(spark, images):

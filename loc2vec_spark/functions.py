@@ -32,6 +32,39 @@ def md5_id_sql(expr: str, base: int, hex_chars: int = 12) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, {hex_chars})) AS BIGINT)"
 
 
+def xor_sql(a: str, b: str, base: int) -> str:
+    """Portable bitwise XOR: Spark spells it ``^`` (DuckDB's ``^`` is
+    POWER — the classic silent-divergence trap), DuckDB spells it
+    ``xor(a, b)``."""
+    if base == SPARK_BASE:
+        return f"(({a}) ^ ({b}))"
+    return f"xor(({a}), ({b}))"
+
+
+def shl_sql(a: str, n: str, base: int) -> str:
+    """Portable left shift: Spark ``shiftleft`` (its ``<<`` only landed
+    in 4.0 and takes INT), DuckDB infix ``<<``."""
+    if base == SPARK_BASE:
+        return f"shiftleft(CAST({a} AS INT), CAST({n} AS INT))"
+    return f"(({a}) << ({n}))"
+
+
+def morton_sql(i_expr: str, j_expr: str, bits: int) -> str:
+    """Z-order (Morton) interleave of two non-negative ``bits``-wide ints
+    as ONE shared arithmetic expression (no engine-specific bit ops:
+    FLOOR-division and modulo extract each bit, multiplication places
+    it). 2*bits terms — whole-stage codegen keeps this cheap; the engine
+    uses it to co-locate spatially-near cells in file order so min/max
+    stats prune 2-D range predicates (storage.zorder_by)."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(CAST(FLOOR(({i_expr}) / {float(1 << b):.1f}E0) "
+                     f"AS BIGINT) % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"(CAST(FLOOR(({j_expr}) / {float(1 << b):.1f}E0) "
+                     f"AS BIGINT) % 2) * {1 << (2 * b)}")
+    return "(" + " + ".join(terms) + ")"
+
+
 def _terms(a: str, b: str, dim: int, base: int, op: str) -> list[str]:
     out = []
     for i in range(dim):

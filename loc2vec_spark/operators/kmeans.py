@@ -1,0 +1,107 @@
+"""Distributed k-means (Lloyd) over 2-D point columns.
+
+The reference has no clustering stage, but a training-data pipeline at
+10^12 rows needs one constantly: IVF coarse quantizers for ANN
+(`queries_text.ann_ivf` samples its quantizer; this trains one),
+semantic dedup bucketing, and geo region discovery over the tile table.
+
+Spark-first shape — each Lloyd iteration is:
+
+- **assignment**: the k centroids live on the driver (k rows), so the
+  argmin is a pure ROWWISE expression — ``array_min`` over an array of
+  (d2, cid) literal structs (struct ordering = distance with cid
+  tie-break). Zero shuffle, whole-stage codegen, no join at all: the
+  broadcast-join formulation this replaces still shuffled N*k rows into
+  a per-point window;
+- **update**: one partial-aggregatable groupBy(cid) (k groups) computing
+  the mean via fold-order-independent DECIMAL sums, then a k-row
+  ``collect()`` (the only driver traffic: k rows per iteration, never
+  the data).
+
+Determinism contract (same result at any parallelism / partitioning):
+inputs are 6dp-quantized, means are exact decimal sums divided once in
+double, distances are one fixed-order double expression, ties break on
+cid — so the assignment is a pure function of the input set. The
+``kmeans_latlon`` query face checks this bit-exactly against a DuckDB
+oracle that unrolls the same iterations as nested CTEs.
+
+Seeding: the initial centroids are the k points with the smallest
+seeded multiplicative hash of their id (portable SQL, same pick in the
+oracle) — deterministic k-means++-style spread would need a sequential
+driver loop over k; hash-pick is one top-k window and is the documented
+trade.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+_KNUTH = 2654435761  # same multiplier as queries._h
+
+
+def seed_hash_col(id_col: str, seed: int, mod: int = 1000003):
+    return F.expr(f"((({id_col} * {_KNUTH} + {seed}) % {mod} + {mod}) "
+                  f"% {mod})")
+
+
+@dataclass
+class KMeansResult:
+    assignments: DataFrame          # id, cid
+    centroids: list[tuple]          # (cid, clat, clon) after last update
+    history: list[list[tuple]]      # centroids after each iteration
+
+
+def assign_rowwise(points: DataFrame, cents: list[tuple],
+                   lat_col: str, lon_col: str) -> DataFrame:
+    """Add ``cid`` = argmin_c dist2(point, c) as a rowwise expression.
+
+    ``cents`` is [(cid, clat, clon)]: literals, not a join side. The
+    distance text matches the SQL oracle term order exactly:
+    (lat-clat)*(lat-clat) + (lon-clon)*(lon-clon).
+    """
+    structs = []
+    for cid, clat, clon in cents:
+        d2 = ((F.col(lat_col) - F.lit(clat))
+              * (F.col(lat_col) - F.lit(clat))
+              + (F.col(lon_col) - F.lit(clon))
+              * (F.col(lon_col) - F.lit(clon)))
+        structs.append(F.struct(d2.alias("d2"),
+                                F.lit(int(cid)).alias("cid")))
+    best = F.array_min(F.array(*structs))
+    return points.withColumn("cid", best["cid"])
+
+
+def lloyd(points: DataFrame, *, k: int = 4, iters: int = 2,
+          seed: int = 77, id_col: str = "vec_id",
+          lat_col: str = "lat", lon_col: str = "lon") -> KMeansResult:
+    """Run ``iters`` Lloyd iterations; see module docstring for the
+    exact-arithmetic determinism contract. ``points[lat_col/lon_col]``
+    must already be 6dp-quantized doubles (callers: ROUND(x, 6))."""
+    pts = points.select(id_col, lat_col, lon_col)
+
+    # seed pick: k smallest (hash, id) — one top-k window, no global sort
+    # of the data (WindowGroupLimit prunes map-side like w1_topk)
+    wseed = Window.orderBy(seed_hash_col(id_col, seed), F.col(id_col))
+    cents = [(i, r[lat_col], r[lon_col]) for i, r in enumerate(
+        pts.withColumn("rn", F.row_number().over(wseed))
+           .filter(F.col("rn") <= k).orderBy("rn").collect())]
+
+    history: list[list[tuple]] = []
+    asg = None
+    for _ in range(iters):
+        asg = assign_rowwise(pts, cents, lat_col, lon_col)
+        # exact decimal sums -> one double division: fold-order-free
+        upd = (asg.groupBy("cid").agg(
+            (F.sum(F.col(lat_col).cast("decimal(18,6)")).cast("double")
+             / F.count(F.lit(1))).alias("clat"),
+            (F.sum(F.col(lon_col).cast("decimal(18,6)")).cast("double")
+             / F.count(F.lit(1))).alias("clon")))
+        cents = sorted((r["cid"], r["clat"], r["clon"])
+                       for r in upd.collect())  # k rows, not the data
+        history.append(cents)
+    return KMeansResult(
+        assignments=asg.select(id_col, "cid"),
+        centroids=history[-1], history=history)

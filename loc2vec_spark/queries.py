@@ -794,6 +794,13 @@ FROM lineitem GROUP BY l_returnflag
 """, doc="A-extra: multiple exact distinct aggregates (expand-based "
          "plan; approx_count_distinct is the documented scale knob)")
 
+    # round-2 widening extras (all fully oracle-checked, so they sit
+    # before the rows-only raster pair): image phash near-dup, z-order
+    # locality, distributed k-means, stratified sampling, exact order
+    # statistics
+    from .queries_ml import register_ml_extras
+    register_ml_extras()
+
     # raster/pyramid last: rows-only checks (no SQL oracle — pixel
     # goldens live in pytest), so they spend window slots least
     # productively. hasattr guard: when queries_geo itself is the first

@@ -1,0 +1,229 @@
+"""Round-2 widening extras: image phash near-dup, z-order locality,
+distributed k-means, stratified sampling, exact order statistics.
+
+Registered from ``queries._register_extras`` AFTER the §2-contract and
+pipeline suites (driver-window discipline, see queries.py §9 note) and
+BEFORE the rows-only raster pair, since every query here carries a full
+DuckDB value-hash oracle.
+
+Scale notes per query live on the registrations; the shared theme is
+the same as the rest of the engine: candidate generation by equi-join
+(never cross product), rowwise fixed-order arithmetic both engines run
+identically, exact decimal sums wherever a fold-order could flip a
+hash.
+"""
+
+from __future__ import annotations
+
+from .functions import DUCKDB_BASE, SPARK_BASE, morton_sql, shl_sql, xor_sql
+from . import cells
+from .queries import PTS, Q, _h, _reg, _shared
+
+
+# ===========================================================================
+# dedup_phash — image near-dup via 64-bit perceptual-hash Hamming LSH
+# ===========================================================================
+# input_hint carries phash:int64 per image; at 10^12 rows the only
+# viable Hamming-neighbor search is band LSH: split the 64-bit code into
+# 4 x 16-bit bands — pigeonhole: hamming(a,b) <= 3 forces >= 1 identical
+# band — so candidate generation is a pure equi-join on (band, value)
+# and the exact Hamming filter runs only on collided pairs. The phash
+# here is synthesized deterministically from vec_id with planted
+# near-dup groups of 4 (each member flips one bit of a shared base), so
+# the oracle has guaranteed non-vacuous matches at every sf.
+
+def _phash_bands(base: int) -> str:
+    gid = "CAST(FLOOR(vec_id / 4.0E0) AS BIGINT)"
+    outs = []
+    for b in range(4):
+        bb = _h(f"{gid} * 4 + {b}", 71 + b, 65536)
+        flip = (f"CASE WHEN vec_id % 4 = {b} "
+                f"THEN {shl_sql('1', 'vec_id % 16', base)} ELSE 0 END")
+        outs.append(f"{xor_sql(bb, flip, base)} AS b{b}")
+    return f"codes AS (SELECT vec_id, {', '.join(outs)} FROM embeddings)"
+
+
+def _phash_sql(base: int) -> str:
+    ham = " + ".join(
+        f"bit_count({xor_sql(f'x.b{b}', f'y.b{b}', base)})"
+        for b in range(4))
+    return f"""
+WITH {_phash_bands(base)},
+bands AS (SELECT vec_id, 0 AS band, b0 AS v FROM codes
+          UNION ALL SELECT vec_id, 1, b1 FROM codes
+          UNION ALL SELECT vec_id, 2, b2 FROM codes
+          UNION ALL SELECT vec_id, 3, b3 FROM codes),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.v = b.v
+         WHERE a.vec_id < b.vec_id),
+pairs AS (SELECT c.id_a, c.id_b, CAST({ham} AS BIGINT) AS hamming
+          FROM cand c
+          JOIN codes x ON x.vec_id = c.id_a
+          JOIN codes y ON y.vec_id = c.id_b)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+# ===========================================================================
+# zorder_locality — Morton interleave + per-file bbox stats
+# ===========================================================================
+# The oracle face of storage.zorder_by: interleave the res-8 cell (ci,
+# cj) into a Morton code, bucket the sorted order into 32 "files", and
+# report each file's cell bounding box. Tight bboxes are exactly what
+# makes parquet min/max stats prune a 2-D range predicate: a lat-sorted
+# layout gives files spanning the full lon range (bbox_area ~ N7), the
+# z-order one gives near-square boxes. NTILE's global window is the
+# deterministic small-scale oracle; the operator's scale path is
+# repartitionByRange(morton) (sampled boundaries — same locality, no
+# single-task sort).
+
+def _zorder_sql() -> str:
+    i8, j8 = cells.ij_sql("lat", "lon", 8)
+    m = morton_sql("ci", "cj", 8)
+    return f"""
+WITH {PTS},
+c AS (SELECT vec_id, {i8} AS ci, {j8} AS cj FROM pts),
+m AS (SELECT vec_id, ci, cj, {m} AS morton FROM c),
+f AS (SELECT vec_id, ci, cj, morton,
+             NTILE(32) OVER (ORDER BY morton, vec_id) AS file_id
+      FROM m)
+SELECT file_id, COUNT(*) AS n_rows,
+       MIN(morton) AS min_z, MAX(morton) AS max_z,
+       CAST((MAX(ci) - MIN(ci) + 1) * (MAX(cj) - MIN(cj) + 1) AS BIGINT)
+           AS bbox_area
+FROM f GROUP BY file_id
+"""
+
+
+# ===========================================================================
+# kmeans_latlon — 2 unrolled Lloyd iterations, k=4
+# ===========================================================================
+
+_K, _ITERS, _SEED = 4, 2, 77
+
+
+def _kmeans_oracle_sql() -> str:
+    """Nested-CTE unroll of operators/kmeans.lloyd: same seed pick, same
+    fixed-order distance text, same decimal-sum means."""
+    d2 = "(lat - clat) * (lat - clat) + (lon - clon) * (lon - clon)"
+    mean = ("CAST(SUM(CAST({c} AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) "
+            "AS c{c}")
+    parts = [f"""
+WITH {PTS},
+p AS (SELECT vec_id, CAST(ROUND(lat, 6) AS DOUBLE) AS lat,
+             CAST(ROUND(lon, 6) AS DOUBLE) AS lon FROM pts),
+s0 AS (SELECT vec_id, lat, lon,
+              ROW_NUMBER() OVER (ORDER BY {_h('vec_id', _SEED, 1000003)},
+                                 vec_id) AS rn FROM p),
+c0 AS (SELECT rn - 1 AS cid, lat AS clat, lon AS clon FROM s0
+       WHERE rn <= {_K})"""]
+    prev = "c0"
+    for it in range(1, _ITERS + 1):
+        parts.append(f""",
+r{it} AS (SELECT vec_id, lat, lon, cid,
+          ROW_NUMBER() OVER (PARTITION BY vec_id
+                             ORDER BY {d2}, cid) AS rk
+          FROM p CROSS JOIN {prev}),
+a{it} AS (SELECT vec_id, lat, lon, cid FROM r{it} WHERE rk = 1),
+c{it} AS (SELECT cid, {mean.format(c='lat')}, {mean.format(c='lon')}
+          FROM a{it} GROUP BY cid)""")
+        prev = f"c{it}"
+    parts.append(f"""
+SELECT a.vec_id, a.cid,
+       ROUND(c.clat, 6) AS clat, ROUND(c.clon, 6) AS clon
+FROM a{_ITERS} a JOIN c{_ITERS} c ON a.cid = c.cid
+""")
+    return "".join(parts)
+
+
+def _kmeans_fn(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from .operators.kmeans import lloyd
+    pts = spark.sql(f"""
+WITH {PTS}
+SELECT vec_id, CAST(ROUND(lat, 6) AS DOUBLE) AS lat,
+       CAST(ROUND(lon, 6) AS DOUBLE) AS lon FROM pts""")
+    res = lloyd(pts, k=_K, iters=_ITERS, seed=_SEED)
+    cent = {cid: (clat, clon) for cid, clat, clon in res.centroids}
+    cmap = F.create_map(*[F.lit(x) for cid, (clat, clon) in cent.items()
+                          for x in (cid, clat)])
+    lmap = F.create_map(*[F.lit(x) for cid, (clat, clon) in cent.items()
+                          for x in (cid, clon)])
+    return (res.assignments
+            .withColumn("clat", F.round(cmap[F.col("cid")], 6))
+            .withColumn("clon", F.round(lmap[F.col("cid")], 6)))
+
+
+# ===========================================================================
+# stratified_sample — seeded per-stratum hash sampling
+# ===========================================================================
+# Deterministic Bernoulli-by-hash, NOT df.sample(): rates are exact-ish
+# per stratum, the pick is reproducible across engines/parallelism, and
+# at 10^12 rows it is a pure rowwise filter (no sampling state). The
+# rate table is a CASE here; a production run would broadcast-join a
+# rates dim instead — same plan shape as J7.
+
+_STRAT_SQL = f"""
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE {_h('doc_id', 91, 100)} <
+      CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 25 ELSE 10 END
+"""
+
+# ===========================================================================
+# a11_percentiles — exact median / p90 as order statistics
+# ===========================================================================
+# Exact by construction: ROW_NUMBER over a totally-ordered frame picks
+# the middle element(s); the median of an even group is the decimal-mean
+# of the two middles (no float interpolation — percentile_cont/
+# quantile_cont interpolate in engine-specific double order). The
+# documented scale knob is approx_percentile/t-digest; this is the
+# exact face that validates it.
+
+_PCTL_SQL = """
+WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
+                  ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                     ORDER BY l_extendedprice, l_orderkey,
+                                              l_linenumber) AS rn,
+                  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+           FROM lineitem)
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0E0) AS BIGINT)
+                       OR rn = CAST(FLOOR((n + 2) / 2.0E0) AS BIGINT)
+                     THEN CAST(v AS DECIMAL(18,2))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / SUM(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0E0) AS BIGINT)
+                      OR rn = CAST(FLOOR((n + 2) / 2.0E0) AS BIGINT)
+                    THEN 1 ELSE 0 END) AS median_price,
+       MAX(CASE WHEN rn = CAST(CEIL(0.9E0 * n) AS BIGINT) THEN v END)
+           AS p90_price,
+       MAX(n) AS n_rows
+FROM r GROUP BY l_returnflag
+"""
+
+
+def register_ml_extras() -> None:
+    _reg("dedup_phash", Q(
+        tables=("embeddings",),
+        spark_sql=_phash_sql(SPARK_BASE),
+        duck_sql=_phash_sql(DUCKDB_BASE),
+        doc="image near-dup: 64-bit phash Hamming<=3 via 4x16-bit band "
+            "LSH — equi-join candidates only (pigeonhole guarantee), "
+            "planted near-dup groups keep the oracle non-vacuous"))
+    _shared("zorder_locality", ("embeddings",), _zorder_sql(),
+            doc="z-order locality: Morton-interleaved (ci,cj) bucketed "
+                "into files + per-file bbox stats (the min/max-pruning "
+                "quality metric); operator face storage.zorder_by")
+    _reg("kmeans_latlon", Q(
+        tables=("embeddings",), fn=_kmeans_fn,
+        duck_sql=_kmeans_oracle_sql(),
+        doc=f"distributed k-means (k={_K}, {_ITERS} Lloyd iterations): "
+            "rowwise literal-centroid argmin (zero-shuffle assignment) "
+            "+ decimal-exact mean update vs a nested-CTE unrolled "
+            "oracle — operators/kmeans.py"))
+    _shared("stratified_sample", ("documents",), _STRAT_SQL,
+            doc="stratified sampling: seeded hash-Bernoulli per lang "
+                "stratum — deterministic, rowwise, engine-portable")
+    _shared("a11_percentiles", ("lineitem",), _PCTL_SQL,
+            doc="exact median/p90 as order statistics (decimal mean of "
+                "middles; approx_percentile is the documented scale "
+                "knob)")

@@ -54,3 +54,31 @@ def bucketed_join_is_shuffle_free(a: DataFrame, b: DataFrame,
              ._jdf.queryExecution().executedPlan().toString())
     return ("SortMergeJoin" in plan
             and "Exchange hashpartitioning" not in plan)
+
+
+def zorder_by(df: DataFrame, i_col: str, j_col: str, *, bits: int = 8,
+              n_files: int = 32) -> DataFrame:
+    """Z-order (Morton) clustering for 2-D min/max data skipping.
+
+    Interleaves the bits of two non-negative integer columns (cell i/j —
+    ``cells.ij_sql`` output) into a ``__z`` key, range-partitions on it,
+    and sorts within partitions — so each output file covers a compact
+    square-ish (i, j) region. Parquet footer min/max stats on ``i_col``/
+    ``j_col`` then prune 2-D range predicates (a k-ring probe, a bbox
+    scan) to a handful of files; a 1-D lat-sort layout leaves every file
+    spanning the full other dimension and prunes nothing on it.
+
+    Scale shape: ``repartitionByRange`` samples boundaries (no global
+    single-task sort — the NTILE formulation in the ``zorder_locality``
+    oracle is the deterministic small-scale face of exactly this) and
+    the write stays fully parallel. This is the plain-parquet analog of
+    Iceberg/Delta ``ZORDER BY`` table maintenance.
+    """
+    from pyspark.sql import functions as F
+
+    from .functions import morton_sql
+    z = F.expr(morton_sql(i_col, j_col, bits))
+    return (df.withColumn("__z", z)
+              .repartitionByRange(n_files, "__z")
+              .sortWithinPartitions("__z")
+              .drop("__z"))

@@ -140,6 +140,72 @@ def resize_images(images: DataFrame, *, out_px: int = 32) -> DataFrame:
         "bytes IS NOT NULL").mapInPandas(gen, RESIZE_SCHEMA)
 
 
+PHASH_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("phash", T.LongType()),
+    T.StructField("b0", T.IntegerType()),
+    T.StructField("b1", T.IntegerType()),
+    T.StructField("b2", T.IntegerType()),
+    T.StructField("b3", T.IntegerType()),
+])
+
+
+def _ahash64(arr: np.ndarray) -> int:
+    """64-bit average-hash: luma -> 8x8 block means (integral image,
+    exact, any h/w >= 8) -> threshold at the block-mean mean. Bit
+    (r*8+c) is bit 63-(r*8+c) of the int so hashes read row-major."""
+    gray = arr.astype(np.float64)
+    if gray.ndim == 3:
+        gray = gray.mean(axis=2)
+    hh, ww = gray.shape
+    ii = np.zeros((hh + 1, ww + 1))
+    ii[1:, 1:] = gray.cumsum(0).cumsum(1)
+    rb = (np.arange(9) * hh) // 8     # block boundaries
+    cb = (np.arange(9) * ww) // 8
+    sums = (ii[rb[1:], :][:, cb[1:]] - ii[rb[:-1], :][:, cb[1:]]
+            - ii[rb[1:], :][:, cb[:-1]] + ii[rb[:-1], :][:, cb[:-1]])
+    areas = np.outer(rb[1:] - rb[:-1], cb[1:] - cb[:-1])
+    blocks = sums / areas
+    bits = (blocks > blocks.mean()).ravel()
+    h = 0
+    for bit in bits:
+        h = (h << 1) | int(bit)
+    return h
+
+
+def phash_images(images: DataFrame) -> DataFrame:
+    """Image near-dup signatures: 64-bit average-hash + its 4x16-bit
+    LSH bands, straight off the decoded pixels.
+
+    The bands are the join key of the ``dedup_phash`` query's banded
+    Hamming search (hamming <= 3 guarantees a shared band), so this
+    operator is the executable bridge from real image payloads to that
+    equi-join: phash_images -> band explode -> bucket join -> exact
+    bit_count filter. The input_hint schema carries a precomputed
+    ``phash`` column for exactly this pipeline; this operator (re)derives
+    it from pixels. Average-hash, not DCT-phash: no scipy in the
+    container, and aHash's integral-image block means are exact in pure
+    numpy — the band/bit plumbing downstream is hash-agnostic.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    h = _ahash64(decode_png(bytes(data)))
+                except Exception:
+                    continue  # quarantined
+                signed = h - (1 << 64) if h >= (1 << 63) else h
+                bands = [(h >> s) & 0xFFFF for s in (48, 32, 16, 0)]
+                out.append((iid, signed, *bands))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PHASH_SCHEMA])
+
+    return images.select("image_id", "bytes").filter(
+        "bytes IS NOT NULL").mapInPandas(gen, PHASH_SCHEMA)
+
+
 def decode_av(images: DataFrame, *, kind: str) -> DataFrame:
     """Audio/video decode dispatcher.
 

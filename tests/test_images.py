@@ -70,3 +70,44 @@ def test_pyfiles_zip_importable(tmp_path):
     names = zipfile.ZipFile(z).namelist()
     assert "loc2vec_spark/__init__.py" in names
     assert "loc2vec_spark/operators/triplets.py" in names
+
+
+def test_phash_bands_reassemble_and_are_deterministic(spark, images):
+    out = img_ops.phash_images(images.limit(40)).toPandas()
+    assert len(out) == 40
+    again = img_ops.phash_images(images.limit(40)).toPandas()
+    assert out.sort_values("image_id").reset_index(drop=True).equals(
+        again.sort_values("image_id").reset_index(drop=True))
+    for r in out.itertuples():
+        u = r.phash + (1 << 64) if r.phash < 0 else r.phash
+        assert [(u >> s) & 0xFFFF for s in (48, 32, 16, 0)] \
+            == [r.b0, r.b1, r.b2, r.b3]
+
+
+def test_phash_near_dup_small_hamming_far_images_large(spark):
+    import pandas as pd
+    from loc2vec_spark.png_codec import encode_png
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    base = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    # structured image so block means are well-separated from the mean
+    grad = (np.arange(64)[:, None] * 4).clip(0, 255).astype(np.uint8)
+    base = ((base.astype(int) + grad[:, :, None]) // 2).astype(np.uint8)
+    near = base.copy()
+    near[:4, :4] = 255 - near[:4, :4]          # perturb one corner block
+    far = base[::-1, ::-1].copy()              # flipped: different layout
+
+    pdf = pd.DataFrame({"image_id": ["base", "near", "far"],
+                        "bytes": [encode_png(x) for x in (base, near, far)]})
+    out = img_ops.phash_images(spark.createDataFrame(pdf)) \
+        .toPandas().set_index("image_id")
+
+    def ham(a, b):
+        return bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(out.loc["base", "phash"], out.loc["near", "phash"]) <= 3
+    assert ham(out.loc["base", "phash"], out.loc["far", "phash"]) > 10
+    # the banded join's pigeonhole guarantee holds on the near pair
+    shared = sum(out.loc["base", f"b{i}"] == out.loc["near", f"b{i}"]
+                 for i in range(4))
+    assert shared >= 1

@@ -201,6 +201,52 @@ def main() -> None:
          s6["python"] == 0),
     ])
 
+    # 7. phash banded Hamming near-dup — equi-join candidates only
+    ph = qreg.run_spark(spark, SF, "dedup_phash")
+    p7 = plan_of(ph)
+    s7 = summarize(p7)
+    audit("dedup_phash (banded Hamming LSH)", ph, [
+        ("candidate generation is a hash equi-join on (band, value) — "
+         "no cartesian/nested-loop anywhere",
+         s7["bnlj"] == 0 and "CartesianProduct" not in p7
+         and (s7["bhj"] + s7["smj"]) >= 1),
+        ("exact Hamming filter stays JVM-side (bit_count codegen)",
+         s7["python"] == 0),
+    ])
+
+    # 8. k-means assignment — rowwise literal-centroid argmin
+    from loc2vec_spark.operators.kmeans import assign_rowwise
+    pts_km = spark.sql(
+        "SELECT vec_id, CAST(vec_id % 97 AS DOUBLE) AS lat, "
+        "CAST(vec_id % 89 AS DOUBLE) AS lon FROM embeddings")
+    asg_km = assign_rowwise(pts_km, [(0, 1.0, 2.0), (1, 50.0, 60.0),
+                                     (2, 10.0, 80.0)], "lat", "lon")
+    p8 = plan_of(asg_km)
+    s8 = summarize(p8)
+    audit("kmeans assignment (rowwise argmin)", asg_km, [
+        ("zero shuffles AND zero joins — centroids are literals, the "
+         "argmin is an array_min expression", s8["exchanges"] == 0
+         and s8["bhj"] + s8["smj"] + s8["bnlj"] == 0),
+        ("pure Catalyst", s8["python"] == 0),
+    ])
+
+    # 9. z-order write plan — one range exchange, no global sort
+    from loc2vec_spark import storage
+    zdf = storage.zorder_by(pts_km.selectExpr(
+        "vec_id", "CAST(lat AS BIGINT) AS ci", "CAST(lon AS BIGINT) AS cj"),
+        "ci", "cj", n_files=8)
+    p9 = plan_of(zdf)
+    s9 = summarize(p9)
+    audit("zorder_by (clustered write shape)", zdf, [
+        ("exactly one exchange: rangepartitioning on the Morton key "
+         "(sampled boundaries, no single-task global sort)",
+         s9["exchanges"] == 1 and "rangepartitioning" in p9),
+        ("sort is within-partition only (no Exchange SinglePartition)",
+         "SinglePartition" not in p9),
+        ("pure Catalyst (Morton interleave is arithmetic)",
+         s9["python"] == 0),
+    ])
+
     hdr = ("# PLANS.md — physical-plan audit (generated by "
            "tools/audit_plans.py)\n\n"
            "Every section asserts the plan properties the engine promises "

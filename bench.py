@@ -185,6 +185,20 @@ def bench_ann_recall(spark, sf_dir: str) -> dict:
         out[f"{key}_recall_at10"] = round(n_hit / n_want, 3)
         out[f"{key}_candidate_frac"] = round(
             cand_fn(spark).count() / denom_cand, 3)
+
+    # trained-codebook IVF (operators/ann.py): the production swap of
+    # ann_ivf's sampled quantizer — reported on the same harness
+    from loc2vec_spark.operators.ann import (ivf_trained,
+                                             ivf_trained_candidates,
+                                             train_codebook)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_codebook(emb, dim=64, k_cells=16, iters=3)
+    approx_t = ivf_trained(emb, cents, dim=64) \
+        .select("query_id", "neighbor_id")
+    n_hit_t = brute.join(approx_t, ["query_id", "neighbor_id"]).count()
+    out["ann_ivf_trained_recall_at10"] = round(n_hit_t / n_want, 3)
+    out["ann_ivf_trained_candidate_frac"] = round(
+        ivf_trained_candidates(emb, cents, dim=64).count() / denom_cand, 3)
     brute.unpersist()
     return out
 

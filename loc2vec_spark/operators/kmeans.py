@@ -105,3 +105,85 @@ def lloyd(points: DataFrame, *, k: int = 4, iters: int = 2,
     return KMeansResult(
         assignments=asg.select(id_col, "cid"),
         centroids=history[-1], history=history)
+
+
+# ---------------------------------------------------------------------------
+# vector (spherical) k-means — IVF codebook training
+# ---------------------------------------------------------------------------
+
+def _unit(vec: list[float]) -> list[float]:
+    n = sum(x * x for x in vec) ** 0.5
+    return [x / n for x in vec] if n > 0 else vec
+
+
+def assign_rowwise_vec(df: DataFrame, cents: list[tuple], vec_col: str,
+                       dim: int, *, norm_col: str,
+                       nprobe: int = 1) -> DataFrame:
+    """Centroid assignment over an array column, rowwise.
+
+    ``cents`` is [(cid, [unit components])] — literals. Score is cosine
+    = dot(vec, c) / nrm (centroids are unit), expression order fixed
+    (term i before i+1, matching functions.dot_sql). nprobe=1 adds
+    ``cid``; nprobe>1 explodes the nprobe best as (cid, crank).
+
+    Zero shuffle, zero join: the sampled-quantizer IVF's N x C cross
+    join + per-vector window (queries_text._ivf_prelude) exists because
+    its centroids are a *relation* shared with the SQL oracle; with a
+    driver-side codebook the argmax folds into whole-stage codegen.
+    """
+    structs = []
+    for cid, comps in cents:
+        dot = None
+        for i, c in enumerate(comps[:dim]):
+            term = F.col(vec_col)[i].cast("double") * F.lit(float(c))
+            dot = term if dot is None else dot + term
+        score = -(dot / F.col(norm_col))  # negate: array_min = best
+        structs.append(F.struct(score.alias("negcos"),
+                                F.lit(int(cid)).alias("cid")))
+    arr = F.array(*structs)
+    if nprobe == 1:
+        return df.withColumn("cid", F.array_min(arr)["cid"])
+    ranked = F.slice(F.array_sort(arr), 1, nprobe)
+    return (df.withColumn("__pr", ranked)
+              .select("*", F.posexplode("__pr").alias("__i", "__s"))
+              .withColumn("cid", F.col("__s.cid"))
+              .withColumn("crank", F.col("__i") + 1)
+              .drop("__pr", "__i", "__s"))
+
+
+def lloyd_vec(points: DataFrame, *, dim: int, k: int = 16, iters: int = 3,
+              seed: int = 77, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              norm_col: str = "nrm") -> KMeansResult:
+    """Spherical k-means over an array<float> column (IVF codebook).
+
+    Same execution shape as :func:`lloyd`: rowwise literal-centroid
+    assignment (zero shuffle), one k-group partial agg per iteration
+    (``dim`` decimal sums per group — fold-order-free), k rows collected
+    per iteration. Updated centroids are re-normalized to unit in fixed
+    driver-side order, so results are bit-identical at any parallelism.
+    """
+    pts = points.select(id_col, vec_col, norm_col)
+
+    wseed = Window.orderBy(seed_hash_col(id_col, seed), F.col(id_col))
+    seed_rows = (pts.withColumn("rn", F.row_number().over(wseed))
+                 .filter(F.col("rn") <= k).orderBy("rn").collect())
+    cents = [(i, _unit([float(x) for x in r[vec_col]]))
+             for i, r in enumerate(seed_rows)]
+
+    sums = [F.sum(F.round(F.col(vec_col)[i].cast("double"), 6)
+                  .cast("decimal(28,6)")).cast("double").alias(f"s{i}")
+            for i in range(dim)]
+    history: list[list[tuple]] = []
+    asg = None
+    for _ in range(iters):
+        asg = assign_rowwise_vec(pts, cents, vec_col, dim,
+                                 norm_col=norm_col, nprobe=1)
+        rows = (asg.groupBy("cid")
+                .agg(F.count(F.lit(1)).alias("n"), *sums).collect())
+        cents = sorted(
+            (r["cid"], _unit([r[f"s{i}"] / r["n"] for i in range(dim)]))
+            for r in rows)
+        history.append(cents)
+    return KMeansResult(assignments=asg.select(id_col, "cid"),
+                        centroids=history[-1], history=history)

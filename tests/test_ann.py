@@ -131,3 +131,64 @@ def test_rank_is_dense_and_bounded(spark):
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 10
     assert _ANN_T == 8 and _ANN_B == 8  # params BENCH documents
+
+
+def _trained_recall_frac(spark, X, k_cells=16, nprobe=4):
+    from loc2vec_spark.operators.ann import (ivf_trained,
+                                             ivf_trained_candidates,
+                                             train_codebook)
+    n = len(X)
+    qidx = [i for i in range(n) if i % 25 == 0]
+    exact = _exact_top10(X.astype(np.float64), qidx)
+    _as_view(spark, X)
+    emb = spark.table("embeddings")
+    cents = train_codebook(emb, dim=DIM, k_cells=k_cells, iters=3)
+    got = {}
+    for r in ivf_trained(emb, cents, dim=DIM, nprobe=nprobe).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(exact[q] & got.get(q, set())) for q in qidx)
+    recall = hits / (10 * len(qidx))
+    frac = ivf_trained_candidates(emb, cents, dim=DIM, nprobe=nprobe) \
+        .count() / (len(qidx) * (n - 1))
+    return recall, frac
+
+
+def test_ivf_trained_beats_sampled_on_clusters(spark):
+    """The Lloyd-trained codebook should place centroids ON the planted
+    clusters, so recall stays ~1 at a scan no larger than the sampled
+    quantizer's."""
+    rng = np.random.default_rng(5)
+    cents = rng.normal(size=(40, DIM))
+    X = np.repeat(cents, 12, axis=0) + 0.05 * rng.normal(size=(480, DIM))
+    r_t, f_t = _trained_recall_frac(spark, X.astype(np.float32))
+    r_s, f_s = _recall_and_frac(spark, X.astype(np.float32), _ann_ivf_fn,
+                                ann_ivf_candidates)
+    assert r_t >= 0.95, r_t
+    assert r_t >= r_s - 0.02, (r_t, r_s)
+    assert f_t <= f_s + 0.05, (f_t, f_s)
+
+
+def test_ivf_trained_deterministic_across_partitioning(spark):
+    from loc2vec_spark.operators.ann import train_codebook
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(300, DIM)).astype(np.float32)
+    _as_view(spark, X)
+    emb = spark.table("embeddings")
+    a = train_codebook(emb, dim=DIM, k_cells=8, iters=2)
+    b = train_codebook(emb.repartition(17), dim=DIM, k_cells=8, iters=2)
+    assert a == b  # bit-identical centroids, not allclose
+
+
+def test_trained_assignment_plan_is_rowwise(spark):
+    from loc2vec_spark.operators.ann import _normalized, train_codebook
+    from loc2vec_spark.operators.kmeans import assign_rowwise_vec
+    rng = np.random.default_rng(2)
+    X = rng.normal(size=(100, DIM)).astype(np.float32)
+    _as_view(spark, X)
+    emb = spark.table("embeddings")
+    cents = train_codebook(emb, dim=DIM, k_cells=4, iters=1)
+    asg = assign_rowwise_vec(_normalized(emb, "vec_id", "embedding", DIM),
+                             cents, "embedding", DIM, norm_col="nrm")
+    plan = asg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "EvalPython" not in plan

@@ -128,3 +128,56 @@ def anchor_tables(spark: SparkSession, anchor_root: str,
     if negative_root is not None:
         out["negative"] = read_image_tree(spark, negative_root)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Text-corpus ingestion (JSONL / CSV crawl dumps -> documents table)
+# ---------------------------------------------------------------------------
+
+DOCUMENTS_DDL = ("doc_id BIGINT, text STRING, lang STRING, "
+                 "source STRING, n_chars BIGINT")
+
+
+def read_documents(spark: SparkSession, path: str, *, fmt: str = "jsonl",
+                   schema: str = DOCUMENTS_DDL) -> tuple[DataFrame,
+                                                         DataFrame]:
+    """Ingest a crawl dump into the ``documents`` shape with a
+    dead-letter split: returns ``(good, quarantine)``.
+
+    Training corpora arrive as JSONL/CSV dumps with malformed lines in
+    the tail of every real crawl; one bad row of 10^12 must neither kill
+    the job (ANSI Spark throws on silent coercions) nor silently vanish.
+    PERMISSIVE mode routes unparseable lines into a corrupt-record
+    column; the quarantine frame carries the raw line for debugging —
+    same contract as ``streaming.quarantine_split`` for binary rows.
+
+    Scale notes: schema is explicit (inference = an extra full scan at
+    10^12 rows and a schema race across shards); line-delimited JSON and
+    CSV both split by newline, so a 100 TB dump parallelizes per block
+    with no coordination.
+    """
+    corrupt = "_corrupt"
+    full = f"{schema}, {corrupt} STRING"
+    if fmt == "jsonl":
+        df = (spark.read.schema(full)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", corrupt)
+              .json(path))
+    elif fmt == "csv":
+        df = (spark.read.schema(full)
+              .option("mode", "PERMISSIVE")
+              .option("columnNameOfCorruptRecord", corrupt)
+              .option("header", "true")
+              .csv(path))
+    else:
+        raise ValueError(f"unsupported corpus format: {fmt}")
+    # Spark refuses to filter on the corrupt column straight off the
+    # scan (SPARK-38523: it is populated only for parsed rows in the
+    # same pass) — cache the parsed frame first, then split
+    df = df.cache()
+    ok = F.col(corrupt).isNull() & F.col("doc_id").isNotNull()
+    good = df.filter(ok).drop(corrupt)
+    quarantine = (df.filter(~ok)
+                  .select(F.col(corrupt).alias("raw"),
+                          *[c for c in df.columns if c != corrupt]))
+    return good, quarantine

@@ -94,3 +94,39 @@ def test_anchor_tables_pairing(spark, png_tree):
     paired = (a.select("image_id", "channel").join(
         p.select("image_id", "channel"), ["image_id", "channel"]))
     assert paired.count() == 15
+
+
+def test_read_documents_jsonl_quarantines_bad_lines(spark, tmp_path):
+    from loc2vec_spark import sources
+    p = tmp_path / "dump.jsonl"
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en", '
+        '"source": "web", "n_chars": 11}',
+        'this is not json at all {{{',
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", '
+        '"source": "web", "n_chars": 7}',
+        '{"text": "no id field", "lang": "en", "source": "web", '
+        '"n_chars": 11}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    good, quar = sources.read_documents(spark, str(p))
+    g = good.toPandas().sort_values("doc_id")
+    assert list(g.doc_id) == [1, 2]
+    assert set(good.columns) == {"doc_id", "text", "lang", "source",
+                                 "n_chars"}
+    q = quar.toPandas()
+    # the unparseable line arrives raw; the null-id row is also held out
+    assert len(q) == 2
+    assert any("not json" in (r or "") for r in q.raw)
+
+
+def test_read_documents_csv_roundtrip(spark, tmp_path):
+    from loc2vec_spark import sources
+    p = tmp_path / "dump.csv"
+    p.write_text("doc_id,text,lang,source,n_chars\n"
+                 "1,alpha,en,web,5\n"
+                 "oops,not-a-bigint,en,web,xyz\n"
+                 "2,beta,de,web,4\n")
+    good, quar = sources.read_documents(spark, str(p), fmt="csv")
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    assert quar.count() == 1

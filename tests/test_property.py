@@ -115,3 +115,51 @@ def test_batch_probe_bounds(n_rows, width, budget):
                                    max_records=4096)
     assert 1 <= n <= 4096
     assert n == 4096 or (n & (n - 1)) == 0
+
+
+# --- round-2 kernels: morton interleave + average-hash -------------------
+
+def _morton_ref(i: int, j: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((i >> b) & 1) << (2 * b + 1)
+        z |= ((j >> b) & 1) << (2 * b)
+    return z
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(0, 255), st.integers(0, 255))
+def test_morton_sql_matches_reference(i, j):
+    """The arithmetic bit-spread (shared SQL text) equals true bit
+    interleave — evaluated in python on the same formula the SQL uses."""
+    from loc2vec_spark.functions import morton_sql
+    import re
+    expr = morton_sql("I", "J", 8)
+    # the expression uses only FLOOR-div, %, * and + — evaluate it
+    py = re.sub(r"CAST\(FLOOR\(\((\w)\) / (\d+)\.0E0\) AS BIGINT\)",
+                lambda m: f"(({m.group(1)}) // {m.group(2)})", expr)
+    assert eval(py, {"I": i, "J": j}) == _morton_ref(i, j, 8)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(0, 255), st.integers(0, 255))
+def test_morton_locality_parent_prefix(i, j):
+    """Halving resolution = dropping the two low bits: the Morton code
+    of the parent cell is the child's code >> 2 — the property that
+    makes one z-sorted layout serve every coarser cell resolution."""
+    assert _morton_ref(i, j, 8) >> 2 == _morton_ref(i >> 1, j >> 1, 7)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(8, 48), st.integers(8, 48),
+       st.booleans())
+def test_ahash_properties(seed, h, w, rgb):
+    """64-bit output domain, exact invariance to a global brightness
+    shift that preserves block ordering (+content determinism)."""
+    from loc2vec_spark.operators.images import _ahash64
+    arr = _arr(seed, (h, w, 3) if rgb else (h, w)).astype(np.int64)
+    hsh = _ahash64(arr.astype(np.uint8))
+    assert 0 <= hsh < (1 << 64)
+    assert hsh == _ahash64(arr.astype(np.uint8))  # deterministic
+    # affine brightness scale preserves every block comparison
+    assert _ahash64((arr * 2).astype(np.int64)) == hsh

@@ -797,9 +797,14 @@ FROM lineitem GROUP BY l_returnflag
     # round-2 widening extras (all fully oracle-checked, so they sit
     # before the rows-only raster pair): image phash near-dup, z-order
     # locality, distributed k-means, stratified sampling, exact order
-    # statistics
-    from .queries_ml import register_ml_extras
-    register_ml_extras()
+    # statistics, PII scrub. hasattr guard like queries_geo's: when
+    # queries_ml itself is the first import it is mid-initialization
+    # here (its `from .queries import ...` line triggered this whole
+    # chain before register_ml_extras was defined) — its own bottom
+    # completion hook finishes the job in that exotic path
+    from . import queries_ml
+    if hasattr(queries_ml, "register_ml_extras"):
+        queries_ml.register_ml_extras()
 
     # raster/pyramid last: rows-only checks (no SQL oracle — pixel
     # goldens live in pytest), so they spend window slots least

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from .functions import DUCKDB_BASE, SPARK_BASE, morton_sql, shl_sql, xor_sql
 from . import cells
-from .queries import PTS, Q, _h, _reg, _shared
+from .queries import PTS, QUERIES, Q, _h, _reg, _shared
 
 
 # ===========================================================================
@@ -155,6 +155,54 @@ SELECT vec_id, CAST(ROUND(lat, 6) AS DOUBLE) AS lat,
 
 
 # ===========================================================================
+# text_pii_scrub — email/phone redaction over the corpus
+# ===========================================================================
+# Rowwise regexp pipeline (codegen; at 10^12 rows PII scrubbing is pure
+# map work). Dialect traps this registration encodes: DuckDB's
+# regexp_replace replaces only the FIRST match without the 'g' flag
+# (Spark always replaces all), and string-literal backslash handling
+# differs between the engines — so the patterns use [.] / [0-9]
+# character classes instead of escapes and are byte-identical in both
+# texts. The driver's documents have no organic PII, so both engines
+# plant deterministic emails/phones first — the scrub is then verified
+# against real matches, not a vacuous zero.
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PHONE_RE = "[+][0-9]{1,2} [(][0-9]{3}[)] [0-9]{3}-[0-9]{4}"
+
+
+def _pii_sql(base: int) -> str:
+    def rre(s: str, pat: str, rep: str) -> str:
+        if base == SPARK_BASE:
+            return f"REGEXP_REPLACE({s}, '{pat}', '{rep}')"
+        return f"REGEXP_REPLACE({s}, '{pat}', '{rep}', 'g')"
+
+    def rcount(s: str, pat: str) -> str:
+        if base == SPARK_BASE:
+            return f"CAST(REGEXP_COUNT({s}, '{pat}') AS BIGINT)"
+        return f"CAST(LEN(REGEXP_EXTRACT_ALL({s}, '{pat}')) AS BIGINT)"
+
+    scrub = rre(rre("t", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>")
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' contact user' || CAST(doc_id AS STRING)
+                   || '@example.com now'
+              WHEN doc_id % 3 = 1
+              THEN text || ' call +1 (555) 010-'
+                   || CAST(1000 + doc_id % 9000 AS STRING)
+              ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+       {rcount('t', _EMAIL_RE)} AS n_emails,
+       {rcount('t', _PHONE_RE)} AS n_phones,
+       {scrub} AS scrubbed
+FROM aug
+"""
+
+
+# ===========================================================================
 # stratified_sample — seeded per-stratum hash sampling
 # ===========================================================================
 # Deterministic Bernoulli-by-hash, NOT df.sample(): rates are exact-ish
@@ -202,6 +250,11 @@ FROM r GROUP BY l_returnflag
 
 
 def register_ml_extras() -> None:
+    # idempotent (register_ann_ivf pattern): under the queries-first
+    # path the bottom completion hook fires while _register_extras is
+    # mid-`import queries_ml`, and _register_extras then calls again
+    if "dedup_phash" in QUERIES:
+        return
     _reg("dedup_phash", Q(
         tables=("embeddings",),
         spark_sql=_phash_sql(SPARK_BASE),
@@ -227,3 +280,24 @@ def register_ml_extras() -> None:
             doc="exact median/p90 as order statistics (decimal mean of "
                 "middles; approx_percentile is the documented scale "
                 "knob)")
+    _reg("text_pii_scrub", Q(
+        tables=("documents",),
+        spark_sql=_pii_sql(SPARK_BASE),
+        duck_sql=_pii_sql(DUCKDB_BASE),
+        doc="PII redaction: email/phone regexp scrub + match counts "
+            "(rowwise codegen; planted PII keeps the oracle "
+            "non-vacuous; DuckDB 'g'-flag + escape-free patterns)"))
+
+
+# Completion hook for the queries_ml-first import path (mirrors
+# queries_geo's): this module's `from .queries import ...` line pulls
+# the whole registration chain in before register_ml_extras exists, so
+# queries._register_extras skipped us via its hasattr guard. If that
+# happened, finish here (order of the ml extras shifts after raster in
+# this exotic path; the driver's entry point imports queries first,
+# where the canonical order holds — test_registry).
+from . import queries as _queries_mod  # noqa: E402
+
+if ("w6_ranks" in _queries_mod.QUERIES
+        and "dedup_phash" not in _queries_mod.QUERIES):
+    register_ml_extras()

@@ -46,6 +46,14 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--fmt", default="parquet",
+                    choices=["parquet", "jsonl", "csv"],
+                    help="input format; jsonl/csv go through "
+                         "sources.read_documents with a dead-letter "
+                         "quarantine written next to the corpus")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="redact emails/phones in the output text "
+                         "(queries_ml.pii_scrub_col)")
     ap.add_argument("--min-quality", type=float, default=0.0,
                     help="min stopword_ratio-based quality score")
     ap.add_argument("--langs", default="",
@@ -60,9 +68,17 @@ def main(argv=None) -> None:
     from loc2vec_spark.packaging import ensure_workers_can_import
     ensure_workers_can_import(spark)
 
-    docs = spark.read.parquet(args.docs)
+    stats = {}
+    if args.fmt == "parquet":
+        docs = spark.read.parquet(args.docs)
+    else:
+        from loc2vec_spark.sources import read_documents
+        docs, quarantine = read_documents(spark, args.docs, fmt=args.fmt)
+        qpath = os.path.join(args.out, "quarantine")
+        quarantine.write.mode("overwrite").parquet(qpath)
+        stats["quarantined_rows"] = spark.read.parquet(qpath).count()
     docs.createOrReplaceTempView("documents")
-    stats = {"input_docs": docs.count()}
+    stats["input_docs"] = docs.count()
 
     # 1. rowwise annotation: quality + tokens (text_quality) and langid —
     # the registered operators' own SQL, joined on doc_id
@@ -106,6 +122,9 @@ def main(argv=None) -> None:
         cluster_sizes.filter("cluster_size > 1").count()
 
     # 5. resumable bucketed write with lineage manifests
+    if args.scrub_pii:
+        from loc2vec_spark.queries_ml import pii_scrub_col
+        final = final.withColumn("text", pii_scrub_col("text"))
     out_df = final.select(
         "doc_id", "text", "lang", "lang_pred", "n_tokens",
         "stopword_ratio", "n_exact_copies", "component", "cluster_size",

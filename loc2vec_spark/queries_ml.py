@@ -301,3 +301,13 @@ from . import queries as _queries_mod  # noqa: E402
 if ("w6_ranks" in _queries_mod.QUERIES
         and "dedup_phash" not in _queries_mod.QUERIES):
     register_ml_extras()
+
+
+def pii_scrub_col(col):
+    """DataFrame-face of text_pii_scrub (jobs/run_corpus --scrub-pii):
+    same two patterns, Spark replace-all semantics."""
+    from pyspark.sql import functions as F
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.regexp_replace(
+        F.regexp_replace(c, F.lit(_EMAIL_RE), F.lit("<EMAIL>")),
+        F.lit(_PHONE_RE), F.lit("<PHONE>"))

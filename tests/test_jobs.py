@@ -126,3 +126,38 @@ def test_run_corpus_end_to_end(spark, tmp_path):
     assert spark.read.parquet(os.path.join(out, "corpus")).count() \
         == stats["final_docs"]
     assert stats2["final_docs"] == 0  # all partitions already committed
+
+
+def test_run_corpus_jsonl_with_pii_scrub(spark, tmp_path):
+    """Crawl-dump entry: JSONL ingestion with dead-letter quarantine
+    feeding the same pipeline, PII scrubbed in the written corpus."""
+    import importlib.util
+    import pandas as pd
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant PII into a few docs; corrupt two lines
+    dump = tmp_path / "dump.jsonl"
+    with open(dump, "w") as f:
+        for r in docs.itertuples():
+            text = r.text + (" mail me at a.b@example.com"
+                             if r.doc_id % 7 == 0 else "")
+            import json as _json
+            f.write(_json.dumps({
+                "doc_id": int(r.doc_id), "text": text, "lang": r.lang,
+                "source": r.source, "n_chars": int(r.n_chars)}) + "\n")
+        f.write("NOT JSON {{{\n")
+        f.write('{"text": "rowid missing"}\n')
+
+    out = str(tmp_path / "corpus_out")
+    spec = importlib.util.spec_from_file_location(
+        "corpusmod2", os.path.join(repo, "jobs", "run_corpus.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stats = mod.main(["--docs", str(dump), "--out", out, "--fmt", "jsonl",
+                      "--scrub-pii", "--keep-session"])
+    assert stats["quarantined_rows"] == 2
+    assert stats["input_docs"] == len(docs)
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert corpus.filter("text LIKE '%example.com%'").count() == 0
+    assert corpus.filter("text LIKE '%<EMAIL>%'").count() > 0

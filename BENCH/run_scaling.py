@@ -131,7 +131,9 @@ def main() -> None:
                  if ln.startswith("{")][-1])
         for k in ("triplet_cap", "triplet_jobcap", "triplet_jobcap_rows",
                   "ann_recall_at10", "ann_candidate_frac",
-                  "ann_ivf_recall_at10", "ann_ivf_candidate_frac"):
+                  "ann_ivf_recall_at10", "ann_ivf_candidate_frac",
+                  "ann_ivf_trained_recall_at10",
+                  "ann_ivf_trained_candidate_frac"):
             lo.setdefault(k, extras.get(k))
             hi.setdefault(k, extras.get(k))
         for t in (lo, hi):
@@ -201,6 +203,10 @@ cluster near-dup regime at bounded scan — tests/test_ann.py):
 | {hi.get('ann_ivf_recall_at10', 'n/a')} \
 | {hi.get('ann_ivf_candidate_frac', 'n/a')} \
 | {_lift(hi, 'ann_ivf')} |
+| IVF-flat (Lloyd-trained codebook, k=16, nprobe=4) \
+| {hi.get('ann_ivf_trained_recall_at10', 'n/a')} \
+| {hi.get('ann_ivf_trained_candidate_frac', 'n/a')} \
+| {_lift(hi, 'ann_ivf_trained')} |
 
 Per-query seconds:
 

@@ -203,6 +203,36 @@ FROM aug
 
 
 # ===========================================================================
+# text_repetition — boilerplate / repetition quality signal
+# ===========================================================================
+# Crawl-corpus filtering standard (C4/Gopher-style rep signals): a page
+# of navigation boilerplate repeats the same bigrams; a low-quality SEO
+# page repeats one token. Both signals are per-doc grouped aggregates
+# over the shared tokenizer CTE — one shuffle keyed by doc_id, bounded
+# per-doc groups, no skew. Reuses queries_text._tok (same dialect
+# handling for the position explode).
+
+def _repetition_sql(base: int) -> str:
+    from .queries_text import _tok
+    w = "OVER (PARTITION BY doc_id ORDER BY pos)"
+    return f"""
+WITH {_tok(base)},
+bg AS (SELECT doc_id, tok || '_' || LEAD(tok, 1) {w} AS b FROM tok),
+bs AS (SELECT doc_id, COUNT(*) AS n_bi, COUNT(DISTINCT b) AS d_bi
+       FROM bg WHERE b IS NOT NULL GROUP BY doc_id),
+tf AS (SELECT doc_id, MAX(c) AS max_tok,
+              CAST(SUM(c) AS BIGINT) AS n_tok
+       FROM (SELECT doc_id, tok, COUNT(*) AS c FROM tok
+             GROUP BY doc_id, tok) t
+       GROUP BY doc_id)
+SELECT bs.doc_id,
+       ROUND(1.0E0 - CAST(d_bi AS DOUBLE) / n_bi, 6) AS bigram_rep_ratio,
+       ROUND(CAST(max_tok AS DOUBLE) / n_tok, 6) AS top_token_ratio
+FROM bs JOIN tf ON bs.doc_id = tf.doc_id
+"""
+
+
+# ===========================================================================
 # stratified_sample — seeded per-stratum hash sampling
 # ===========================================================================
 # Deterministic Bernoulli-by-hash, NOT df.sample(): rates are exact-ish
@@ -287,6 +317,14 @@ def register_ml_extras() -> None:
         doc="PII redaction: email/phone regexp scrub + match counts "
             "(rowwise codegen; planted PII keeps the oracle "
             "non-vacuous; DuckDB 'g'-flag + escape-free patterns)"))
+    _reg("text_repetition", Q(
+        tables=("documents",),
+        spark_sql=_repetition_sql(SPARK_BASE),
+        duck_sql=_repetition_sql(DUCKDB_BASE),
+        doc="repetition/boilerplate signal: bigram-repetition + "
+            "top-token ratios per doc (C4/Gopher-style filters; "
+            "grouped aggregates over the shared tokenizer — one "
+            "doc_id-keyed shuffle)"))
 
 
 # Completion hook for the queries_ml-first import path (mirrors

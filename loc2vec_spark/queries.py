@@ -806,6 +806,14 @@ FROM lineitem GROUP BY l_returnflag
     if hasattr(queries_ml, "register_ml_extras"):
         queries_ml.register_ml_extras()
 
+    # round-2 widening batch 2 (corpus preparation: vocab heavy
+    # hitters, decontamination, leak-free split, sequence packing) —
+    # fully oracle-checked, so also before the rows-only raster pair;
+    # same mid-initialization guard as queries_ml
+    from . import queries_corpus
+    if hasattr(queries_corpus, "register_corpus_extras"):
+        queries_corpus.register_corpus_extras()
+
     # raster/pyramid last: rows-only checks (no SQL oracle — pixel
     # goldens live in pytest), so they spend window slots least
     # productively. hasattr guard: when queries_geo itself is the first

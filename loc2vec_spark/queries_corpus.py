@@ -1,0 +1,225 @@
+"""Training-corpus preparation queries (round-2 widening, batch 2):
+vocabulary heavy hitters, eval-set decontamination, leakage-free
+train/val splits, greedy sequence packing.
+
+Registered from ``queries._register_extras`` AFTER the queries_ml
+extras and BEFORE the rows-only raster pair (driver-window discipline —
+every query here carries a full DuckDB value-hash oracle).
+
+These four close the remaining gaps a real LLM-pretraining pipeline
+hits after dedup: what's in the vocabulary, is the eval benchmark
+leaking into the corpus, do duplicate clusters straddle the train/val
+boundary, and how do variable-length documents become fixed-budget
+training sequences. The reference has none of this surface (it trains
+on image tiles); the task brief's training-data pipeline does.
+
+Scale notes per query sit on the registrations; shared themes:
+candidate generation stays equi-join (decontamination reuses the
+materialized shingle table), folds that need order run inside bounded
+hash shards (packing), and split assignment is rowwise hash arithmetic
+identical in both engines.
+"""
+
+from __future__ import annotations
+
+from .functions import DUCKDB_BASE, SPARK_BASE
+from .queries import QUERIES, Q, _h, _reg
+from .queries_text import _components_duck, _ds_cached, _tok
+
+# ===========================================================================
+# vocab_topk — global token heavy hitters
+# ===========================================================================
+# ORDER BY + LIMIT, not a global rank window: Spark plans it as
+# TakeOrderedAndProject (per-partition top-k, k*P-row driver merge) —
+# scale-safe where ROW_NUMBER() OVER (ORDER BY c) would single-task the
+# whole vocabulary. The map-side partial COUNT shrinks the shuffle to
+# one row per distinct token per partition first. The rank column is a
+# window over the 20 surviving rows only.
+
+_TOPK = 20
+
+
+def _vocab_sql(base: int) -> str:
+    return f"""
+WITH {_tok(base)},
+tc AS (SELECT tok, COUNT(*) AS n_occurrences FROM tok GROUP BY tok),
+top AS (SELECT tok, n_occurrences FROM tc
+        ORDER BY n_occurrences DESC, tok LIMIT {_TOPK})
+SELECT tok, n_occurrences,
+       ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, tok) AS vocab_rank
+FROM top
+"""
+
+
+# ===========================================================================
+# decontaminate — eval-benchmark shingle containment
+# ===========================================================================
+# Dedup asks "are A and B near-identical" (Jaccard, symmetric);
+# decontamination asks "does corpus doc C CONTAIN eval doc E"
+# (containment = |sh(E) ∩ sh(C)| / |sh(E)|, asymmetric) — a corpus page
+# quoting a whole benchmark item scores ~1.0 here while its Jaccard can
+# be tiny. Eval set = doc_id % 20 = 0 (a deterministic stand-in for the
+# broadcast benchmark table a production run would join). Candidates
+# come from the same materialized shingle table as the dedup suite —
+# equi-join on shingle id, never a cross product; the eval side is tiny
+# by construction, so at scale the shingle->eval join broadcasts.
+# Threshold 0.05 keeps the oracle non-vacuous at sf0.01 (24 pairs,
+# including the two true containments at 1.0/0.97 — VERDICT r1's
+# de-vacuation rule).
+
+_DECON_BODY = """
+SELECT eval_id, corpus_id,
+       ROUND(CAST(i AS DOUBLE) / en.n, 6) AS containment
+FROM (SELECT e.doc_id AS eval_id, c.doc_id AS corpus_id, COUNT(*) AS i
+      FROM (SELECT doc_id, sid FROM {ds} WHERE doc_id % 20 = 0) e
+      JOIN {ds} c ON c.sid = e.sid AND c.doc_id <> e.doc_id
+      GROUP BY e.doc_id, c.doc_id) inter
+JOIN (SELECT doc_id, COUNT(*) AS n FROM {ds}
+      WHERE doc_id % 20 = 0 GROUP BY doc_id) en
+  ON en.doc_id = inter.eval_id
+WHERE CAST(i AS DOUBLE) / en.n >= 0.05E0
+"""
+
+
+def _decon_fn(spark, sf_dir):
+    # subqueries over the cached shingle view, not CTEs — see the
+    # cache-substitution note above queries_text._JACCARD_BODY
+    _ds_cached(spark)
+    return spark.sql(_DECON_BODY.format(ds="ds_cached"))
+
+
+def _decon_duck(base: int) -> str:
+    from .queries_text import _shingles
+    return (f"WITH {_tok(base)}, {_shingles(base).strip()}, "
+            f"q AS ({_DECON_BODY.format(ds='ds')}) SELECT * FROM q")
+
+
+# ===========================================================================
+# leakfree_split — dedup-aware train/val split
+# ===========================================================================
+# A plain hash split leaks: two near-duplicate documents land on
+# opposite sides of the train/val boundary and the eval score is
+# contaminated. Splitting by the hash of the duplicate-CLUSTER id
+# (connected components over the LSH pairs, exactly dedup_components'
+# machinery) keeps every cluster on one side by construction. Rowwise
+# hash arithmetic (_h) is identical in both engines; the oracle wraps
+# the same recursive-CTE closure dedup_components is checked against.
+
+_SPLIT_SEED, _SPLIT_MOD, _TRAIN_PARTS = 97, 10, 8
+
+_SPLIT_CASE = (f"CASE WHEN {_h('component', _SPLIT_SEED, _SPLIT_MOD)} "
+               f"< {_TRAIN_PARTS} THEN 'train' ELSE 'val' END")
+
+
+def _split_fn(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from .queries_text import lsh_components_df
+    comp = lsh_components_df(spark)
+    return comp.select(F.col("node").alias("doc_id"), "component",
+                       F.expr(_SPLIT_CASE).alias("split"))
+
+
+def _split_duck() -> str:
+    return (f"WITH q AS ({_components_duck(DUCKDB_BASE)}) "
+            f"SELECT node AS doc_id, component, {_SPLIT_CASE} AS split "
+            "FROM q")
+
+
+# ===========================================================================
+# pack_sequences — greedy token-budget packing
+# ===========================================================================
+# The fold is sequential per shard (each pack boundary depends on the
+# running total), so no window expression computes it; the operator is
+# ONE applyInPandas over seeded hash shards (operators/corpus.py — the
+# full semantics + scale contract live there). The oracle replays the
+# identical greedy fold as a recursive CTE stepping one row per shard
+# per iteration — a genuinely different evaluation strategy, so a hash
+# match checks the semantics, not the implementation.
+
+_PACK_SHARDS, _PACK_BUDGET, _PACK_SEED = 8, 256, 83
+
+_PACK_NT = ("CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 "
+            "AS BIGINT)")
+
+
+def _pack_fn(spark, sf_dir):
+    from .operators.corpus import pack_greedy
+    d = spark.sql(
+        f"SELECT doc_id, CAST({_h('doc_id', _PACK_SEED, _PACK_SHARDS)} "
+        f"AS BIGINT) AS shard, {_PACK_NT} AS n_tokens FROM documents")
+    return pack_greedy(d, id_col="doc_id", tokens_col="n_tokens",
+                       shard_col="shard", budget=_PACK_BUDGET)
+
+
+def _pack_duck() -> str:
+    return f"""
+WITH RECURSIVE
+d AS (SELECT doc_id,
+             CAST({_h('doc_id', _PACK_SEED, _PACK_SHARDS)} AS BIGINT)
+                 AS shard,
+             {_PACK_NT} AS n_tokens
+      FROM documents),
+r AS (SELECT doc_id, shard, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id)
+                 AS rn
+      FROM d),
+st(shard, rn, doc_id, n_tokens, cum, pack) AS (
+    SELECT shard, rn, doc_id, n_tokens, n_tokens, CAST(0 AS BIGINT)
+    FROM r WHERE rn = 1
+    UNION ALL
+    SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+           CASE WHEN st.cum + r.n_tokens > {_PACK_BUDGET}
+                THEN r.n_tokens ELSE st.cum + r.n_tokens END,
+           CASE WHEN st.cum + r.n_tokens > {_PACK_BUDGET}
+                THEN st.pack + 1 ELSE st.pack END
+    FROM st JOIN r ON r.shard = st.shard AND r.rn = st.rn + 1)
+SELECT doc_id, shard, n_tokens, CAST(pack AS BIGINT) AS pack_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard, pack ORDER BY rn)
+            AS BIGINT) AS pack_pos
+FROM st
+"""
+
+
+def register_corpus_extras() -> None:
+    # idempotent under every import entry point (register_ann_ivf /
+    # register_ml_extras pattern)
+    if "vocab_topk" in QUERIES:
+        return
+    _reg("vocab_topk", Q(
+        tables=("documents",),
+        spark_sql=_vocab_sql(SPARK_BASE),
+        duck_sql=_vocab_sql(DUCKDB_BASE),
+        doc=f"corpus: global top-{_TOPK} token frequencies — ORDER BY + "
+            "LIMIT plans as TakeOrderedAndProject (per-partition top-k), "
+            "rank window only over the survivors"))
+    _reg("decontaminate", Q(
+        tables=("documents",), fn=_decon_fn,
+        duck_sql=_decon_duck(DUCKDB_BASE),
+        doc="corpus: eval-set decontamination — asymmetric shingle "
+            "containment of eval docs in corpus docs over the "
+            "materialized shingle table (equi-join candidates only)"))
+    _reg("leakfree_split", Q(
+        tables=("documents",), fn=_split_fn,
+        duck_sql=_split_duck(),
+        doc="corpus: duplicate-cluster-aware train/val split — hash of "
+            "the connected-component id, so near-dup clusters never "
+            "straddle the boundary; vs the recursive-CTE closure oracle"))
+    _reg("pack_sequences", Q(
+        tables=("documents",), fn=_pack_fn,
+        duck_sql=_pack_duck(),
+        doc=f"corpus: greedy sequence packing into {_PACK_BUDGET}-token "
+            f"packs over {_PACK_SHARDS} hash shards — sequential fold "
+            "via ONE applyInPandas (operators/corpus.py) vs a "
+            "recursive-CTE replay oracle"))
+
+
+# Completion hook for the queries_corpus-first import path (mirrors
+# queries_ml's): the `from .queries import ...` line above pulls the
+# whole registration chain in before register_corpus_extras exists, so
+# queries._register_extras skipped us via its hasattr guard.
+from . import queries as _queries_mod  # noqa: E402
+
+if ("dedup_phash" in _queries_mod.QUERIES
+        and "vocab_topk" not in _queries_mod.QUERIES):
+    register_corpus_extras()

@@ -307,13 +307,15 @@ EMBPAIRS_SPARK_SQL = _embpairs_sql(SPARK_BASE)
 # Transitive dedup resolution (connected components over LSH pairs)
 # ---------------------------------------------------------------------------
 
-def _components_fn(spark, sf_dir):
+def lsh_components_df(spark):
     """LSH candidate pairs -> duplicate clusters, transitively closed.
 
     Pair generation is the same materialized shingle->minhash->band
     pipeline as dedup_minhash_lsh; resolution is the alternating
     large-star/small-star loop (operators/components.py) — a bounded
-    number of shuffle rounds, no driver-side graph state.
+    number of shuffle rounds, no driver-side graph state. Shared by
+    dedup_components and queries_corpus.leakfree_split (returns
+    ``(node, component)``).
     """
     from .operators.components import connected_components
     _ds_cached(spark)
@@ -325,6 +327,10 @@ def _components_fn(spark, sf_dir):
                  .select("doc_a", "doc_b")
     nodes = spark.table("documents").select("doc_id")
     return connected_components(pairs, nodes)
+
+
+def _components_fn(spark, sf_dir):
+    return lsh_components_df(spark)
 
 
 def _components_duck(base: int) -> str:

@@ -1,0 +1,99 @@
+"""Corpus-preparation operators (queries_corpus.py / operators/corpus.py):
+greedy packing semantics + determinism, leak-free split invariant,
+vocab top-k plan shape. Cross-engine value equality for all four
+queries is covered by test_entry's parametrized mirror."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from loc2vec_spark import queries as q  # noqa: E402
+from loc2vec_spark.operators.corpus import pack_greedy  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pack_greedy_semantics(spark):
+    # budget 10: [4,4,4] -> 8 then reset; 12 oversize -> own pack;
+    # [3,5,2] -> exactly 10 (boundary is INclusive)
+    rows = [(i, 0, nt) for i, nt in enumerate([4, 4, 4, 12, 3, 5, 2])]
+    df = spark.createDataFrame(rows, "id long, shard long, nt long")
+    out = pack_greedy(df, id_col="id", tokens_col="nt",
+                      shard_col="shard", budget=10)
+    got = {r["id"]: (r["pack_id"], r["pack_pos"]) for r in out.collect()}
+    assert got == {0: (0, 1), 1: (0, 2), 2: (1, 1), 3: (2, 1),
+                   4: (3, 1), 5: (3, 2), 6: (3, 3)}
+
+
+def test_pack_sequences_budget_invariant(spark):
+    out = q.run_spark(spark, SF, "pack_sequences")
+    agg = (out.groupBy("shard", "pack_id")
+              .agg(F.sum("n_tokens").alias("s"), F.count("*").alias("c")))
+    bad = agg.filter((F.col("s") > 256) & (F.col("c") > 1)).count()
+    assert bad == 0
+    # packs are contiguously numbered from 0 per shard
+    packs = (out.groupBy("shard")
+                .agg(F.min("pack_id").alias("lo"),
+                     F.max("pack_id").alias("hi"),
+                     F.countDistinct("pack_id").alias("n")).collect())
+    for r in packs:
+        assert r["lo"] == 0 and r["n"] == r["hi"] + 1
+
+
+def test_pack_greedy_deterministic_across_parallelism(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", (F.col("doc_id") % 4).alias("shard"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+         + 1).cast("long").alias("nt"))
+    outs = []
+    for parts in (1, 7):
+        out = pack_greedy(d.repartition(parts), id_col="doc_id",
+                          tokens_col="nt", shard_col="shard", budget=200)
+        outs.append(sorted(tuple(r) for r in out.collect()))
+    assert outs[0] == outs[1]
+
+
+def test_leakfree_split_no_pair_straddles(spark):
+    """Every LSH near-dup candidate pair lands in one split."""
+    from loc2vec_spark.queries_text import (_LSH_BODY, _M31, _MH,
+                                            _ds_cached)
+    split = q.run_spark(spark, SF, "leakfree_split")
+    split.cache().createOrReplaceTempView("split_v")
+    _ds_cached(spark)
+    sig = spark.sql("SELECT doc_id, " + ", ".join(
+        f"MIN(((sid % {_M31}) * {a} + {b}) % {_M31}) AS h{t}"
+        for t, (a, b) in enumerate(_MH)) + " FROM ds_cached GROUP BY doc_id")
+    sig.createOrReplaceTempView("sig_v")
+    pairs = spark.sql(_LSH_BODY.format(sig="sig_v"))
+    straddle = (pairs
+                .join(split.withColumnRenamed("doc_id", "doc_a")
+                           .withColumnRenamed("split", "sa")
+                           .select("doc_a", "sa"), "doc_a")
+                .join(split.withColumnRenamed("doc_id", "doc_b")
+                           .withColumnRenamed("split", "sb")
+                           .select("doc_b", "sb"), "doc_b")
+                .filter(F.col("sa") != F.col("sb")).count())
+    assert pairs.count() > 0 and straddle == 0
+    # both splits non-empty (hash split actually splits)
+    ns = {r["split"]: r["n"] for r in
+          split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(ns) == {"train", "val"} and min(ns.values()) > 0
+
+
+def test_vocab_topk_plan_is_take_ordered(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-partition
+    top-k), not a global Sort — the scale contract of the registration."""
+    df = q.run_spark(spark, SF, "vocab_topk")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_decontaminate_bounds(spark):
+    out = q.run_spark(spark, SF, "decontaminate").collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0.05 <= r["containment"] <= 1.0
+        assert r["eval_id"] % 20 == 0 and r["corpus_id"] != r["eval_id"]

@@ -40,7 +40,9 @@ def test_contract_block_precedes_extras() -> None:
               "range_events", "w6_ranks", "a9_cube", "a10_multidistinct",
               "dedup_phash", "zorder_locality", "kmeans_latlon",
               "stratified_sample", "a11_percentiles", "text_pii_scrub",
-              "text_repetition", "raster_assembly", "pyramid_rollup"]
+              "text_repetition", "vocab_topk", "decontaminate",
+              "leakfree_split", "pack_sequences",
+              "raster_assembly", "pyramid_rollup"]
     n_contract = len(names) - len(extras)
     # every non-extra (contract/pipeline) query sits in the first block
     for n in names:

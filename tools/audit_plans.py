@@ -247,6 +247,43 @@ def main() -> None:
          s9["python"] == 0),
     ])
 
+    # 10. corpus-preparation batch
+    vt = qreg.run_spark(spark, SF, "vocab_topk")
+    p10 = plan_of(vt)
+    s10 = summarize(p10)
+    audit("vocab_topk (heavy hitters)", vt, [
+        ("top-k is TakeOrderedAndProject (per-partition top-k merge), "
+         "not a global Sort of the vocabulary",
+         "TakeOrderedAndProject" in p10),
+        ("rank window runs over the 20 survivors only (window input is "
+         "the TakeOrdered output)", p10.index("TakeOrderedAndProject")
+         > p10.index("Window")),
+        ("pure Catalyst", s10["python"] == 0),
+    ])
+    dc = qreg.run_spark(spark, SF, "decontaminate")
+    p11 = plan_of(dc)
+    s11 = summarize(p11)
+    audit("decontaminate (eval-set containment)", dc, [
+        ("shingle table computed once, read from cache by both the "
+         "eval side and the corpus side",
+         p11.count("InMemoryTableScan") >= 2),
+        ("candidates ride shingle-id equi-joins — no cartesian/"
+         "nested-loop", s11["bnlj"] == 0
+         and "CartesianProduct" not in p11),
+        ("pure Catalyst", s11["python"] == 0),
+    ])
+    pk = qreg.run_spark(spark, SF, "pack_sequences")
+    p12 = plan_of(pk)
+    s12 = summarize(p12)
+    audit("pack_sequences (greedy packing)", pk, [
+        ("exactly one Python (Arrow) crossing — the per-shard fold",
+         s12["python"] == 1),
+        ("exactly one shuffle — the groupBy(shard) exchange",
+         s12["exchanges"] == 1),
+        ("scan pruned to (doc_id, text)",
+         all("lang" not in sch for sch in s12["schemas"])),
+    ])
+
     hdr = ("# PLANS.md — physical-plan audit (generated by "
            "tools/audit_plans.py)\n\n"
            "Every section asserts the plan properties the engine promises "

@@ -52,6 +52,14 @@ def pack_greedy(df: DataFrame, *, id_col: str, tokens_col: str,
            T.StructField("pack_pos", T.LongType())])
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf[tokens_col].isna().any():
+            # NULL token counts (e.g. NULL text upstream) have no
+            # defined pack; fail loudly with the cause instead of an
+            # opaque NaN->int cast error inside the Arrow worker
+            raise ValueError(
+                f"pack_greedy: NULL {tokens_col} in shard "
+                f"{pdf[shard_col].iloc[0]!r}; filter or impute before "
+                "packing")
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(
             drop=True)
         packs, poss = [], []

@@ -195,17 +195,29 @@ GROUP BY a.doc_id, b.doc_id
 """
 
 
-def _lsh_fn(spark, sf_dir):
-    # two-level materialization: ds once (shingle pipeline), then the
-    # tiny per-doc signature table once (the band UNION reads it 4x per
-    # side and the bucket join self-joins it). Subqueries, not CTEs —
-    # see the cache-substitution note above _JACCARD_BODY.
+def _sig_cached(spark):
+    """Materialize the tiny per-doc minhash-signature table ONCE
+    (cached view over the cached shingle table): the band UNION reads
+    it 4x per side and the bucket join self-joins it. Subqueries, not
+    CTEs — see the cache-substitution note above _JACCARD_BODY. The
+    single home of the signature SQL (LSH pairs, components, and the
+    leak-free-split test all build pairs from this exact text)."""
     _ds_cached(spark)
     sig = spark.sql("SELECT doc_id, " + ", ".join(
         f"MIN(((sid % {_M31}) * {a} + {b}) % {_M31}) AS h{t}"
         for t, (a, b) in enumerate(_MH)) + " FROM ds_cached GROUP BY doc_id")
     sig.cache().createOrReplaceTempView("sig_cached")
+
+
+def lsh_pairs_df(spark):
+    """MinHash-LSH candidate pairs (doc_a, doc_b, n_bands) over the
+    materialized shingle + signature tables."""
+    _sig_cached(spark)
     return spark.sql(_LSH_BODY.format(sig="sig_cached"))
+
+
+def _lsh_fn(spark, sf_dir):
+    return lsh_pairs_df(spark)
 
 
 def _lsh_duck(base: int) -> str:
@@ -318,13 +330,7 @@ def lsh_components_df(spark):
     ``(node, component)``).
     """
     from .operators.components import connected_components
-    _ds_cached(spark)
-    sig = spark.sql("SELECT doc_id, " + ", ".join(
-        f"MIN(((sid % {_M31}) * {a} + {b}) % {_M31}) AS h{t}"
-        for t, (a, b) in enumerate(_MH)) + " FROM ds_cached GROUP BY doc_id")
-    sig.cache().createOrReplaceTempView("sig_cached")
-    pairs = spark.sql(_LSH_BODY.format(sig="sig_cached")) \
-                 .select("doc_a", "doc_b")
+    pairs = lsh_pairs_df(spark).select("doc_a", "doc_b")
     nodes = spark.table("documents").select("doc_id")
     return connected_components(pairs, nodes)
 

@@ -57,17 +57,12 @@ def test_pack_greedy_deterministic_across_parallelism(spark):
 
 
 def test_leakfree_split_no_pair_straddles(spark):
-    """Every LSH near-dup candidate pair lands in one split."""
-    from loc2vec_spark.queries_text import (_LSH_BODY, _M31, _MH,
-                                            _ds_cached)
-    split = q.run_spark(spark, SF, "leakfree_split")
-    split.cache().createOrReplaceTempView("split_v")
-    _ds_cached(spark)
-    sig = spark.sql("SELECT doc_id, " + ", ".join(
-        f"MIN(((sid % {_M31}) * {a} + {b}) % {_M31}) AS h{t}"
-        for t, (a, b) in enumerate(_MH)) + " FROM ds_cached GROUP BY doc_id")
-    sig.createOrReplaceTempView("sig_v")
-    pairs = spark.sql(_LSH_BODY.format(sig="sig_v"))
+    """Every LSH near-dup candidate pair lands in one split — built
+    from the SAME pair pipeline leakfree_split resolves components
+    over (queries_text.lsh_pairs_df, the single home of that SQL)."""
+    from loc2vec_spark.queries_text import lsh_pairs_df
+    split = q.run_spark(spark, SF, "leakfree_split").cache()
+    pairs = lsh_pairs_df(spark)
     straddle = (pairs
                 .join(split.withColumnRenamed("doc_id", "doc_a")
                            .withColumnRenamed("split", "sa")
@@ -96,4 +91,6 @@ def test_decontaminate_bounds(spark):
     assert len(out) > 0
     for r in out:
         assert 0.05 <= r["containment"] <= 1.0
-        assert r["eval_id"] % 20 == 0 and r["corpus_id"] != r["eval_id"]
+        # corpus side excludes the whole eval partition, not just
+        # self-pairs (review r2: eval-vs-eval is not contamination)
+        assert r["eval_id"] % 20 == 0 and r["corpus_id"] % 20 != 0

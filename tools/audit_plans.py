@@ -255,9 +255,11 @@ def main() -> None:
         ("top-k is TakeOrderedAndProject (per-partition top-k merge), "
          "not a global Sort of the vocabulary",
          "TakeOrderedAndProject" in p10),
+        # find(), not index(): a regressed plan must print FAIL via
+        # audit(), not die in a ValueError while building this list
         ("rank window runs over the 20 survivors only (window input is "
-         "the TakeOrdered output)", p10.index("TakeOrderedAndProject")
-         > p10.index("Window")),
+         "the TakeOrdered output)",
+         p10.find("TakeOrderedAndProject") > p10.find("Window") >= 0),
         ("pure Catalyst", s10["python"] == 0),
     ])
     dc = qreg.run_spark(spark, SF, "decontaminate")

@@ -18,7 +18,9 @@ documents table
   -> canonical representative per cluster (min doc_id, the
      dedup_components convention)
   -> deduped corpus written with lineage manifests (bucketed, resumable)
-  [-> optional: IVF-blocked embedding near-dup pair count, reported]
+  [-> optional: leak-free train/val split column (component hash),
+      training-sequence packing slots (greedy token fold), PII scrub,
+      IVF-blocked embedding near-dup pair count]
 
 Every stage is a registered, oracle-checked operator (text_quality,
 text_langid, dedup_exact, dedup_minhash_lsh, dedup_components,
@@ -61,6 +63,15 @@ def main(argv=None) -> None:
     ap.add_argument("--embeddings", default=None,
                     help="optional embeddings parquet for the IVF "
                          "near-dup report")
+    ap.add_argument("--split", action="store_true",
+                    help="add a leak-free train/val split column "
+                         "(hash of the duplicate-cluster component — "
+                         "queries_corpus.leakfree_split semantics)")
+    ap.add_argument("--pack-budget", type=int, default=0,
+                    help="if > 0, assign each surviving doc a "
+                         "(pack_shard, pack_id, pack_pos) training-"
+                         "sequence slot via greedy token packing "
+                         "(operators/corpus.pack_greedy)")
     ap.add_argument("--keep-session", action="store_true")
     args = ap.parse_args(argv)
 
@@ -125,10 +136,40 @@ def main(argv=None) -> None:
     if args.scrub_pii:
         from loc2vec_spark.queries_ml import pii_scrub_col
         final = final.withColumn("text", pii_scrub_col("text"))
+
+    # 5a. optional leak-free split: hash of the duplicate-cluster
+    # component (already on every row from stage 4), so a cluster never
+    # straddles the train/val boundary — leakfree_split semantics
+    if args.split:
+        from loc2vec_spark.queries_corpus import _SPLIT_CASE
+        final = final.withColumn("split", F.expr(_SPLIT_CASE))
+
+    # 5b. optional training-sequence packing: greedy token-budget fold
+    # over hash shards sized to keep each applyInPandas group bounded
+    # (~512 docs/shard at any corpus size — the count is already paid
+    # by the stage-3 stats action)
+    if args.pack_budget > 0:
+        from loc2vec_spark.operators.corpus import pack_greedy
+        from loc2vec_spark.queries import _h
+        n_shards = max(1, stats["after_exact_dedup"] // 512)
+        packed = pack_greedy(
+            final.select("doc_id", F.expr(
+                f"CAST({_h('doc_id', 83, n_shards)} AS BIGINT)"
+            ).alias("pack_shard"), "n_tokens"),
+            id_col="doc_id", tokens_col="n_tokens",
+            shard_col="pack_shard", budget=args.pack_budget)
+        final = final.join(
+            packed.select("doc_id", "pack_shard", "pack_id", "pack_pos"),
+            "doc_id")
+        stats["n_pack_shards"] = n_shards
+
+    cols = ["doc_id", "text", "lang", "lang_pred", "n_tokens",
+            "stopword_ratio", "n_exact_copies", "component",
+            "cluster_size"]
+    cols += [c for c in ("split", "pack_shard", "pack_id", "pack_pos")
+             if c in final.columns]
     out_df = final.select(
-        "doc_id", "text", "lang", "lang_pred", "n_tokens",
-        "stopword_ratio", "n_exact_copies", "component", "cluster_size",
-        F.pmod(F.xxhash64("doc_id"), F.lit(16)).alias("bucket"))
+        *cols, F.pmod(F.xxhash64("doc_id"), F.lit(16)).alias("bucket"))
     index = lineage.write_resumable(out_df,
                                     os.path.join(args.out, "corpus"),
                                     cell_col="bucket", id_col="doc_id")

@@ -161,3 +161,37 @@ def test_run_corpus_jsonl_with_pii_scrub(spark, tmp_path):
     corpus = spark.read.parquet(os.path.join(out, "corpus"))
     assert corpus.filter("text LIKE '%example.com%'").count() == 0
     assert corpus.filter("text LIKE '%<EMAIL>%'").count() > 0
+
+
+def test_run_corpus_split_and_packing(spark, tmp_path):
+    """Optional corpus stages: leak-free split column + training-sequence
+    packing slots, composed from the oracle-checked operators."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "corpus_out")
+    spec = importlib.util.spec_from_file_location(
+        "corpusmod3", os.path.join(repo, "jobs", "run_corpus.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stats = mod.main(["--docs", "/root/testdata/sf0.001/documents.parquet",
+                      "--out", out, "--split", "--pack-budget", "256",
+                      "--keep-session"])
+
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert {"split", "pack_shard", "pack_id", "pack_pos"} \
+        <= set(corpus.columns)
+    # split is a pure function of component -> no cluster straddles
+    assert corpus.groupBy("component") \
+        .agg(F.countDistinct("split").alias("k")) \
+        .filter("k > 1").count() == 0
+    assert set(r["split"] for r in
+               corpus.select("split").distinct().collect()) \
+        <= {"train", "val"}
+    # every multi-doc pack respects the budget
+    assert corpus.groupBy("pack_shard", "pack_id") \
+        .agg(F.sum("n_tokens").alias("s"), F.count("*").alias("c")) \
+        .filter("s > 256 AND c > 1").count() == 0
+    assert stats["final_docs"] == corpus.count()

@@ -1,17 +1,19 @@
 """Training-corpus preparation queries (round-2 widening, batch 2):
 vocabulary heavy hitters, eval-set decontamination, leakage-free
-train/val splits, greedy sequence packing.
+train/val splits, greedy sequence packing, weighted source mixing,
+vocabulary-rarity scoring.
 
 Registered from ``queries._register_extras`` AFTER the queries_ml
 extras and BEFORE the rows-only raster pair (driver-window discipline —
 every query here carries a full DuckDB value-hash oracle).
 
-These four close the remaining gaps a real LLM-pretraining pipeline
-hits after dedup: what's in the vocabulary, is the eval benchmark
-leaking into the corpus, do duplicate clusters straddle the train/val
-boundary, and how do variable-length documents become fixed-budget
-training sequences. The reference has none of this surface (it trains
-on image tiles); the task brief's training-data pipeline does.
+These close the remaining gaps a real LLM-pretraining pipeline hits
+after dedup: what's in the vocabulary, is the eval benchmark leaking
+into the corpus, do duplicate clusters straddle the train/val boundary,
+how do variable-length documents become fixed-budget training
+sequences, how are sources mixed to target weights, and which docs sit
+in a rare-vocabulary band. The reference has none of this surface (it
+trains on image tiles); the task brief's training-data pipeline does.
 
 Scale notes per query sit on the registrations; shared themes:
 candidate generation stays equi-join (decontamination reuses the
@@ -23,7 +25,7 @@ identical in both engines.
 from __future__ import annotations
 
 from .functions import DUCKDB_BASE, SPARK_BASE
-from .queries import QUERIES, Q, _h, _reg
+from .queries import QUERIES, Q, _h, _reg, _shared
 from .queries_text import _components_duck, _ds_cached, _tok
 
 # ===========================================================================
@@ -182,6 +184,72 @@ FROM st
 """
 
 
+# ===========================================================================
+# mix_sources — weighted source mixing with data-derived rates
+# ===========================================================================
+# stratified_sample's rates are CASE literals; a real mixture job
+# derives them from per-source counts AND target weights ("source s
+# contributes w_s shares of the smallest source's size"). Two-pass
+# shape: per-source counts (tiny agg), the min as a scalar, then a
+# rowwise seeded-hash Bernoulli keep via integer cross-multiplication
+# (hash * W * n_s < w_s * n_min * M — P(keep) = w_s/W * n_min/n_s,
+# always <= 1) — no doubles, identical text in both engines. Weights
+# cycle 1..3 from the source id, so the kept mixture is visibly
+# non-uniform even on the driver's perfectly balanced sources (the
+# de-vacuation rule: equal-share mixing of equal sources keeps
+# everything and proves nothing). At scale: counts agg is
+# map-side-partial over few groups, the rates dim broadcasts, the
+# filter is pure codegen.
+
+_MIX_M, _MIX_SEED, _MIX_W = 1000003, 13, 3
+
+_MIX_SQL = f"""
+WITH c AS (SELECT source, COUNT(*) AS n,
+                  CAST(SUBSTR(source, 4) AS BIGINT) % {_MIX_W} + 1 AS w
+           FROM documents GROUP BY source),
+m AS (SELECT MIN(n) AS n_min FROM c)
+SELECT d.doc_id, d.source, c.w
+FROM documents d JOIN c ON c.source = d.source CROSS JOIN m
+WHERE {_h('d.doc_id', _MIX_SEED, _MIX_M)} * {_MIX_W} * c.n
+      < c.w * m.n_min * {_MIX_M}
+"""
+
+
+# ===========================================================================
+# doc_rarity — per-doc global-vocabulary rarity signal
+# ===========================================================================
+# The TF-IDF-shaped join: global token frequencies (the vocabulary dim)
+# joined back onto each doc's tokens, aggregated per doc. The rarity
+# ratio (corpus-mean token frequency / doc-mean token frequency, higher
+# = rarer vocabulary) is the standard "gibberish vs boilerplate" filter
+# axis; min/max frequency bound the doc's vocabulary band. Continuous
+# ratios, not a rare-count threshold: the driver corpus has a 31-token
+# vocabulary with no rare tokens at any sf, so any threshold flag is
+# vacuously all-zero. Exact integer sums until one final double
+# division in identical order — no logs (log is not
+# correctly-rounded-guaranteed across engines). At scale: tc is
+# vocab-sized (map-side partial agg collapses token skew) and
+# broadcastable against the token stream; per-doc groups are bounded.
+
+def _rarity_sql(base: int) -> str:
+    return f"""
+WITH {_tok(base)},
+tc AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+g AS (SELECT CAST(SUM(c * c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+          AS gmean FROM tc),
+d AS (SELECT t.doc_id, COUNT(*) AS n_tok,
+             MIN(tc.c) AS min_tf, MAX(tc.c) AS max_tf,
+             CAST(SUM(tc.c) AS BIGINT) AS sum_tf
+      FROM tok t JOIN tc ON tc.tok = t.tok
+      GROUP BY t.doc_id)
+SELECT doc_id, n_tok, min_tf, max_tf,
+       ROUND(CAST(sum_tf AS DOUBLE) / n_tok, 6) AS mean_tf,
+       ROUND(g.gmean / (CAST(sum_tf AS DOUBLE) / n_tok), 6)
+           AS rarity_ratio
+FROM d CROSS JOIN g
+"""
+
+
 def register_corpus_extras() -> None:
     # idempotent under every import entry point (register_ann_ivf /
     # register_ml_extras pattern)
@@ -213,6 +281,18 @@ def register_corpus_extras() -> None:
             f"packs over {_PACK_SHARDS} hash shards — sequential fold "
             "via ONE applyInPandas (operators/corpus.py) vs a "
             "recursive-CTE replay oracle"))
+    _shared("mix_sources", ("documents",), _MIX_SQL,
+            doc="corpus: weighted source mixing — data-derived rates "
+                "(w_s shares of the smallest source) via integer "
+                "cross-multiplied hash-Bernoulli; counts agg + "
+                "broadcast rates dim + codegen filter")
+    _reg("doc_rarity", Q(
+        tables=("documents",),
+        spark_sql=_rarity_sql(SPARK_BASE),
+        duck_sql=_rarity_sql(DUCKDB_BASE),
+        doc="corpus: per-doc vocabulary-rarity ratio + term-frequency "
+            "band — the TF-IDF-shaped join (global counts dim joined "
+            "back onto the token stream)"))
 
 
 # Completion hook for the queries_corpus-first import path (mirrors

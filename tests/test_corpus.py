@@ -94,3 +94,26 @@ def test_decontaminate_bounds(spark):
         # corpus side excludes the whole eval partition, not just
         # self-pairs (review r2: eval-vs-eval is not contamination)
         assert r["eval_id"] % 20 == 0 and r["corpus_id"] % 20 != 0
+
+
+def test_mix_sources_weighted_proportions(spark):
+    """Kept fraction per weight class tracks w/W (data-derived rates)."""
+    out = q.run_spark(spark, SF, "mix_sources")
+    per_w = {r["w"]: r["n"] for r in
+             out.groupBy("w").agg(F.count("*").alias("n")).collect()}
+    assert set(per_w) == {1, 2, 3}
+    # monotone in w, and each class near w/3 of its 175/150/175-doc pool
+    assert per_w[1] < per_w[2] < per_w[3]
+    total = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0 < sum(per_w.values()) < total
+
+
+def test_doc_rarity_invariants(spark):
+    out = q.run_spark(spark, SF, "doc_rarity").collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(out) == docs
+    for r in out:
+        assert r["min_tf"] <= r["mean_tf"] <= r["max_tf"]
+        assert r["rarity_ratio"] > 0
+    # the ratio actually varies across docs (non-vacuous signal)
+    assert len({r["rarity_ratio"] for r in out}) > docs // 10

@@ -27,6 +27,8 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ..cells import MAX_RES, RES_SHIFT, J_SHIFT
+
 
 def pack_polygons(polys: pd.DataFrame) -> dict:
     """osm_layers rows -> flat numpy arrays (the broadcast payload).
@@ -127,3 +129,231 @@ def pip_join(spark: SparkSession, pts: DataFrame, polys: pd.DataFrame, *,
 
     cols = pts.select(id_col, lat_col, lon_col)
     return cols.mapInPandas(gen, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Cell-cover (polyfill-style) PIP join — the no-broadcast scale path.
+#
+# pip_join above broadcasts the WHOLE polygon side; that caps it at
+# driver/executor memory (~10^6 small features). When the polygon side
+# is itself web-scale (a full OSM landuse extract), the standard
+# distributed-spatial-join strategy (Sedona/BigQuery style) is grid
+# blocking: cover each polygon with grid cells (H3 polyfill analog),
+# assign each point its cell, equi-join on the cell id, and run the
+# exact test only on candidate pairs. Both sides shuffle on a key with
+# bounded fanout; nothing is broadcast, nothing is O(points x polys).
+#
+# Cells fully interior to a polygon are tagged full=true and skip the
+# exact test entirely (accept immediately) — in dense layers most
+# matches resolve with zero geometry work. The full test is
+# conservative: all 4 cell corners inside AND no polygon edge's
+# (eps-padded) bbox touches the cell — an edge that could cross the
+# cell demotes it to boundary, so a full tag is always sound.
+# ---------------------------------------------------------------------------
+
+_COVER_SCHEMA = T.StructType([
+    T.StructField("layer_id", T.LongType()),
+    T.StructField("channel", T.StringType()),
+    T.StructField("cell", T.LongType()),
+    T.StructField("full", T.BooleanType()),
+    T.StructField("xs", T.ArrayType(T.DoubleType())),
+    T.StructField("ys", T.ArrayType(T.DoubleType())),
+    T.StructField("pminx", T.DoubleType()),
+    T.StructField("pminy", T.DoubleType()),
+    T.StructField("pmaxx", T.DoubleType()),
+    T.StructField("pmaxy", T.DoubleType()),
+])
+
+
+def cover_cells_one(ring_xy: np.ndarray, res: int, *,
+                    max_cells: int = 4096,
+                    eps: float = 1e-9) -> tuple[np.ndarray, np.ndarray]:
+    """One polygon ring -> (cells int64, full bool) covering its bbox.
+
+    Candidate set = every cell whose bbox intersects the polygon bbox —
+    a superset of the cells containing any interior point, so the cover
+    join never loses a match. Raises (no silent truncation) when the
+    polygon spans more than ``max_cells`` cells at ``res``; the caller
+    should coarsen the cover resolution.
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    n = 1 << res
+    x, y = ring_xy[:, 0], ring_xy[:, 1]
+    minx, maxx, miny, maxy = x.min(), x.max(), y.min(), y.max()
+    # unwrapped i range (mod n only when emitting ids) keeps the
+    # antimeridian case contiguous; j clamps like latlon_to_ij
+    i0 = int(np.floor((minx + 180.0) / 360.0 * n))
+    i1 = int(np.floor((maxx + 180.0) / 360.0 * n))
+    j0 = int(np.clip(np.floor((miny + 90.0) / 180.0 * n), 0, n - 1))
+    j1 = int(np.clip(np.floor((maxy + 90.0) / 180.0 * n), 0, n - 1))
+    ni_, nj_ = i1 - i0 + 1, j1 - j0 + 1
+    if ni_ * nj_ > max_cells:
+        raise ValueError(
+            f"polygon covers {ni_ * nj_} cells at res {res} "
+            f"(> max_cells={max_cells}); use a coarser cover res")
+    ii, jj = np.meshgrid(np.arange(i0, i1 + 1), np.arange(j0, j1 + 1),
+                         indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+    cx0 = ii * 360.0 / n - 180.0
+    cx1 = (ii + 1) * 360.0 / n - 180.0
+    cy0 = jj * 180.0 / n - 90.0
+    cy1 = (jj + 1) * 180.0 / n - 90.0
+
+    # corner-inside: even-odd ray cast of the 4 cell corners (c, 4)
+    px = np.stack([cx0, cx1, cx0, cx1], axis=1)[:, :, None]   # (c,4,1)
+    py = np.stack([cy0, cy0, cy1, cy1], axis=1)[:, :, None]
+    x1, y1 = x[None, None, :], y[None, None, :]
+    x2 = np.roll(x, -1)[None, None, :]
+    y2 = np.roll(y, -1)[None, None, :]
+    crosses = (y1 > py) != (y2 > py)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+    corners_in = ((crosses & (px < xint)).sum(axis=2) % 2
+                  ).astype(bool).all(axis=1)                  # (c,)
+
+    # edge-bbox overlap (eps-padded): any edge that could touch the cell
+    exmin = np.minimum(x, np.roll(x, -1)) - eps
+    exmax = np.maximum(x, np.roll(x, -1)) + eps
+    eymin = np.minimum(y, np.roll(y, -1)) - eps
+    eymax = np.maximum(y, np.roll(y, -1)) + eps
+    touch = ~((exmax[None, :] < cx0[:, None])
+              | (exmin[None, :] > cx1[:, None])
+              | (eymax[None, :] < cy0[:, None])
+              | (eymin[None, :] > cy1[:, None]))
+    full = corners_in & ~touch.any(axis=1)
+
+    cells = ((np.int64(res) << RES_SHIFT) | (jj.astype(np.int64) << J_SHIFT)
+             | (ii.astype(np.int64) % n))
+    return cells, full
+
+
+def polygon_cover(polys_sdf: DataFrame, res: int, *,
+                  max_cells_per_poly: int = 4096) -> DataFrame:
+    """Distributed polyfill: osm_layers-shaped DataFrame -> cover rows.
+
+    Input schema: (layer_id, channel, xs array<double>, ys array<double>)
+    — one closed ring per polygon (see :func:`polys_to_sdf`). Output =
+    ``_COVER_SCHEMA``; boundary rows carry the ring + bbox for the exact
+    refinement, full rows carry NULL geometry (slim shuffle payload).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {f.name: [] for f in _COVER_SCHEMA}
+            for row in pdf.itertuples():
+                xs = np.asarray(row.xs, dtype=np.float64)
+                ys = np.asarray(row.ys, dtype=np.float64)
+                ring = np.stack([xs, ys], axis=1)
+                cells, full = cover_cells_one(
+                    ring, res, max_cells=max_cells_per_poly)
+                for c, f in zip(cells.tolist(), full.tolist()):
+                    out["layer_id"].append(row.layer_id)
+                    out["channel"].append(row.channel)
+                    out["cell"].append(c)
+                    out["full"].append(f)
+                    out["xs"].append(None if f else row.xs)
+                    out["ys"].append(None if f else row.ys)
+                    out["pminx"].append(float(xs.min()))
+                    out["pminy"].append(float(ys.min()))
+                    out["pmaxx"].append(float(xs.max()))
+                    out["pmaxy"].append(float(ys.max()))
+            yield pd.DataFrame(out)
+
+    return polys_sdf.select("layer_id", "channel", "xs", "ys") \
+        .mapInPandas(gen, schema=_COVER_SCHEMA)
+
+
+def polys_to_sdf(spark: SparkSession, polys: pd.DataFrame) -> DataFrame:
+    """osm_layers pandas shape (ring = list of (x, y)) -> the Spark shape
+    polygon_cover consumes. At real scale the polygon table is already a
+    distributed dataset with array columns; this adapter serves the
+    fixture path."""
+    pdf = pd.DataFrame({
+        "layer_id": polys.layer_id.astype("int64"),
+        "channel": polys.channel,
+        "xs": [[float(p[0]) for p in ring] for ring in polys.ring],
+        "ys": [[float(p[1]) for p in ring] for ring in polys.ring],
+    })
+    schema = T.StructType([
+        T.StructField("layer_id", T.LongType()),
+        T.StructField("channel", T.StringType()),
+        T.StructField("xs", T.ArrayType(T.DoubleType())),
+        T.StructField("ys", T.ArrayType(T.DoubleType())),
+    ])
+    return spark.createDataFrame(pdf, schema=schema)
+
+
+def cellcover_pip_join(spark: SparkSession, pts: DataFrame,
+                       polys_sdf: DataFrame, *, res: int, id_col: str,
+                       lat_col: str = "lat", lon_col: str = "lon",
+                       max_cells_per_poly: int = 4096) -> DataFrame:
+    """Grid-blocked PIP join: equi-join on cover cells, exact test on
+    boundary candidates only. Same output contract as :func:`pip_join`
+    (inner-join semantics, identical even-odd + bbox accept rule), no
+    broadcast of the polygon side.
+
+    A point lies in exactly one cell and a polygon's cover lists each
+    cell once, so each (point, polygon) pair meets at most once — no
+    dedup stage needed.
+
+    One pass, one Python crossing after the join: splitting full/
+    boundary into separate DataFrame branches and unioning them would
+    duplicate the join subtree in the plan (computed twice — no
+    automatic reuse without an explicit cache), so the full-row accept
+    happens inside the same refine batch instead.
+    """
+    from ..cells import cell_col
+
+    cover = polygon_cover(polys_sdf, res,
+                          max_cells_per_poly=max_cells_per_poly)
+    pts_c = pts.select(id_col, lat_col, lon_col) \
+        .withColumn("__cell", cell_col(lat_col, lon_col, res))
+    cand = pts_c.join(cover, pts_c["__cell"] == cover["cell"]) \
+        .select(id_col, lat_col, lon_col, "layer_id", "channel", "full",
+                "xs", "ys", "pminx", "pminy", "pmaxx", "pmaxy")
+
+    in_schema_id_type = dict(
+        (f.name, f.dataType) for f in pts.schema.fields)[id_col]
+    out_schema = T.StructType([
+        T.StructField(id_col, in_schema_id_type),
+        T.StructField("layer_id", T.LongType()),
+        T.StructField("channel", T.StringType()),
+    ])
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parts = []
+            fmask = pdf["full"].to_numpy(bool)
+            if fmask.any():  # full cells: accept without geometry work
+                parts.append(pdf.loc[fmask,
+                                     [id_col, "layer_id", "channel"]])
+            keep_id, keep_lid, keep_ch = [], [], []
+            for lid, grp in pdf[~fmask].groupby("layer_id", sort=False):
+                g0 = grp.iloc[0]
+                # bracket access: pandas Series.xs is a METHOD, so
+                # attribute access on the 'xs' column returns it instead
+                xs = np.asarray(g0["xs"], dtype=np.float64)[None, :]
+                ys = np.asarray(g0["ys"], dtype=np.float64)[None, :]
+                pack = {"layer_id": np.array([lid], dtype=np.int64),
+                        "channel": np.array([g0["channel"]]),
+                        "minx": np.array([g0["pminx"]]),
+                        "miny": np.array([g0["pminy"]]),
+                        "maxx": np.array([g0["pmaxx"]]),
+                        "maxy": np.array([g0["pmaxy"]]),
+                        "xs": xs, "ys": ys}
+                lon = grp[lon_col].to_numpy(np.float64)
+                lat = grp[lat_col].to_numpy(np.float64)
+                pi, _ = point_in_polygons(pack, lon, lat)
+                keep_id.extend(grp[id_col].to_numpy()[pi].tolist())
+                keep_lid.extend([lid] * len(pi))
+                keep_ch.extend([g0["channel"]] * len(pi))
+            parts.append(pd.DataFrame({
+                id_col: pd.Series(keep_id),
+                "layer_id": pd.Series(keep_lid, dtype="int64"),
+                "channel": pd.Series(keep_ch, dtype="object")}))
+            out = pd.concat(parts, ignore_index=True)
+            out["layer_id"] = out["layer_id"].astype("int64")
+            yield out
+
+    return cand.mapInPandas(refine, schema=out_schema)

@@ -64,6 +64,20 @@ _reg("pip_exact", Q(tables=("embeddings", "nation"), fn=_pip_exact_fn,
                         "theta-join a true oracle of the exact test"))
 
 
+def _pip_cellcover_fn(spark, sf_dir):
+    """Same join, no broadcast: grid-blocked cover + cell equi-join.
+
+    Shares pip_exact's oracle — two different physical strategies
+    (broadcast ray-cast vs cell-cover equi-join) must produce the same
+    relation, which is exactly the guarantee a user migrating from the
+    broadcast path to the scale path needs."""
+    from .operators.pip import cellcover_pip_join, polys_to_sdf
+    pts = spark.sql(f"WITH {PTS} SELECT vec_id, lat, lon FROM pts")
+    polys = polys_to_sdf(spark, _boxes_pdf(spark))
+    out = cellcover_pip_join(spark, pts, polys, res=7, id_col="vec_id")
+    return out.select("vec_id", F.col("layer_id").alias("box_id"))
+
+
 def _features_df(spark, res: int):
     from .operators.raster import polygons_to_cells
     feats = polygons_to_cells(_boxes_pdf(spark), res)
@@ -88,6 +102,13 @@ def register_raster() -> None:
     two rows-only queries (weakest check form — no SQL oracle) register
     last and never displace an oracle-checked query from the driver's
     ~50-query correctness window."""
+    _reg("pip_cellcover",
+         Q(tables=("embeddings", "nation"), fn=_pip_cellcover_fn,
+           duck_sql=_PIP_ORACLE,
+           doc="J6 scale path: grid-blocked (polyfill-style) PIP join "
+               "— polygon cover cells + point-cell equi-join + exact "
+               "test on boundary candidates only; no broadcast of the "
+               "polygon side, same relation as pip_exact"))
     _reg("raster_assembly",
          Q(tables=("nation",), fn=_raster_fn, duck_sql=None,
            doc="raster<->vector: per-cell scanline rasterization via "

@@ -78,6 +78,81 @@ def test_pip_join_spark(spark, polys):
     assert len(got) >= len(polys) * 0.5  # most centers are inside
 
 
+def _star_polygon(rng, cx, cy, nv=8, rmin=0.3, rmax=1.5):
+    """Random star-shaped (simple, generally non-convex) ring."""
+    ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    rad = rng.uniform(rmin, rmax, nv)
+    return np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)],
+                    axis=1)
+
+
+def test_cover_cells_superset_and_full_soundness():
+    """Cover contains every inside point's cell; full cells are truly
+    fully inside (sampled)."""
+    rng = np.random.Generator(np.random.PCG64(7))
+    res, n = 9, 1 << 9
+    for t in range(20):
+        ring = _star_polygon(rng, rng.uniform(-100, 100),
+                             rng.uniform(-50, 50))
+        cells, full = pip.cover_cells_one(ring, res)
+        cover = set(cells.tolist())
+        full_set = set(cells[full].tolist())
+        # random points in the polygon bbox
+        px = rng.uniform(ring[:, 0].min(), ring[:, 0].max(), 300)
+        py = rng.uniform(ring[:, 1].min(), ring[:, 1].max(), 300)
+        ring_l = [tuple(p) for p in ring]
+        from loc2vec_spark import cells as C
+        pc = C.latlon_to_cell(py, px, res)
+        for k in range(len(px)):
+            inside = _inside(ring_l, px[k], py[k])
+            if inside:
+                assert int(pc[k]) in cover
+            if int(pc[k]) in full_set:
+                assert inside  # full cell => every point inside
+    assert len(full_set) >= 0  # smoke: loop ran
+
+
+def test_cellcover_join_equals_broadcast_join(spark):
+    """The no-broadcast scale path returns the exact same relation as
+    the broadcast ray-cast join, on non-convex polygons."""
+    rng = np.random.Generator(np.random.PCG64(11))
+    rows = []
+    for lid in range(25):
+        ring = _star_polygon(rng, rng.uniform(-90, 90),
+                             rng.uniform(-45, 45))
+        rows.append({"layer_id": lid, "channel": f"ch{lid % 3}",
+                     "ring": [tuple(p) for p in ring],
+                     "minx": ring[:, 0].min(), "miny": ring[:, 1].min(),
+                     "maxx": ring[:, 0].max(), "maxy": ring[:, 1].max()})
+    polys = pd.DataFrame(rows)
+    # points: global scatter + concentrations near polygon centers
+    lat = np.concatenate([rng.uniform(-60, 60, 500),
+                          np.repeat((polys.miny + polys.maxy) / 2.0, 8)
+                          + rng.normal(0, 0.7, 200)])
+    lon = np.concatenate([rng.uniform(-180, 180, 500),
+                          np.repeat((polys.minx + polys.maxx) / 2.0, 8)
+                          + rng.normal(0, 0.7, 200)])
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pid": np.arange(len(lat), dtype=np.int64),
+        "lat": lat, "lon": lon}))
+    bcast = pip.pip_join(spark, pts, polys, id_col="pid")
+    cover = pip.cellcover_pip_join(
+        spark, pts, pip.polys_to_sdf(spark, polys), res=8, id_col="pid")
+    got_b = {(int(r.pid), int(r.layer_id), r.channel)
+             for r in bcast.collect()}
+    got_c = {(int(r.pid), int(r.layer_id), r.channel)
+             for r in cover.collect()}
+    assert got_c == got_b
+    assert len(got_b) > 50  # non-vacuous: real hits on both paths
+
+
+def test_cover_max_cells_guard():
+    ring = np.array([[-170.0, -80.0], [170.0, -80.0],
+                     [170.0, 80.0], [-170.0, 80.0]])
+    with pytest.raises(ValueError, match="coarser cover res"):
+        pip.cover_cells_one(ring, 12, max_cells=1000)
+
+
 def test_pip_join_on_fixture_images(spark, fixture_dir, polys):
     images = spark.read.parquet(f"{fixture_dir}/images.parquet")
     pts = geo.with_latlon(images).select("image_id", "lat", "lon")

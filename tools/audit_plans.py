@@ -286,6 +286,43 @@ def main() -> None:
          all("lang" not in sch for sch in s12["schemas"])),
     ])
 
+    mx = qreg.run_spark(spark, SF, "mix_sources")
+    p13 = plan_of(mx)
+    s13 = summarize(p13)
+    audit("mix_sources (weighted mixing)", mx, [
+        ("rates dim (per-source counts) joins broadcast — no shuffle "
+         "of the document stream onto source", s13["bhj"] >= 1),
+        ("scalar n_min rides a broadcast (1-row side), not a shuffle",
+         s13["bnlj"] <= 1 and "CartesianProduct" not in p13),
+        ("keep-filter is pure codegen (integer cross-multiplication, "
+         "no Python)", s13["python"] == 0),
+    ])
+    dr = qreg.run_spark(spark, SF, "doc_rarity")
+    p14 = plan_of(dr)
+    s14 = summarize(p14)
+    audit("doc_rarity (vocabulary-rarity join)", dr, [
+        ("global token-frequency dim joins broadcast back onto the "
+         "token stream (vocab-sized build side)", s14["bhj"] >= 1),
+        ("no cartesian/nested-loop beyond the 1-row gmean scalar",
+         s14["bnlj"] <= 1 and "CartesianProduct" not in p14),
+        ("pure Catalyst tokenization (posexplode, no Python)",
+         s14["python"] == 0),
+    ])
+
+    pc = qreg.run_spark(spark, SF, "pip_cellcover")
+    p15 = plan_of(pc)
+    s15 = summarize(p15)
+    audit("pip_cellcover (grid-blocked spatial join)", pc, [
+        ("candidates ride a cell equi-join — no cartesian/"
+         "nested-loop anywhere", s15["bnlj"] == 0
+         and "CartesianProduct" not in p15),
+        ("exactly two Python (Arrow) crossings: cover generation + "
+         "boundary refinement (full cells skip geometry entirely)",
+         s15["python"] == 2),
+        ("point side scan pruned to (vec_id, lat, lon inputs)",
+         all("caption" not in sch for sch in s15["schemas"])),
+    ])
+
     hdr = ("# PLANS.md — physical-plan audit (generated by "
            "tools/audit_plans.py)\n\n"
            "Every section asserts the plan properties the engine promises "

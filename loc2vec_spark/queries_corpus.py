@@ -250,6 +250,48 @@ FROM d CROSS JOIN g
 """
 
 
+# ===========================================================================
+# dedup_spanfrac — per-doc duplicated-span coverage fraction
+# ===========================================================================
+# The span-level dedup signal (Lee et al.-style "what fraction of this
+# document's tokens sit inside an n-gram that also occurs in another
+# document"): pair queries (dedup_ngram_jaccard) say WHICH docs overlap,
+# this says HOW MUCH of each doc is duplicated — the filter axis a
+# pipeline thresholds on ("drop docs >80% duplicated"). Cross-doc only:
+# a shingle repeated within one doc does not count. Coverage is the
+# union of 3-token windows over shared-shingle starts, computed exactly
+# via DISTINCT covered positions (no interval arithmetic). At scale:
+# shared-shingle detection is a map-side-partial groupBy on the hash
+# sid; candidates ride the sid equi-join; covered-position DISTINCT is
+# per-doc bounded.
+
+def _spanfrac_sql(base: int) -> str:
+    from .functions import md5_id_sql
+    sid = md5_id_sql("s", base)
+    w = "OVER (PARTITION BY doc_id ORDER BY pos)"
+    return f"""
+WITH {_tok(base)},
+sh AS (SELECT doc_id, pos,
+              tok || '_' || LEAD(tok, 1) {w} || '_' || LEAD(tok, 2) {w} AS s
+       FROM tok),
+shp AS (SELECT doc_id, pos, {sid} AS sid FROM sh WHERE s IS NOT NULL),
+shared AS (SELECT sid FROM (SELECT DISTINCT doc_id, sid FROM shp) d
+           GROUP BY sid HAVING COUNT(*) >= 2),
+cov AS (SELECT DISTINCT p.doc_id, p.pos + o.off AS cpos
+        FROM shp p JOIN shared u ON u.sid = p.sid
+        CROSS JOIN (SELECT 0 AS off UNION ALL SELECT 1
+                    UNION ALL SELECT 2) o),
+n AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id)
+SELECT n.doc_id, n.n_tok,
+       CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup_tok,
+       ROUND(CAST(COALESCE(c.n_dup, 0) AS DOUBLE) / n.n_tok, 6)
+           AS dup_frac
+FROM n LEFT JOIN (SELECT doc_id, COUNT(*) AS n_dup
+                  FROM cov GROUP BY doc_id) c
+  ON c.doc_id = n.doc_id
+"""
+
+
 def register_corpus_extras() -> None:
     # idempotent under every import entry point (register_ann_ivf /
     # register_ml_extras pattern)
@@ -293,6 +335,14 @@ def register_corpus_extras() -> None:
         doc="corpus: per-doc vocabulary-rarity ratio + term-frequency "
             "band — the TF-IDF-shaped join (global counts dim joined "
             "back onto the token stream)"))
+    _reg("dedup_spanfrac", Q(
+        tables=("documents",),
+        spark_sql=_spanfrac_sql(SPARK_BASE),
+        duck_sql=_spanfrac_sql(DUCKDB_BASE),
+        doc="dedup: per-doc duplicated-span coverage — fraction of "
+            "token positions inside a cross-doc-shared 3-gram (exact "
+            "union via DISTINCT covered positions; sid equi-join "
+            "candidates)"))
 
 
 # Completion hook for the queries_corpus-first import path (mirrors

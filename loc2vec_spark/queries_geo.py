@@ -97,11 +97,115 @@ def _pyramid_fn(spark, sf_dir):
     return up.select("cell", "channel", "nnz")
 
 
+# ---------------------------------------------------------------------------
+# Vector-geometry aggregates (ST_Area / ST_Centroid analogs) and
+# trajectory stats — geo extras, fully oracle-checked.
+# ---------------------------------------------------------------------------
+# geom_stats: shoelace area + centroid per polygon. Vertices are
+# synthesized as INTEGER milli-degree coordinates straight from nation
+# keys (kite quadrilaterals with four independent arm lengths, so the
+# centroid is a real computation, not the symmetric center), shoelace
+# cross-products stay in exact int64 (coords ~1.5e5 => terms ~7e15,
+# order-free), and only the two final divisions are double — identical
+# order in both engines. At scale this is a per-polygon bounded window
+# (LEAD over <=v vertices) + a tiny groupBy: pure codegen, no Python.
+
+_GEOM_SQL = """
+WITH k4 AS (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2
+            UNION ALL SELECT 3),
+poly AS (SELECT n_nationkey AS pid,
+                ((n_nationkey * 40503) % 300000) - 150000 AS cx,
+                ((n_nationkey * 2654435761) % 120000) - 60000 AS cy,
+                500 + (n_nationkey % 7) * 300 AS a_w,
+                300 + (n_nationkey % 5) * 400 AS a_s,
+                400 + (n_nationkey % 11) * 250 AS a_e,
+                200 + (n_nationkey % 13) * 350 AS a_n
+         FROM nation),
+vert AS (SELECT pid, k,
+                cx + CASE k WHEN 0 THEN -a_w WHEN 2 THEN a_e
+                            ELSE 0 END AS x,
+                cy + CASE k WHEN 1 THEN -a_s WHEN 3 THEN a_n
+                            ELSE 0 END AS y
+         FROM poly CROSS JOIN k4),
+edge AS (SELECT pid, x, y,
+                COALESCE(LEAD(x) OVER (PARTITION BY pid ORDER BY k),
+                         FIRST_VALUE(x) OVER (PARTITION BY pid ORDER BY k
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)) AS x2,
+                COALESCE(LEAD(y) OVER (PARTITION BY pid ORDER BY k),
+                         FIRST_VALUE(y) OVER (PARTITION BY pid ORDER BY k
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)) AS y2
+         FROM vert),
+sl AS (SELECT pid,
+              CAST(SUM(x * y2 - x2 * y) AS BIGINT) AS cr2,
+              CAST(SUM((x + x2) * (x * y2 - x2 * y)) AS BIGINT) AS sx,
+              CAST(SUM((y + y2) * (x * y2 - x2 * y)) AS BIGINT) AS sy
+       FROM edge GROUP BY pid)
+SELECT pid,
+       ROUND(ABS(CAST(cr2 AS DOUBLE)) / 2.0E6, 6) AS area_deg2,
+       ROUND(CAST(sx AS DOUBLE) / (3.0E3 * cr2), 6) AS centroid_lon,
+       ROUND(CAST(sy AS DOUBLE) / (3.0E3 * cr2), 6) AS centroid_lat
+FROM sl
+"""
+
+# traj_stats: per-user trajectory over the time-ordered event sequence.
+# Positions are seeded-hash integer grid coords (exact), so step and
+# displacement aggregates are pure int64 sums — order-free, no float
+# fold anywhere (sqrt/haversine left to the caller: cross-row double
+# sums are the one construct this oracle suite bans). Windows partition
+# by user (bounded), ties broken by event_id.
+
+_TRAJ_SQL = """
+WITH pos AS (SELECT user_id, event_id, ts,
+                    ((event_id * 2654435761 + 17) % 100000) AS px,
+                    ((event_id * 40503 + 71) % 100000) AS py
+             FROM events),
+st AS (SELECT user_id,
+              px - LAG(px) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS dx,
+              py - LAG(py) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS dy,
+              FIRST_VALUE(px) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING) AS fx,
+              FIRST_VALUE(py) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING) AS fy,
+              LAST_VALUE(px) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING) AS lx,
+              LAST_VALUE(py) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING) AS ly
+       FROM pos)
+SELECT user_id,
+       CAST(COUNT(dx) AS BIGINT) AS n_steps,
+       CAST(SUM(dx * dx + dy * dy) AS BIGINT) AS path_sq_sum,
+       CAST(MAX(dx * dx + dy * dy) AS BIGINT) AS max_step_sq,
+       CAST(MAX((lx - fx) * (lx - fx) + (ly - fy) * (ly - fy)) AS BIGINT)
+           AS net_disp_sq
+FROM st GROUP BY user_id
+"""
+
+
 def register_raster() -> None:
     """Deferred: called from queries.py AFTER the contract suites so the
     two rows-only queries (weakest check form — no SQL oracle) register
     last and never displace an oracle-checked query from the driver's
-    ~50-query correctness window."""
+    ~50-query correctness window. The oracle-checked geo extras
+    (geom_stats, traj_stats, pip_cellcover) register first within this
+    block."""
+    from .queries import _shared
+    _shared("geom_stats", ("nation",), _GEOM_SQL,
+            doc="geo: shoelace area + centroid per polygon "
+                "(ST_Area/ST_Centroid analog) — exact int64 "
+                "cross-products over synthesized kite quads, final "
+                "division double")
+    _shared("traj_stats", ("events",), _TRAJ_SQL,
+            doc="geo: per-user trajectory stats (step count, exact "
+                "squared path/step/net-displacement sums) over the "
+                "time-ordered event sequence")
     _reg("pip_cellcover",
          Q(tables=("embeddings", "nation"), fn=_pip_cellcover_fn,
            duck_sql=_PIP_ORACLE,

@@ -117,3 +117,14 @@ def test_doc_rarity_invariants(spark):
         assert r["rarity_ratio"] > 0
     # the ratio actually varies across docs (non-vacuous signal)
     assert len({r["rarity_ratio"] for r in out}) > docs // 10
+
+
+def test_dedup_spanfrac_bounds(spark):
+    out = q.run_spark(spark, SF, "dedup_spanfrac").collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(out) == docs
+    for r in out:
+        assert 0 <= r.n_dup_tok <= r.n_tok
+        assert abs(r.dup_frac - r.n_dup_tok / r.n_tok) < 1e-6
+    # varies across docs (non-vacuous signal on the driver corpus)
+    assert len({r.dup_frac for r in out}) > docs // 10

@@ -64,3 +64,52 @@ def test_cell_assignment_is_codegen(spark, images):
     assert "*(1)" in plan  # whole-stage codegen star
     scan = plan[plan.index("ReadSchema"):]
     assert "bytes" not in scan  # column pruning: never read image payloads
+
+
+def test_geom_stats_matches_numpy_shoelace(spark):
+    """Shoelace area/centroid vs an independent numpy implementation on
+    the same synthesized kite vertices."""
+    from loc2vec_spark import queries as q
+    out = {int(r.pid): r for r in
+           q.run_spark(spark, "/root/testdata/sf0.001", "geom_stats")
+            .collect()}
+    for key in out:
+        cx = ((key * 40503) % 300000) - 150000
+        cy = ((key * 2654435761) % 120000) - 60000
+        a_w = 500 + (key % 7) * 300
+        a_s = 300 + (key % 5) * 400
+        a_e = 400 + (key % 11) * 250
+        a_n = 200 + (key % 13) * 350
+        v = np.array([[cx - a_w, cy], [cx, cy - a_s],
+                      [cx + a_e, cy], [cx, cy + a_n]], dtype=np.float64)
+        x, y = v[:, 0], v[:, 1]
+        x2, y2 = np.roll(x, -1), np.roll(y, -1)
+        cross = x * y2 - x2 * y
+        area = abs(cross.sum()) / 2.0 / 1e6
+        clon = ((x + x2) * cross).sum() / (3.0 * cross.sum()) / 1e3
+        clat = ((y + y2) * cross).sum() / (3.0 * cross.sum()) / 1e3
+        r = out[key]
+        assert abs(r.area_deg2 - area) < 1e-5
+        assert abs(r.centroid_lon - clon) < 1e-5
+        assert abs(r.centroid_lat - clat) < 1e-5
+        # the kite is irregular: centroid is NOT the synthesis center
+        if a_w != a_e or a_s != a_n:
+            assert (abs(r.centroid_lon - cx / 1e3) > 1e-6
+                    or abs(r.centroid_lat - cy / 1e3) > 1e-6)
+
+
+def test_traj_stats_invariants(spark):
+    from loc2vec_spark import queries as q
+    sf = "/root/testdata/sf0.01"
+    out = q.run_spark(spark, sf, "traj_stats").collect()
+    per_user = {r["user_id"]: r["n"] for r in
+                spark.read.parquet(f"{sf}/events.parquet")
+                     .groupBy("user_id").agg(F.count("*").alias("n"))
+                     .collect()}
+    assert len(out) == len(per_user)
+    for r in out:
+        assert r.n_steps == per_user[r.user_id] - 1
+        assert 0 <= r.max_step_sq <= r.path_sq_sum
+        # Cauchy-Schwarz: (net displacement)^2 <= n * sum of step^2
+        assert r.net_disp_sq <= max(1, r.n_steps) * r.path_sq_sum
+    assert len({r.path_sq_sum for r in out}) > len(out) // 2

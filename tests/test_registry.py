@@ -42,7 +42,8 @@ def test_contract_block_precedes_extras() -> None:
               "stratified_sample", "a11_percentiles", "text_pii_scrub",
               "text_repetition", "vocab_topk", "decontaminate",
               "leakfree_split", "pack_sequences", "mix_sources",
-              "doc_rarity", "pip_cellcover", "raster_assembly",
+              "doc_rarity", "dedup_spanfrac", "geom_stats",
+              "traj_stats", "pip_cellcover", "raster_assembly",
               "pyramid_rollup"]
     n_contract = len(names) - len(extras)
     # every non-extra (contract/pipeline) query sits in the first block

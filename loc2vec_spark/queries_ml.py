@@ -257,6 +257,40 @@ WHERE {_h('doc_id', 91, 100)} <
 # documented scale knob is approx_percentile/t-digest; this is the
 # exact face that validates it.
 
+# Per-group OLS y=price ~ x=quantity from exact integer moment sums.
+# FLOOR before CAST (Spark truncates decimal->bigint, DuckDB rounds —
+# a bare CAST diverges on .5 cents); all five moments are exact int64
+# (y <= ~1.05e5 whole units, y^2 <= 1.1e10, safe past sf1), and the
+# closed-form slope/intercept/r2 touches doubles only in the final
+# expressions — identical operation order in both engines, no
+# cross-row float fold. regr_slope/regr_r2 exist in both engines but
+# fold doubles row-by-row (order-dependent) — this formulation is the
+# oracle-stable equivalent.
+_REGR_SQL = """
+WITH xy AS (SELECT l_returnflag,
+                   CAST(FLOOR(l_quantity) AS BIGINT) AS x,
+                   CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
+            FROM lineitem),
+m AS (SELECT l_returnflag, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM xy GROUP BY l_returnflag),
+d AS (SELECT l_returnflag, n,
+             CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov_n,
+             CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS varx_n,
+             CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vary_n,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM m)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       ROUND(cov_n / varx_n, 6) AS slope,
+       ROUND((syd - (cov_n / varx_n) * sxd) / n, 6) AS intercept,
+       ROUND(cov_n * cov_n / (varx_n * vary_n), 6) AS r2
+FROM d
+"""
+
 _PCTL_SQL = """
 WITH r AS (SELECT l_returnflag, l_extendedprice AS v,
                   ROW_NUMBER() OVER (PARTITION BY l_returnflag
@@ -325,6 +359,11 @@ def register_ml_extras() -> None:
             "top-token ratios per doc (C4/Gopher-style filters; "
             "grouped aggregates over the shared tokenizer — one "
             "doc_id-keyed shuffle)"))
+    _shared("a12_regression", ("lineitem",), _REGR_SQL,
+            doc="A-extra: per-group OLS slope/intercept/r2 from exact "
+                "int64 moment sums (cents-scaled), doubles only in the "
+                "final closed form — the engine's regr_slope/REGR_R2 "
+                "analog without cross-row float folds")
 
 
 # Completion hook for the queries_ml-first import path (mirrors

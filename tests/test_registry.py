@@ -40,7 +40,7 @@ def test_contract_block_precedes_extras() -> None:
               "range_events", "w6_ranks", "a9_cube", "a10_multidistinct",
               "dedup_phash", "zorder_locality", "kmeans_latlon",
               "stratified_sample", "a11_percentiles", "text_pii_scrub",
-              "text_repetition", "vocab_topk", "decontaminate",
+              "text_repetition", "a12_regression", "vocab_topk", "decontaminate",
               "leakfree_split", "pack_sequences", "mix_sources",
               "doc_rarity", "dedup_spanfrac", "geom_stats",
               "traj_stats", "pip_cellcover", "raster_assembly",

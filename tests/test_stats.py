@@ -76,3 +76,25 @@ def test_projection_null_embedding_maps_to_null(emb_df, spark):
                             dim=DIM, k=2)
     row = out.filter(F.col("vec_id") == 10_000).collect()[0]
     assert row["pca"] is None
+
+
+def test_a12_regression_matches_numpy_polyfit(spark):
+    """Closed-form OLS from exact integer moments vs numpy lstsq."""
+    import numpy as np
+    import pandas as pd
+    from loc2vec_spark import queries as q
+    sf = "/root/testdata/sf0.001"
+    out = {r.l_returnflag: r for r in
+           q.run_spark(spark, sf, "a12_regression").collect()}
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    assert len(out) == li.l_returnflag.nunique()
+    for rf, g in li.groupby("l_returnflag"):
+        x = np.floor(g.l_quantity.astype(float).to_numpy())
+        y = np.floor(g.l_extendedprice.astype(float).to_numpy())
+        slope, intercept = np.polyfit(x, y, 1)
+        r2 = np.corrcoef(x, y)[0, 1] ** 2
+        r = out[rf]
+        assert abs(r.slope - slope) < 1e-4
+        assert abs(r.intercept - intercept) < 1e-2
+        assert abs(r.r2 - r2) < 1e-4
+        assert r.n_rows == len(g)

@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..cells import MAX_RES, RES_SHIFT, J_SHIFT
+from ..cells import MAX_RES, ij_to_cell
 
 
 def pack_polygons(polys: pd.DataFrame) -> dict:
@@ -149,6 +149,14 @@ def pip_join(spark: SparkSession, pts: DataFrame, polys: pd.DataFrame, *,
 # conservative: all 4 cell corners inside AND no polygon edge's
 # (eps-padded) bbox touches the cell — an edge that could cross the
 # cell demotes it to boundary, so a full tag is always sound.
+#
+# Coordinate contract (same planar semantics as pip_join's ray cast):
+# rings are expressed in [-180, 180] x [-90, 90] and must NOT cross the
+# antimeridian (split such features upstream, as OSM extracts do). A
+# ring that merely TOUCHES +/-180 on both sides is handled: the cover
+# dedupes the wrapped i=0 column (review r2 — without the dedup a
+# circumpolar ring emitted cell 0 twice and the join produced duplicate
+# (point, polygon) rows).
 # ---------------------------------------------------------------------------
 
 _COVER_SCHEMA = T.StructType([
@@ -156,12 +164,6 @@ _COVER_SCHEMA = T.StructType([
     T.StructField("channel", T.StringType()),
     T.StructField("cell", T.LongType()),
     T.StructField("full", T.BooleanType()),
-    T.StructField("xs", T.ArrayType(T.DoubleType())),
-    T.StructField("ys", T.ArrayType(T.DoubleType())),
-    T.StructField("pminx", T.DoubleType()),
-    T.StructField("pminy", T.DoubleType()),
-    T.StructField("pmaxx", T.DoubleType()),
-    T.StructField("pmaxy", T.DoubleType()),
 ])
 
 
@@ -172,17 +174,20 @@ def cover_cells_one(ring_xy: np.ndarray, res: int, *,
 
     Candidate set = every cell whose bbox intersects the polygon bbox —
     a superset of the cells containing any interior point, so the cover
-    join never loses a match. Raises (no silent truncation) when the
-    polygon spans more than ``max_cells`` cells at ``res``; the caller
-    should coarsen the cover resolution.
+    join never loses a match. Cell ids are deduplicated (a ring touching
+    both +/-180 maps columns i=0 and i=n onto the same cell; full only
+    if every duplicate classified full). Raises (no silent truncation)
+    when the polygon spans more than ``max_cells`` cells at ``res``; the
+    caller should coarsen the cover resolution.
     """
     if not 0 <= res <= MAX_RES:
         raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
     n = 1 << res
     x, y = ring_xy[:, 0], ring_xy[:, 1]
     minx, maxx, miny, maxy = x.min(), x.max(), y.min(), y.max()
-    # unwrapped i range (mod n only when emitting ids) keeps the
-    # antimeridian case contiguous; j clamps like latlon_to_ij
+    # i range in the unwrapped frame (mod n only when emitting ids);
+    # j clamps like latlon_to_ij. Rings never cross the antimeridian
+    # (module contract above), so [minx, maxx] is the true lon extent.
     i0 = int(np.floor((minx + 180.0) / 360.0 * n))
     i1 = int(np.floor((maxx + 180.0) / 360.0 * n))
     j0 = int(np.clip(np.floor((miny + 90.0) / 180.0 * n), 0, n - 1))
@@ -223,9 +228,13 @@ def cover_cells_one(ring_xy: np.ndarray, res: int, *,
               | (eymin[None, :] > cy1[:, None]))
     full = corners_in & ~touch.any(axis=1)
 
-    cells = ((np.int64(res) << RES_SHIFT) | (jj.astype(np.int64) << J_SHIFT)
-             | (ii.astype(np.int64) % n))
-    return cells, full
+    cells = ij_to_cell(ii % n, jj, res)
+    # dedupe wrapped columns (i=0 vs i=n map to the same cell when the
+    # ring touches both +/-180): full only if ALL duplicates are full
+    uniq, inv = np.unique(cells, return_inverse=True)
+    fullu = np.ones(len(uniq), dtype=bool)
+    np.logical_and.at(fullu, inv, full)
+    return uniq, fullu
 
 
 def polygon_cover(polys_sdf: DataFrame, res: int, *,
@@ -234,30 +243,25 @@ def polygon_cover(polys_sdf: DataFrame, res: int, *,
 
     Input schema: (layer_id, channel, xs array<double>, ys array<double>)
     — one closed ring per polygon (see :func:`polys_to_sdf`). Output =
-    ``_COVER_SCHEMA``; boundary rows carry the ring + bbox for the exact
-    refinement, full rows carry NULL geometry (slim shuffle payload).
+    ``_COVER_SCHEMA`` — deliberately ring-free (review r2): carrying the
+    ring per cover row would duplicate it onto every candidate point in
+    the downstream join; the refine stage gets geometry once per polygon
+    via cogroup instead.
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {f.name: [] for f in _COVER_SCHEMA}
             for row in pdf.itertuples():
-                xs = np.asarray(row.xs, dtype=np.float64)
-                ys = np.asarray(row.ys, dtype=np.float64)
-                ring = np.stack([xs, ys], axis=1)
+                ring = np.stack([np.asarray(row.xs, dtype=np.float64),
+                                 np.asarray(row.ys, dtype=np.float64)],
+                                axis=1)
                 cells, full = cover_cells_one(
                     ring, res, max_cells=max_cells_per_poly)
-                for c, f in zip(cells.tolist(), full.tolist()):
-                    out["layer_id"].append(row.layer_id)
-                    out["channel"].append(row.channel)
-                    out["cell"].append(c)
-                    out["full"].append(f)
-                    out["xs"].append(None if f else row.xs)
-                    out["ys"].append(None if f else row.ys)
-                    out["pminx"].append(float(xs.min()))
-                    out["pminy"].append(float(ys.min()))
-                    out["pmaxx"].append(float(xs.max()))
-                    out["pmaxy"].append(float(ys.max()))
+                out["layer_id"].extend([row.layer_id] * len(cells))
+                out["channel"].extend([row.channel] * len(cells))
+                out["cell"].extend(cells.tolist())
+                out["full"].extend(full.tolist())
             yield pd.DataFrame(out)
 
     return polys_sdf.select("layer_id", "channel", "xs", "ys") \
@@ -293,15 +297,22 @@ def cellcover_pip_join(spark: SparkSession, pts: DataFrame,
     (inner-join semantics, identical even-odd + bbox accept rule), no
     broadcast of the polygon side.
 
-    A point lies in exactly one cell and a polygon's cover lists each
-    cell once, so each (point, polygon) pair meets at most once — no
-    dedup stage needed.
+    A point lies in exactly one cell and a polygon's cover dedupes its
+    cells, so each (point, polygon) pair meets at most once — no dedup
+    stage needed.
 
-    One pass, one Python crossing after the join: splitting full/
-    boundary into separate DataFrame branches and unioning them would
-    duplicate the join subtree in the plan (computed twice — no
-    automatic reuse without an explicit cache), so the full-row accept
-    happens inside the same refine batch instead.
+    Plan shape (review r2): the candidate join carries only slim rows
+    (id, coords, layer, full) — no ring payload. Full-cell hits resolve
+    JVM-side with a plain filter+project (no Arrow crossing at all);
+    boundary candidates shuffle by layer_id and cogroup with the
+    polygon side, so each ring crosses into Python once per polygon
+    group instead of once per candidate row. ``cand`` is persisted
+    because both branches read it (an uncached union would recompute
+    the cover join per branch); at one action over the returned union
+    each candidate partition materializes once. Skew note: a hot
+    polygon's boundary candidates form one cogroup — bounded by
+    perimeter cells only (interior matches took the full-cell path),
+    which is what keeps the worst case linear in boundary length.
     """
     from ..cells import cell_col
 
@@ -310,8 +321,11 @@ def cellcover_pip_join(spark: SparkSession, pts: DataFrame,
     pts_c = pts.select(id_col, lat_col, lon_col) \
         .withColumn("__cell", cell_col(lat_col, lon_col, res))
     cand = pts_c.join(cover, pts_c["__cell"] == cover["cell"]) \
-        .select(id_col, lat_col, lon_col, "layer_id", "channel", "full",
-                "xs", "ys", "pminx", "pminy", "pmaxx", "pmaxy")
+        .select(id_col, lat_col, lon_col, "layer_id", "channel", "full") \
+        .persist()
+
+    full_hits = cand.filter(F.col("full")) \
+        .select(id_col, "layer_id", "channel")
 
     in_schema_id_type = dict(
         (f.name, f.dataType) for f in pts.schema.fields)[id_col]
@@ -321,39 +335,35 @@ def cellcover_pip_join(spark: SparkSession, pts: DataFrame,
         T.StructField("channel", T.StringType()),
     ])
 
-    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            parts = []
-            fmask = pdf["full"].to_numpy(bool)
-            if fmask.any():  # full cells: accept without geometry work
-                parts.append(pdf.loc[fmask,
-                                     [id_col, "layer_id", "channel"]])
-            keep_id, keep_lid, keep_ch = [], [], []
-            for lid, grp in pdf[~fmask].groupby("layer_id", sort=False):
-                g0 = grp.iloc[0]
-                # bracket access: pandas Series.xs is a METHOD, so
-                # attribute access on the 'xs' column returns it instead
-                xs = np.asarray(g0["xs"], dtype=np.float64)[None, :]
-                ys = np.asarray(g0["ys"], dtype=np.float64)[None, :]
-                pack = {"layer_id": np.array([lid], dtype=np.int64),
-                        "channel": np.array([g0["channel"]]),
-                        "minx": np.array([g0["pminx"]]),
-                        "miny": np.array([g0["pminy"]]),
-                        "maxx": np.array([g0["pmaxx"]]),
-                        "maxy": np.array([g0["pmaxy"]]),
-                        "xs": xs, "ys": ys}
-                lon = grp[lon_col].to_numpy(np.float64)
-                lat = grp[lat_col].to_numpy(np.float64)
-                pi, _ = point_in_polygons(pack, lon, lat)
-                keep_id.extend(grp[id_col].to_numpy()[pi].tolist())
-                keep_lid.extend([lid] * len(pi))
-                keep_ch.extend([g0["channel"]] * len(pi))
-            parts.append(pd.DataFrame({
-                id_col: pd.Series(keep_id),
-                "layer_id": pd.Series(keep_lid, dtype="int64"),
-                "channel": pd.Series(keep_ch, dtype="object")}))
-            out = pd.concat(parts, ignore_index=True)
-            out["layer_id"] = out["layer_id"].astype("int64")
-            yield out
+    def refine(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            id_col: pd.Series([], dtype="object"),
+            "layer_id": pd.Series([], dtype="int64"),
+            "channel": pd.Series([], dtype="object")})
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        g0 = right.iloc[0]
+        # bracket access: pandas Series.xs is a METHOD, so attribute
+        # access on the 'xs' column returns it instead
+        xs = np.asarray(g0["xs"], dtype=np.float64)
+        ys = np.asarray(g0["ys"], dtype=np.float64)
+        pack = {"layer_id": np.array([g0["layer_id"]], dtype=np.int64),
+                "channel": np.array([g0["channel"]]),
+                "minx": np.array([xs.min()]), "miny": np.array([ys.min()]),
+                "maxx": np.array([xs.max()]), "maxy": np.array([ys.max()]),
+                "xs": xs[None, :], "ys": ys[None, :]}
+        lon = left[lon_col].to_numpy(np.float64)
+        lat = left[lat_col].to_numpy(np.float64)
+        pi, _ = point_in_polygons(pack, lon, lat)
+        return pd.DataFrame({
+            id_col: left[id_col].to_numpy()[pi],
+            "layer_id": np.full(len(pi), g0["layer_id"], dtype=np.int64),
+            "channel": np.full(len(pi), g0["channel"], dtype=object)})
 
-    return cand.mapInPandas(refine, schema=out_schema)
+    boundary = cand.filter(~F.col("full")) \
+        .select(id_col, lat_col, lon_col, "layer_id")
+    refined = boundary.groupBy("layer_id").cogroup(
+        polys_sdf.select("layer_id", "channel", "xs", "ys")
+                 .groupBy("layer_id")) \
+        .applyInPandas(refine, schema=out_schema)
+    return full_hits.unionByName(refined)

@@ -154,7 +154,12 @@ FROM sl
 # displacement aggregates are pure int64 sums — order-free, no float
 # fold anywhere (sqrt/haversine left to the caller: cross-row double
 # sums are the one construct this oracle suite bans). Windows partition
-# by user (bounded), ties broken by event_id.
+# by user (bounded), ties broken by event_id. px/py use two DIFFERENT
+# multipliers rather than queries._h twice with different seeds: _h's
+# shared multiplier would make dx == dy on almost every step (an
+# additive seed cancels in the difference) and collapse the signal.
+# Single-event users produce NULL step aggregates — COALESCEd to 0 so
+# n_steps=0 rows stay well-typed (review r2).
 
 _TRAJ_SQL = """
 WITH pos AS (SELECT user_id, event_id, ts,
@@ -181,8 +186,8 @@ st AS (SELECT user_id,
        FROM pos)
 SELECT user_id,
        CAST(COUNT(dx) AS BIGINT) AS n_steps,
-       CAST(SUM(dx * dx + dy * dy) AS BIGINT) AS path_sq_sum,
-       CAST(MAX(dx * dx + dy * dy) AS BIGINT) AS max_step_sq,
+       CAST(COALESCE(SUM(dx * dx + dy * dy), 0) AS BIGINT) AS path_sq_sum,
+       CAST(COALESCE(MAX(dx * dx + dy * dy), 0) AS BIGINT) AS max_step_sq,
        CAST(MAX((lx - fx) * (lx - fx) + (ly - fy) * (ly - fy)) AS BIGINT)
            AS net_disp_sq
 FROM st GROUP BY user_id

@@ -102,7 +102,8 @@ def test_mix_sources_weighted_proportions(spark):
     per_w = {r["w"]: r["n"] for r in
              out.groupBy("w").agg(F.count("*").alias("n")).collect()}
     assert set(per_w) == {1, 2, 3}
-    # monotone in w, and each class near w/3 of its 175/150/175-doc pool
+    # monotone in w, and each class near w/3 of its pool (w=1/2/3 pools
+    # are 175/175/150 docs: 7, 7, and 6 of the 20 sources)
     assert per_w[1] < per_w[2] < per_w[3]
     total = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert 0 < sum(per_w.values()) < total

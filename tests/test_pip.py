@@ -146,6 +146,17 @@ def test_cellcover_join_equals_broadcast_join(spark):
     assert len(got_b) > 50  # non-vacuous: real hits on both paths
 
 
+def test_cover_cells_unique_for_antimeridian_touching_ring():
+    """A circumpolar ring touching both +/-180 must not emit the wrapped
+    i=0 column twice (duplicate cover rows would duplicate join output).
+    """
+    ring = np.array([[-180.0, -80.0], [180.0, -80.0],
+                     [180.0, -70.0], [-180.0, -70.0]])
+    cells_, full = pip.cover_cells_one(ring, 4)
+    assert len(cells_) == len(set(cells_.tolist()))
+    assert len(full) == len(cells_)
+
+
 def test_cover_max_cells_guard():
     ring = np.array([[-170.0, -80.0], [170.0, -80.0],
                      [170.0, 80.0], [-170.0, 80.0]])

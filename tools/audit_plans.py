@@ -43,7 +43,8 @@ def summarize(plan: str) -> dict:
             "bnlj": c.get("BroadcastNestedLoopJoin", 0),
             "wgl": plan.count("WindowGroupLimit"),
             "python": plan.count("EvalPython") + plan.count("MapInPandas")
-                      + plan.count("FlatMapGroupsInPandas")}
+                      + plan.count("FlatMapGroupsInPandas")
+                      + plan.count("FlatMapCoGroupsInPandas")}
 
 
 def main() -> None:
@@ -316,9 +317,12 @@ def main() -> None:
         ("candidates ride a cell equi-join — no cartesian/"
          "nested-loop anywhere", s15["bnlj"] == 0
          and "CartesianProduct" not in p15),
-        ("exactly two Python (Arrow) crossings: cover generation + "
-         "boundary refinement (full cells skip geometry entirely)",
-         s15["python"] == 2),
+        ("candidate join computed once, read from cache by both the "
+         "full-hit and boundary branches",
+         p15.count("InMemoryTableScan") >= 2),
+        ("rings reach Python once per polygon cogroup (single "
+         "FlatMapCoGroupsInPandas), never per candidate row",
+         p15.count("FlatMapCoGroupsInPandas") == 1),
         ("point side scan pruned to (vec_id, lat, lon inputs)",
          all("caption" not in sch for sch in s15["schemas"])),
     ])

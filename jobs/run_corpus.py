@@ -67,6 +67,11 @@ def main(argv=None) -> None:
                     help="add a leak-free train/val split column "
                          "(hash of the duplicate-cluster component — "
                          "queries_corpus.leakfree_split semantics)")
+    ap.add_argument("--mix-weights", default="",
+                    help="weighted source mixing after dedup, e.g. "
+                         "'src0=3,src1=1' — each source keeps "
+                         "w/W * n_min/n_s of its docs (mix_sources "
+                         "semantics; unlisted sources weight 1)")
     ap.add_argument("--pack-budget", type=int, default=0,
                     help="if > 0, assign each surviving doc a "
                          "(pack_shard, pack_id, pack_pos) training-"
@@ -143,6 +148,15 @@ def main(argv=None) -> None:
     if args.split:
         from loc2vec_spark.queries_corpus import _SPLIT_CASE
         final = final.withColumn("split", F.expr(_SPLIT_CASE))
+
+    # 5a'. optional weighted source mixing (before packing, so packs
+    # form over the mixture the trainer will actually see)
+    if args.mix_weights:
+        from loc2vec_spark.queries_corpus import weighted_mix
+        weights = {k: int(v) for k, v in
+                   (kv.split("=") for kv in args.mix_weights.split(","))}
+        final = weighted_mix(final, weights)
+        stats["after_mixing"] = final.count()
 
     # 5b. optional training-sequence packing: greedy token-budget fold
     # over hash shards sized to keep each applyInPandas group bounded

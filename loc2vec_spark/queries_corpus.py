@@ -250,6 +250,36 @@ FROM d CROSS JOIN g
 """
 
 
+def weighted_mix(df, weights: dict, *, source_col: str = "source",
+                 id_col: str = "doc_id", seed: int = _MIX_SEED,
+                 m: int = _MIX_M):
+    """Operator face of mix_sources for jobs: keep each source at
+    w_s/W * n_min/n_s (every source contributes w_s shares of the
+    smallest source's size). Unlisted sources get weight 1.
+
+    Driver traffic is one tiny per-source count agg (the rates dim,
+    broadcast back); the keep filter is the same integer
+    cross-multiplied hash-Bernoulli as the mix_sources oracle — no
+    doubles, deterministic at any parallelism.
+    """
+    from pyspark.sql import functions as F
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items()
+                          for x in kv]) if weights else None
+    c = df.groupBy(source_col).agg(F.count("*").alias("__n"))
+    if wmap is not None:
+        c = c.withColumn("__w", F.coalesce(
+            wmap[F.col(source_col)], F.lit(1)).cast("long"))
+    else:
+        c = c.withColumn("__w", F.lit(1).cast("long"))
+    n_min = c.agg(F.min("__n")).first()[0]
+    big_w = max(list(weights.values()) + [1]) if weights else 1
+    h = ((F.col(id_col) * F.lit(2654435761) + F.lit(seed)) % m + m) % m
+    return df.join(F.broadcast(c), source_col) \
+             .filter(h * big_w * F.col("__n")
+                     < F.col("__w") * F.lit(int(n_min)) * m) \
+             .drop("__n", "__w")
+
+
 # ===========================================================================
 # dedup_spanfrac — per-doc duplicated-span coverage fraction
 # ===========================================================================

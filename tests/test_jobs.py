@@ -195,3 +195,33 @@ def test_run_corpus_split_and_packing(spark, tmp_path):
         .agg(F.sum("n_tokens").alias("s"), F.count("*").alias("c")) \
         .filter("s > 256 AND c > 1").count() == 0
     assert stats["final_docs"] == corpus.count()
+
+
+def test_run_corpus_weighted_mixing(spark, tmp_path):
+    """--mix-weights downsamples sources to w/W * n_min/n_s (mix_sources
+    semantics) between dedup and the write."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "corpus_out")
+    spec = importlib.util.spec_from_file_location(
+        "corpusmod4", os.path.join(repo, "jobs", "run_corpus.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stats = mod.main(["--docs", "/root/testdata/sf0.001/documents.parquet",
+                      "--out", out, "--mix-weights", "src0=3,src1=1",
+                      "--keep-session"])
+    assert 0 < stats["after_mixing"] < stats["after_exact_dedup"]
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert stats["final_docs"] == corpus.count()
+    # weighted sources keep more than weight-1 sources of equal size:
+    # src0 (w=3, W=3 -> keep ~all of n_min) vs src1 (w=1 -> ~1/3)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    kept = corpus.join(docs.select("doc_id", "source"), "doc_id") \
+                 .groupBy("source").agg(F.count("*").alias("n")) \
+                 .collect()
+    per = {r["source"]: r["n"] for r in kept}
+    if "src0" in per and "src1" in per:
+        assert per["src0"] > per["src1"]

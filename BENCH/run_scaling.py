@@ -133,7 +133,9 @@ def main() -> None:
                   "ann_recall_at10", "ann_candidate_frac",
                   "ann_ivf_recall_at10", "ann_ivf_candidate_frac",
                   "ann_ivf_trained_recall_at10",
-                  "ann_ivf_trained_candidate_frac"):
+                  "ann_ivf_trained_candidate_frac",
+                  "ann_ivf_trained_np8_recall_at10",
+                  "ann_ivf_trained_np8_candidate_frac"):
             lo.setdefault(k, extras.get(k))
             hi.setdefault(k, extras.get(k))
         for t in (lo, hi):
@@ -207,6 +209,10 @@ cluster near-dup regime at bounded scan — tests/test_ann.py):
 | {hi.get('ann_ivf_trained_recall_at10', 'n/a')} \
 | {hi.get('ann_ivf_trained_candidate_frac', 'n/a')} \
 | {_lift(hi, 'ann_ivf_trained')} |
+| IVF-flat (Lloyd-trained codebook, k=16, nprobe=8) \
+| {hi.get('ann_ivf_trained_np8_recall_at10', 'n/a')} \
+| {hi.get('ann_ivf_trained_np8_candidate_frac', 'n/a')} \
+| {_lift(hi, 'ann_ivf_trained_np8')} |
 
 Per-query seconds:
 

@@ -187,18 +187,24 @@ def bench_ann_recall(spark, sf_dir: str) -> dict:
             cand_fn(spark).count() / denom_cand, 3)
 
     # trained-codebook IVF (operators/ann.py): the production swap of
-    # ann_ivf's sampled quantizer — reported on the same harness
+    # ann_ivf's sampled quantizer — reported on the same harness, at
+    # TWO nprobe operating points so the recall/cost knob is measured,
+    # not asserted (nprobe=4 is the operator default; nprobe=8 probes
+    # half the 16 trained cells — the high-recall end of the dial)
     from loc2vec_spark.operators.ann import (ivf_trained,
                                              ivf_trained_candidates,
                                              train_codebook)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = train_codebook(emb, dim=64, k_cells=16, iters=3)
-    approx_t = ivf_trained(emb, cents, dim=64) \
-        .select("query_id", "neighbor_id")
-    n_hit_t = brute.join(approx_t, ["query_id", "neighbor_id"]).count()
-    out["ann_ivf_trained_recall_at10"] = round(n_hit_t / n_want, 3)
-    out["ann_ivf_trained_candidate_frac"] = round(
-        ivf_trained_candidates(emb, cents, dim=64).count() / denom_cand, 3)
+    for nprobe, tag in ((4, "ann_ivf_trained"),
+                        (8, "ann_ivf_trained_np8")):
+        approx_t = ivf_trained(emb, cents, dim=64, nprobe=nprobe) \
+            .select("query_id", "neighbor_id")
+        n_hit_t = brute.join(approx_t, ["query_id", "neighbor_id"]).count()
+        out[f"{tag}_recall_at10"] = round(n_hit_t / n_want, 3)
+        out[f"{tag}_candidate_frac"] = round(
+            ivf_trained_candidates(emb, cents, dim=64,
+                                   nprobe=nprobe).count() / denom_cand, 3)
     brute.unpersist()
     return out
 

@@ -150,6 +150,13 @@ def pip_join(spark: SparkSession, pts: DataFrame, polys: pd.DataFrame, *,
 # (eps-padded) bbox touches the cell — an edge that could cross the
 # cell demotes it to boundary, so a full tag is always sound.
 #
+# Measured tradeoff (400k points x 110 polygons, local[8], identical
+# 208,991-row output): broadcast ray-cast 1.24s vs cell-cover 3.53s —
+# at small polygon counts the broadcast path wins ~3x and remains the
+# default; the cover join is the CAPACITY path for polygon sides that
+# exceed broadcast/executor memory, where the broadcast operator simply
+# cannot run.
+#
 # Coordinate contract (same planar semantics as pip_join's ray cast):
 # rings are expressed in [-180, 180] x [-90, 90] and must NOT cross the
 # antimeridian (split such features upstream, as OSM extracts do). A

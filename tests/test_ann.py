@@ -192,3 +192,33 @@ def test_trained_assignment_plan_is_rowwise(spark):
     plan = asg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ivf_trained_nprobe_dial_monotone(spark):
+    """The nprobe knob trades scan for recall monotonically: probing
+    more trained cells never reduces recall, and the candidate set
+    grows (the BENCH two-operating-point disclosure, pinned here)."""
+    from loc2vec_spark.operators.ann import (ivf_trained,
+                                             ivf_trained_candidates,
+                                             train_codebook)
+    rng = np.random.default_rng(12)
+    X = rng.uniform(-0.217, 0.217, size=(300, DIM)).astype(np.float32)
+    _as_view(spark, X)
+    emb = spark.table("embeddings").cache()
+    cents = train_codebook(emb, dim=DIM, k_cells=16, iters=1)
+    from loc2vec_spark.queries import QUERIES
+    brute = {}
+    for r in spark.sql(QUERIES["ann_bruteforce"].spark_sql).collect():
+        brute.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    stats = {}
+    for nprobe in (2, 8):
+        approx = ivf_trained(emb, cents, dim=DIM, nprobe=nprobe)
+        hit = sum(1 for r in approx.collect()
+                  if r["neighbor_id"] in brute.get(r["query_id"], ()))
+        want = sum(len(v) for v in brute.values())
+        ncand = ivf_trained_candidates(emb, cents, dim=DIM,
+                                       nprobe=nprobe).count()
+        stats[nprobe] = (hit / want, ncand)
+    assert stats[8][0] >= stats[2][0]          # recall monotone
+    assert stats[8][1] > stats[2][1]           # scan grows
+    assert stats[8][0] >= 0.5, stats           # high end is useful

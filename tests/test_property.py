@@ -163,3 +163,41 @@ def test_ahash_properties(seed, h, w, rgb):
     assert hsh == _ahash64(arr.astype(np.uint8))  # deterministic
     # affine brightness scale preserves every block comparison
     assert _ahash64((arr * 2).astype(np.int64)) == hsh
+
+
+@settings(max_examples=60, deadline=None)
+@given(seed=st.integers(0, 10_000), nv=st.integers(3, 12),
+       res=st.integers(4, 10))
+def test_cover_cells_superset_property(seed, nv, res):
+    """For ANY simple star polygon: (a) every point inside the polygon
+    has its cell in the cover, (b) full cells contain only inside
+    points, (c) cover cell ids are unique."""
+    from loc2vec_spark.operators.pip import cover_cells_one
+    rng = np.random.default_rng(seed)
+    cx, cy = rng.uniform(-150, 150), rng.uniform(-60, 60)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    rad = rng.uniform(0.2, 3.0, nv)
+    ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)],
+                    axis=1)
+    cover_cells, full = cover_cells_one(ring, res, max_cells=100_000)
+    assert len(set(cover_cells.tolist())) == len(cover_cells)
+    cover = set(cover_cells.tolist())
+    full_set = set(cover_cells[full].tolist())
+
+    px = rng.uniform(ring[:, 0].min(), ring[:, 0].max(), 120)
+    py = rng.uniform(ring[:, 1].min(), ring[:, 1].max(), 120)
+    # numpy even-odd raycast (same accept rule as the engine)
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    crosses = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = ((x2 - x1)[None, :] * (py[:, None] - y1[None, :])
+                / (y2 - y1)[None, :] + x1[None, :])
+    inside = ((crosses & (px[:, None] < xint)).sum(axis=1) % 2
+              ).astype(bool)
+    pc = cells.latlon_to_cell(py, px, res)
+    for k in range(len(px)):
+        if inside[k]:
+            assert int(pc[k]) in cover
+        if int(pc[k]) in full_set:
+            assert inside[k]

@@ -322,6 +322,63 @@ FROM n LEFT JOIN (SELECT doc_id, COUNT(*) AS n_dup
 """
 
 
+# ===========================================================================
+# dedup_incremental — new-batch-vs-corpus dedup (continuous crawl)
+# ===========================================================================
+# The batch variants above dedup a corpus against ITSELF; a continuous
+# crawl pipeline instead asks, per newly-crawled document: is it an
+# exact copy of something already in the corpus, a near-duplicate of
+# one, or genuinely new? Batch = `doc_id % 5 = 0` (a deterministic 20%
+# slice standing in for "today's crawl"); corpus = the rest.
+#
+# Verdict joins, in priority order (an exact copy is also a near-dup —
+# identical shingles give identical signatures — so the CASE tests
+# exact first):
+#   exact_dup: batch semi-joins corpus on full text. At scale this is
+#     an equi-join on xxhash64(text) against the corpus's persisted
+#     exact-dedup index — never on the raw string.
+#   near_dup: batch LSH band tuples equi-join the corpus's band tuples.
+#     At scale the corpus side IS the persisted LSH index (one table
+#     bucketed on (band, x, y), appended as batches are accepted), so
+#     the probe is a bucket-local join that never reshuffles the corpus;
+#     the batch side is small enough to broadcast. Here both sides read
+#     one signature table split by the batch predicate — the same
+#     relation, with the split expressed as partition pruning.
+# Every verdict row is computed rowwise from two LEFT-JOIN existence
+# probes — no cross product, no skew (band buckets are minhash-uniform).
+
+_INC_BATCH = "doc_id % 5 = 0"
+_INC_BODY = f"""
+SELECT d.doc_id, d.source,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS verdict
+FROM (SELECT doc_id, source FROM documents WHERE {_INC_BATCH}) d
+LEFT JOIN (SELECT DISTINCT b.doc_id
+           FROM documents b JOIN documents c ON c.text = b.text
+           WHERE b.{_INC_BATCH} AND NOT (c.{_INC_BATCH})) e
+  ON e.doc_id = d.doc_id
+LEFT JOIN (SELECT DISTINCT a.doc_id
+           FROM (SELECT * FROM {{bands}} WHERE {_INC_BATCH}) a
+           JOIN (SELECT * FROM {{bands}} WHERE NOT ({_INC_BATCH})) c
+             ON a.band = c.band AND a.x = c.x AND a.y = c.y) n
+  ON n.doc_id = d.doc_id
+"""
+
+
+def _inc_fn(spark, sf_dir):
+    from .queries_text import _BANDS_SUB, _sig_cached
+    _sig_cached(spark)
+    return spark.sql(_INC_BODY.format(bands=_BANDS_SUB.format(
+        sig="sig_cached")))
+
+
+def _inc_duck(base: int) -> str:
+    from .queries_text import _BANDS_SUB, _SIG, _shingles
+    return (f"WITH {_tok(base)}, {_shingles(base).strip()}, {_SIG} "
+            + _INC_BODY.format(bands=_BANDS_SUB.format(sig="sig")))
+
+
 def register_corpus_extras() -> None:
     # idempotent under every import entry point (register_ann_ivf /
     # register_ml_extras pattern)
@@ -373,6 +430,13 @@ def register_corpus_extras() -> None:
             "token positions inside a cross-doc-shared 3-gram (exact "
             "union via DISTINCT covered positions; sid equi-join "
             "candidates)"))
+    _reg("dedup_incremental", Q(
+        tables=("documents",), fn=_inc_fn,
+        duck_sql=_inc_duck(DUCKDB_BASE),
+        doc="dedup: incremental new-batch-vs-corpus verdicts (exact "
+            "semi-probe + LSH-band probe of the corpus index; the "
+            "continuous-crawl workflow — batch joins the persisted "
+            "index, corpus never reshuffles)"))
 
 
 # Completion hook for the queries_corpus-first import path (mirrors

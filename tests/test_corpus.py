@@ -129,3 +129,47 @@ def test_dedup_spanfrac_bounds(spark):
         assert abs(r.dup_frac - r.n_dup_tok / r.n_tok) < 1e-6
     # varies across docs (non-vacuous signal on the driver corpus)
     assert len({r.dup_frac for r in out}) > docs // 10
+
+
+def test_dedup_incremental_verdicts_planted(spark):
+    """All three verdict arms on a planted batch/corpus split, and the
+    exact > near priority (an exact copy shares every LSH band, so the
+    CASE order is what keeps it labeled exact_dup). Cross-checked
+    against the DuckDB oracle on the same planted table."""
+    import duckdb
+    import pandas as pd
+
+    from loc2vec_spark.queries_corpus import _inc_duck, _inc_fn
+
+    rows = [
+        # corpus (doc_id % 5 != 0)
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten"),
+        (3, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+        # batch (doc_id % 5 == 0)
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (5, "one two three four five six seven eight nine ten extra"),
+        (10, "qq ww ee rr tt yy uu ii oo pp"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["source"] = "planted"
+    spark.createDataFrame(pdf).createOrReplaceTempView("documents")
+    got = {r["doc_id"]: r["verdict"]
+           for r in _inc_fn(spark, None).collect()}
+    assert got == {0: "exact_dup", 5: "near_dup", 10: "new"}
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    from loc2vec_spark.functions import DUCKDB_BASE
+    oracle = {r[0]: r[2] for r in con.sql(_inc_duck(DUCKDB_BASE)).fetchall()}
+    assert oracle == got
+
+
+def test_dedup_incremental_nonvacuous_at_sf(spark):
+    """On the driver corpus the near_dup arm has teeth (LSH pairs
+    straddle the 20% batch slice) and every batch doc gets a row."""
+    out = q.run_spark(spark, SF, "dedup_incremental").collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert len(out) == docs.filter("doc_id % 5 = 0").count()
+    verdicts = {r["verdict"] for r in out}
+    assert "new" in verdicts

@@ -42,7 +42,8 @@ def test_contract_block_precedes_extras() -> None:
               "stratified_sample", "a11_percentiles", "text_pii_scrub",
               "text_repetition", "a12_regression", "vocab_topk", "decontaminate",
               "leakfree_split", "pack_sequences", "mix_sources",
-              "doc_rarity", "dedup_spanfrac", "geom_stats",
+              "doc_rarity", "dedup_spanfrac", "dedup_incremental",
+              "geom_stats",
               "traj_stats", "pip_cellcover", "raster_assembly",
               "pyramid_rollup"]
     n_contract = len(names) - len(extras)

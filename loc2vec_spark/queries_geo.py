@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from .operators.geo import derived_latlon_sql
-from .queries import PTS, Q, _reg
+from .queries import CPTS, OFFS, PTS, Q, _reg
 
 _BLAT, _BLON = derived_latlon_sql("n_nationkey")
 
@@ -194,6 +194,85 @@ FROM st GROUP BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Focal (neighborhood) statistics + global spatial autocorrelation over
+# the res-7 grid — the raster-analysis layer on top of the cell index.
+# ---------------------------------------------------------------------------
+# focal_stats: per-occupied-cell 3x3-neighborhood aggregates of the
+# point-count surface (GIS "focal statistics"). Sparse-raster
+# semantics: only OCCUPIED neighbor cells contribute (empty cells are
+# absent rows, not zeros), so nb_n ranges 1..9 and the self cell always
+# counts. Longitude wraps, latitude clamps — the same stencil semantics
+# as kring_expand. Plan shape: one groupBy shuffle builds the per-cell
+# surface; the stencil explode is a 9-row broadcast; the neighbor probe
+# is a cell equi-join on the aggregated (small) surface — at 100 TB the
+# surface is #occupied-cells rows, orders of magnitude below the input.
+# All neighbor aggregates are exact int64; the single division is last.
+
+_N5G = 1 << 5
+
+_FOCAL_SQL = f"""
+WITH {{pts}}, {{cpts}}, {{offs}},
+p5 AS (SELECT CAST(FLOOR(ci / 4.0E0) AS BIGINT) AS ci,
+              CAST(FLOOR(cj / 4.0E0) AS BIGINT) AS cj
+       FROM cpts),
+g AS (SELECT ci, cj, CAST(COUNT(*) AS BIGINT) AS x
+      FROM p5 GROUP BY ci, cj),
+nb AS (SELECT ci, cj, x,
+              ((ci + di) + {_N5G}) % {_N5G} AS nci, cj + dj AS ncj
+       FROM g CROSS JOIN offs
+       WHERE cj + dj BETWEEN 0 AND {_N5G - 1}),
+f AS (SELECT nb.ci, nb.cj, nb.x,
+             CAST(SUM(b.x) AS BIGINT) AS nb_sum,
+             CAST(MAX(b.x) AS BIGINT) AS nb_max,
+             CAST(COUNT(*) AS BIGINT) AS nb_n
+      FROM nb JOIN g b ON b.ci = nb.nci AND b.cj = nb.ncj
+      GROUP BY nb.ci, nb.cj, nb.x)
+SELECT ci, cj, x AS n_pts, nb_sum, nb_max, nb_n,
+       ROUND(CAST(nb_sum AS DOUBLE) / nb_n, 6) AS focal_mean
+FROM f
+"""
+
+# morans_i: global Moran's I over the per-cell counts with binary
+# 8-neighbor (rook+bishop) weights among occupied cells — the standard
+# hot-spot/autocorrelation screen for a gridded point layer. Exact by
+# construction: with dev_i = N*x_i - S (N = occupied cells, S = total
+# points), Moran's I = (N/W) * sum_pairs(dev_a*dev_b) / sum(dev_i^2)
+# — the 1/N^2 factors of the true mean-deviations cancel, so numerator
+# and denominator stay pure int64 and the ONLY float op is the final
+# division (identical order both engines; no transcendentals anywhere,
+# which is what keeps this oracle hash-stable across engine versions).
+# Magnitude check at sf1: dev ~ N*x <= ~1e7, pair product <= 1e14,
+# summed over W ~ 8N pairs < 1e18 < int64 max; production beyond that
+# scale would switch the two sums to DECIMAL(38,0) partials.
+
+_MORAN_SQL = f"""
+WITH {{pts}}, {{cpts}}, {{offs}},
+p5 AS (SELECT CAST(FLOOR(ci / 4.0E0) AS BIGINT) AS ci,
+              CAST(FLOOR(cj / 4.0E0) AS BIGINT) AS cj
+       FROM cpts),
+g AS (SELECT ci, cj, CAST(COUNT(*) AS BIGINT) AS x
+      FROM p5 GROUP BY ci, cj),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(x) AS BIGINT) AS s FROM g),
+d AS (SELECT ci, cj, n_cells * x - s AS dev FROM g CROSS JOIN tot),
+nb AS (SELECT dev, ((ci + di) + {_N5G}) % {_N5G} AS nci, cj + dj AS ncj
+       FROM d CROSS JOIN offs
+       WHERE NOT (di = 0 AND dj = 0)
+         AND cj + dj BETWEEN 0 AND {_N5G - 1}),
+pr AS (SELECT CAST(COUNT(*) AS BIGINT) AS w_pairs,
+              CAST(SUM(a.dev * b.dev) AS BIGINT) AS num_i
+       FROM nb a JOIN d b ON b.ci = a.nci AND b.cj = a.ncj),
+den AS (SELECT CAST(SUM(dev * dev) AS BIGINT) AS den_i FROM d)
+SELECT n_cells, w_pairs, num_i, den_i,
+       CASE WHEN w_pairs = 0 OR den_i = 0 THEN NULL
+            ELSE ROUND(CAST(n_cells AS DOUBLE) * num_i
+                       / (CAST(w_pairs AS DOUBLE) * den_i), 6)
+       END AS morans_i
+FROM tot CROSS JOIN pr CROSS JOIN den
+"""
+
+
 def register_raster() -> None:
     """Deferred: called from queries.py AFTER the contract suites so the
     two rows-only queries (weakest check form — no SQL oracle) register
@@ -201,7 +280,7 @@ def register_raster() -> None:
     ~50-query correctness window. The oracle-checked geo extras
     (geom_stats, traj_stats, pip_cellcover) register first within this
     block."""
-    from .queries import _shared
+    from .queries import _shared  # noqa: F811 (late import: circular)
     _shared("geom_stats", ("nation",), _GEOM_SQL,
             doc="geo: shoelace area + centroid per polygon "
                 "(ST_Area/ST_Centroid analog) — exact int64 "
@@ -218,6 +297,17 @@ def register_raster() -> None:
                "— polygon cover cells + point-cell equi-join + exact "
                "test on boundary candidates only; no broadcast of the "
                "polygon side, same relation as pip_exact"))
+    _shared("focal_stats", ("embeddings",),
+            _FOCAL_SQL.format(pts=PTS, cpts=CPTS, offs=OFFS),
+            doc="geo: 3x3 focal-neighborhood statistics of the per-cell "
+                "point-count surface (GIS focal mean/max over occupied "
+                "neighbors; exact int64 sums, one final division)")
+    _shared("morans_i", ("embeddings",),
+            _MORAN_SQL.format(pts=PTS, cpts=CPTS, offs=OFFS),
+            doc="geo: global Moran's I spatial autocorrelation of the "
+                "cell-count surface, binary 8-neighbor weights — exact "
+                "integer numerator/denominator (scaled-deviation trick), "
+                "single final division")
     _reg("raster_assembly",
          Q(tables=("nation",), fn=_raster_fn, duck_sql=None,
            doc="raster<->vector: per-cell scanline rasterization via "

@@ -113,3 +113,59 @@ def test_traj_stats_invariants(spark):
         # Cauchy-Schwarz: (net displacement)^2 <= n * sum of step^2
         assert r.net_disp_sq <= max(1, r.n_steps) * r.path_sq_sum
     assert len({r.path_sq_sum for r in out}) > len(out) // 2
+
+
+def test_focal_stats_invariants(spark):
+    """Sparse-raster focal semantics: the self cell always contributes
+    (nb_n >= 1, nb_sum >= own count, nb_max >= own count), nb_n <= 9,
+    focal_mean = nb_sum / nb_n exactly; row set = occupied res-5 cells.
+    Cross-checked against a numpy re-aggregation of the same surface."""
+    import numpy as np
+
+    from loc2vec_spark import queries as q
+    sf = "/root/testdata/sf0.01"
+    out = q.run_spark(spark, sf, "focal_stats").collect()
+    surface = {(r.ci, r.cj): r.n_pts for r in out}
+    assert len(out) == len(surface)  # one row per occupied cell
+    n = 1 << 5
+    for r in out:
+        assert 1 <= r.nb_n <= 9
+        assert r.nb_sum >= r.n_pts and r.nb_max >= r.n_pts
+        assert abs(r.focal_mean - r.nb_sum / r.nb_n) < 1e-9
+        nbrs = [surface[((r.ci + di) % n, r.cj + dj)]
+                for di in (-1, 0, 1) for dj in (-1, 0, 1)
+                if ((r.ci + di) % n, r.cj + dj) in surface
+                and 0 <= r.cj + dj < n]
+        assert r.nb_n == len(nbrs)
+        assert r.nb_sum == sum(nbrs) and r.nb_max == max(nbrs)
+    assert any(r.nb_n > 1 for r in out)  # adjacency has teeth
+
+
+def test_morans_i_matches_numpy_definition(spark):
+    """The scaled-deviation integer formulation equals the textbook
+    Moran's I = (N/W) * sum_w (x_i-mean)(x_j-mean) / sum (x_i-mean)^2
+    computed in floating point from the same occupied-cell surface."""
+    import numpy as np
+
+    from loc2vec_spark import queries as q
+    sf = "/root/testdata/sf0.01"
+    row = q.run_spark(spark, sf, "morans_i").collect()[0]
+    surf = {(r.ci, r.cj): r.n_pts
+            for r in q.run_spark(spark, sf, "focal_stats").collect()}
+    xs = np.array(list(surf.values()), dtype=np.float64)
+    mean = xs.mean()
+    n = 1 << 5
+    num, w = 0.0, 0
+    for (ci, cj), x in surf.items():
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                if di == 0 and dj == 0:
+                    continue
+                key = ((ci + di) % n, cj + dj)
+                if 0 <= cj + dj < n and key in surf:
+                    num += (x - mean) * (surf[key] - mean)
+                    w += 1
+    assert row.n_cells == len(surf) and row.w_pairs == w > 0
+    expect = (len(surf) / w) * num / ((xs - mean) ** 2).sum()
+    assert abs(row.morans_i - expect) < 1e-5
+    assert -1.5 <= row.morans_i <= 1.5  # sane magnitude

@@ -44,8 +44,8 @@ def test_contract_block_precedes_extras() -> None:
               "leakfree_split", "pack_sequences", "mix_sources",
               "doc_rarity", "dedup_spanfrac", "dedup_incremental",
               "geom_stats",
-              "traj_stats", "pip_cellcover", "raster_assembly",
-              "pyramid_rollup"]
+              "traj_stats", "pip_cellcover", "focal_stats", "morans_i",
+              "raster_assembly", "pyramid_rollup"]
     n_contract = len(names) - len(extras)
     # every non-extra (contract/pipeline) query sits in the first block
     for n in names:

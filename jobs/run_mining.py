@@ -48,6 +48,10 @@ def main(argv=None) -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--cap", type=int, default=1024,
                     help="per-cell candidate cap (0 = exact, no cap)")
+    ap.add_argument("--min-sharpness", type=float, default=0.0,
+                    help="drop tiles whose Laplacian-variance sharpness "
+                         "is below this (image_quality quality gate; "
+                         "0 = off)")
     ap.add_argument("--keep-session", action="store_true",
                     help="do not stop the SparkSession (in-process tests)")
     args = ap.parse_args(argv)
@@ -57,6 +61,15 @@ def main(argv=None) -> None:
     ensure_workers_can_import(spark)
 
     images = spark.read.parquet(args.images)
+
+    # Quality gate (image face of the corpus job's text filters): score
+    # once, semi-join the ids that pass — blurry/empty tiles never reach
+    # the featurizer. Join, not collect: the pass-set is data-scale.
+    if args.min_sharpness > 0:
+        good = img_ops.image_quality(images).filter(
+            (F.col("ok")) & (F.col("sharpness") >= args.min_sharpness)) \
+            .select("image_id")
+        images = images.join(good, "image_id", "left_semi")
 
     # E2: embedding export — id travels in the row (fixes the reference's
     # positional id/embedding misalignment, loc2vec_run.py:33-48).

@@ -206,6 +206,78 @@ def phash_images(images: DataFrame) -> DataFrame:
         "bytes IS NOT NULL").mapInPandas(gen, PHASH_SCHEMA)
 
 
+QUALITY_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("sharpness", T.DoubleType()),     # Laplacian variance
+    T.StructField("edge_energy", T.DoubleType()),   # mean Sobel magnitude
+    T.StructField("contrast", T.DoubleType()),      # luma std / 255
+    T.StructField("brightness", T.DoubleType()),    # luma mean / 255
+    T.StructField("entropy", T.DoubleType()),       # 256-bin luma entropy
+])
+
+
+def _luma(arr: np.ndarray) -> np.ndarray:
+    gray = arr.astype(np.float64)
+    return gray.mean(axis=2) if gray.ndim == 3 else gray
+
+
+def quality_signals(arr: np.ndarray) -> tuple[float, float, float, float,
+                                              float]:
+    """Pure-numpy quality kernel for one decoded image (the pytest
+    oracle calls this directly on source pixels).
+
+    - sharpness: variance of the 4-neighbor Laplacian — the classic
+      blur detector (low = blurry/flat tile);
+    - edge_energy: mean Sobel gradient magnitude — texture density;
+    - contrast/brightness: luma std/mean normalized to [0, 1];
+    - entropy: Shannon entropy of the 256-bin luma histogram, bits —
+      near 0 flags constant/empty tiles (the image analog of
+      text_quality's boilerplate ratios).
+    """
+    g = _luma(arr)
+    lap = (4.0 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+           - g[1:-1, :-2] - g[1:-1, 2:])
+    gx = ((g[:-2, 2:] + 2.0 * g[1:-1, 2:] + g[2:, 2:])
+          - (g[:-2, :-2] + 2.0 * g[1:-1, :-2] + g[2:, :-2]))
+    gy = ((g[2:, :-2] + 2.0 * g[2:, 1:-1] + g[2:, 2:])
+          - (g[:-2, :-2] + 2.0 * g[:-2, 1:-1] + g[:-2, 2:]))
+    hist = np.bincount(np.clip(g, 0, 255).astype(np.int64).ravel(),
+                       minlength=256)
+    p = hist[hist > 0] / g.size
+    return (float(lap.var()),
+            float(np.sqrt(gx * gx + gy * gy).mean()),
+            float(g.std() / 255.0),
+            float(g.mean() / 255.0),
+            float(-(p * np.log2(p)).sum()))
+
+
+def image_quality(images: DataFrame) -> DataFrame:
+    """Per-image quality scoring for training-data filtering — the image
+    face of the text_quality operator (blur, texture, exposure,
+    information content), one Arrow crossing, quarantine-on-error.
+
+    Downstream use is a plain filter (e.g. ``sharpness > t AND
+    entropy > 1``): the signals are raw and deterministic, thresholds
+    stay with the caller/job (run_mining --min-sharpness)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    vals = quality_signals(decode_png(bytes(data)))
+                    out.append((iid, True,
+                                *(round(v, 6) for v in vals)))
+                except Exception:
+                    out.append((iid, False) + (None,) * 5)
+            yield pd.DataFrame(
+                out, columns=[f.name for f in QUALITY_SCHEMA])
+
+    return images.select("image_id", "bytes").filter(
+        "bytes IS NOT NULL").mapInPandas(gen, QUALITY_SCHEMA)
+
+
 def decode_av(images: DataFrame, *, kind: str) -> DataFrame:
     """Audio/video decode dispatcher.
 

@@ -111,3 +111,52 @@ def test_phash_near_dup_small_hamming_far_images_large(spark):
     shared = sum(out.loc["base", f"b{i}"] == out.loc["near", f"b{i}"]
                  for i in range(4))
     assert shared >= 1
+
+
+def test_image_quality_planted_and_matches_kernel(spark):
+    """Planted flat / checkerboard / noise / blurred tiles: the signal
+    ordering a quality filter depends on (flat ~ 0 everywhere,
+    checker sharp > blurred, noise has max entropy), and the Spark
+    column values equal the pure-numpy kernel on the source pixels."""
+    import pandas as pd
+    from loc2vec_spark.png_codec import encode_png
+
+    rng = np.random.default_rng(42)
+    flat = np.full((64, 64, 3), 128, dtype=np.uint8)
+    checker = (np.indices((64, 64)).sum(0) % 2 * 255)[..., None] \
+        .repeat(3, 2).astype(np.uint8)
+    noise = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    # box-blur the checkerboard (2x2 mean -> all pixels ~127.5 -> flat)
+    c = checker.astype(np.float64)
+    blurred = ((c + np.roll(c, 1, 0) + np.roll(c, 1, 1)
+                + np.roll(np.roll(c, 1, 0), 1, 1)) / 4).astype(np.uint8)
+    planted = {"flat": flat, "checker": checker, "noise": noise,
+               "blurred": blurred}
+    pdf = pd.DataFrame({"image_id": list(planted),
+                        "bytes": [encode_png(a) for a in planted.values()]})
+    out = img_ops.image_quality(spark.createDataFrame(pdf)) \
+        .toPandas().set_index("image_id")
+    assert out.ok.all()
+    assert out.loc["flat", "sharpness"] == 0.0
+    assert out.loc["flat", "entropy"] == 0.0
+    assert out.loc["flat", "edge_energy"] == 0.0
+    assert out.loc["checker", "sharpness"] > out.loc["blurred", "sharpness"]
+    assert out.loc["noise", "entropy"] > out.loc["checker", "entropy"]
+    assert abs(out.loc["checker", "brightness"] - 0.5) < 0.02
+    for name, arr in planted.items():
+        expect = img_ops.quality_signals(arr)
+        got = out.loc[name]
+        for col, v in zip(["sharpness", "edge_energy", "contrast",
+                           "brightness", "entropy"], expect):
+            assert abs(got[col] - round(v, 6)) < 1e-9, (name, col)
+
+
+def test_image_quality_quarantines_corrupt(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"image_id": ["good", "bad"],
+                        "bytes": [fixtures.images_pdf(1).bytes.iloc[0],
+                                  b"garbage"]})
+    out = img_ops.image_quality(spark.createDataFrame(pdf)) \
+        .toPandas().set_index("image_id")
+    assert bool(out.loc["good", "ok"]) and not bool(out.loc["bad", "ok"])
+    assert out.loc["good", "sharpness"] is not None

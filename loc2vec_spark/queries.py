@@ -763,6 +763,38 @@ pts AS (SELECT event_id, user_id, CAST({us} AS BIGINT) AS ts_us
             "user's daily view window — bucketed equi-join operator vs "
             "a plain theta-join oracle (different algorithms)"))
 
+    # events_sliding: Spark's NATIVE sliding window() operator (TimeWindow
+    # expansion inside Catalyst) vs an independent hop-explode oracle —
+    # floor(epoch/hop) gives the latest hop; an event of a 600s/300s
+    # window lies in exactly the k=0 and k=1 hop starts. Two genuinely
+    # different algorithms must agree, which is the real assertion here
+    # (the tumbling/session faces already pin the other two window
+    # shapes, SURVEY.md §2.8). Same DECIMAL(18,4) quantization as
+    # events_tumbling so partial-agg fold order can't flip the hash.
+    _reg("events_sliding", Q(
+        tables=("events",),
+        spark_sql="""
+SELECT CAST(unix_timestamp(window.start) AS BIGINT) AS win_start_epoch,
+       event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4)))
+                  AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY window(ts, '10 minutes', '5 minutes'), event_type
+""",
+        duck_sql="""
+WITH k2 AS (SELECT 0 AS k UNION ALL SELECT 1),
+e AS (SELECT CAST(FLOOR(epoch(ts) / 300.0E0) AS BIGINT) AS hop,
+             event_type, value FROM events)
+SELECT (hop - k) * 300 AS win_start_epoch, event_type,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(value, 4) AS DECIMAL(18,4)))
+                  AS DOUBLE), 4) AS sum_value
+FROM e CROSS JOIN k2 GROUP BY 1, 2
+""",
+        doc="sliding event-time window (600s size / 300s hop): native "
+            "Spark window() expansion vs a hop-explode oracle — "
+            "independent algorithms, same relation"))
+
     _shared("w6_ranks", ("orders",), """
 SELECT o_orderkey,
        RANK() OVER (PARTITION BY o_orderpriority

@@ -37,7 +37,8 @@ def test_contract_block_precedes_extras() -> None:
     names = _order("queries")
     idx = {n: i for i, n in enumerate(names)}
     extras = ["ann_ivf", "dedup_embedding_ivf", "asof_events",
-              "range_events", "w6_ranks", "a9_cube", "a10_multidistinct",
+              "range_events", "events_sliding", "w6_ranks", "a9_cube",
+              "a10_multidistinct",
               "dedup_phash", "zorder_locality", "kmeans_latlon",
               "stratified_sample", "a11_percentiles", "text_pii_scrub",
               "text_repetition", "a12_regression", "vocab_topk", "decontaminate",

@@ -826,6 +826,68 @@ FROM lineitem GROUP BY l_returnflag
 """, doc="A-extra: multiple exact distinct aggregates (expand-based "
          "plan; approx_count_distinct is the documented scale knob)")
 
+    # Data-quality layer: one-pass column profiling + slice-drift
+    # detection — the pre-flight checks a 100 TB ingest runs before
+    # anything downstream trusts the batch. Both all-exact-int until a
+    # final rowwise division.
+    _shared("profile_stats", ("documents",), """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS null_text,
+       CAST(SUM(CASE WHEN text IS NOT NULL AND LENGTH(text) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS empty_text,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS d_lang,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS d_source,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+       ROUND(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*), 6)
+           AS mean_chars,
+       CAST(SUM(CAST(LENGTH(text) AS BIGINT)) AS BIGINT) AS sum_text_len
+FROM documents
+""", doc="data quality: one-pass column profile (null/empty counts, "
+         "distincts, min/max/mean length) — the ingest pre-flight "
+         "check; single scan, pure partial aggregation")
+
+    # dist_drift: chi-square drift of the event_type distribution
+    # between two deterministic day-parity slices (the stand-in for
+    # yesterday-vs-today). Per-type terms, not one scalar: (a) the
+    # actionable output IS which type drifted, and (b) it keeps every
+    # float op rowwise — term = (o*N - R*C)^2 / (N*R*C) computed from
+    # exact int64 marginals via cross-joined scalar totals, double only
+    # in the final fixed-order expression (no cross-row double sums,
+    # the construct this suite bans).
+    def _drift_sql(epoch: str) -> str:
+        term = ("(CAST(({o} * (c0 + c1)) - ((o0 + o1) * {c}) AS DOUBLE) "
+                "* CAST(({o} * (c0 + c1)) - ((o0 + o1) * {c}) AS DOUBLE))"
+                " / (CAST(c0 + c1 AS DOUBLE) * (o0 + o1) * {c})")
+        return f"""
+WITH s AS (SELECT event_type,
+                  CAST(FLOOR({epoch} / 86400.0E0) AS BIGINT) % 2 AS slc
+           FROM events),
+c AS (SELECT event_type,
+             CAST(SUM(CASE WHEN slc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS o0,
+             CAST(SUM(CASE WHEN slc = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS o1
+      FROM s GROUP BY event_type),
+t AS (SELECT CAST(SUM(o0) AS BIGINT) AS c0,
+             CAST(SUM(o1) AS BIGINT) AS c1 FROM c)
+SELECT event_type, o0, o1,
+       ROUND({term.format(o='o0', c='c0')}
+             + {term.format(o='o1', c='c1')}, 6) AS chi2_term
+FROM c CROSS JOIN t
+"""
+
+    _reg("dist_drift", Q(
+        tables=("events",),
+        spark_sql=_drift_sql("unix_timestamp(ts)"),
+        duck_sql=_drift_sql("epoch(ts)"),
+        doc="data quality: per-event-type chi-square drift between two "
+            "deterministic day-parity slices (batch-over-batch "
+            "distribution-shift detector; exact-int marginals, rowwise "
+            "final term)"))
+
     # round-2 widening extras (all fully oracle-checked, so they sit
     # before the rows-only raster pair): image phash near-dup, z-order
     # locality, distributed k-means, stratified sampling, exact order

@@ -38,7 +38,7 @@ def test_contract_block_precedes_extras() -> None:
     idx = {n: i for i, n in enumerate(names)}
     extras = ["ann_ivf", "dedup_embedding_ivf", "asof_events",
               "range_events", "events_sliding", "w6_ranks", "a9_cube",
-              "a10_multidistinct",
+              "a10_multidistinct", "profile_stats", "dist_drift",
               "dedup_phash", "zorder_locality", "kmeans_latlon",
               "stratified_sample", "a11_percentiles", "text_pii_scrub",
               "text_repetition", "a12_regression", "vocab_topk", "decontaminate",

@@ -98,3 +98,37 @@ def test_a12_regression_matches_numpy_polyfit(spark):
         assert abs(r.intercept - intercept) < 1e-2
         assert abs(r.r2 - r2) < 1e-4
         assert r.n_rows == len(g)
+
+
+def test_profile_stats_invariants(spark):
+    from loc2vec_spark import queries as q
+    sf = "/root/testdata/sf0.01"
+    r = q.run_spark(spark, sf, "profile_stats").collect()[0]
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    assert r.n_rows == docs.count()
+    assert 0 <= r.null_text <= r.n_rows and 0 <= r.empty_text <= r.n_rows
+    assert r.min_chars <= r.mean_chars <= r.max_chars
+    assert abs(r.mean_chars - r.sum_chars / r.n_rows) < 1e-6
+    assert r.d_lang >= 1 and r.d_source >= 1
+
+
+def test_dist_drift_invariants(spark):
+    """Chi-square terms are non-negative, the slice marginals cover
+    every event, and a numpy recomputation of the textbook statistic
+    matches the fixed-order SQL expression."""
+    import numpy as np
+
+    from loc2vec_spark import queries as q
+    sf = "/root/testdata/sf0.01"
+    rows = q.run_spark(spark, sf, "dist_drift").collect()
+    n_events = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert sum(r.o0 + r.o1 for r in rows) == n_events
+    c0 = sum(r.o0 for r in rows)
+    c1 = sum(r.o1 for r in rows)
+    for r in rows:
+        assert r.chi2_term >= 0
+        expect = 0.0
+        for o, c in ((r.o0, c0), (r.o1, c1)):
+            e = (r.o0 + r.o1) * c / (c0 + c1)
+            expect += (o - e) ** 2 / e
+        assert abs(r.chi2_term - expect) < 1e-5

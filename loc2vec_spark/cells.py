@@ -199,6 +199,37 @@ def parent_sql(cell_expr: str, res: int, parent_res: int) -> str:
     return f"(CAST({parent_res} AS BIGINT) * {_POW2_58} + {pj} * {_POW2_29} + {pi})"
 
 
+def ij_to_quadkey(i, j, res: int):
+    """Vectorized quadkey string (Bing-maps/slippy-tile interop id):
+    base-4 digits msb-first, digit = 2*j_bit + i_bit, so a parent cell's
+    quadkey is a strict PREFIX of every child's — range scans by prefix
+    are hierarchy queries. Note the engine's j axis is south-origin
+    (j=0 at lat -90); an exporter targeting Bing's top-left origin
+    flips j to (2^res - 1 - j) first."""
+    i = np.asarray(i, dtype=np.int64)
+    j = np.asarray(j, dtype=np.int64)
+    digits = [((j >> s) & 1) * 2 + ((i >> s) & 1)
+              for s in range(res - 1, -1, -1)]
+    out = np.full(i.shape, "", dtype=object)
+    for d in digits:
+        out = np.char.add(out.astype(str), d.astype(str))
+    return out.astype(str)
+
+
+def quadkey_sql(i_expr: str, j_expr: str, res: int) -> str:
+    """SQL text for the quadkey string from grid-coord expressions —
+    portable bit extraction (FLOOR-divide + %2, no bit operators) and
+    a 4-way CASE per level (no CAST-to-string dialect divergence)."""
+    parts = []
+    for k in range(res):
+        s = 1 << (res - 1 - k)
+        d = (f"((CAST(FLOOR(({j_expr}) / {s}) AS BIGINT) % 2) * 2 "
+             f"+ (CAST(FLOOR(({i_expr}) / {s}) AS BIGINT) % 2))")
+        parts.append(f"(CASE {d} WHEN 0 THEN '0' WHEN 1 THEN '1' "
+                     f"WHEN 2 THEN '2' ELSE '3' END)")
+    return "(" + " || ".join(parts) + ")"
+
+
 def neighbor_sql(i_expr: str, j_expr: str, di_expr: str, dj_expr: str,
                  res: int) -> str:
     """SQL text for a neighbor cell id given grid coords + offsets.

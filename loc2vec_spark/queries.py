@@ -888,6 +888,22 @@ FROM c CROSS JOIN t
             "distribution-shift detector; exact-int marginals, rowwise "
             "final term)"))
 
+    # quadkey interop: Bing-maps/slippy-tile string ids off the same
+    # grid coords (F12 family). qk5 is derived INDEPENDENTLY from the
+    # parent coords rather than substring'd, so the oracle hash also
+    # pins the parent-prefix law (pytest asserts it explicitly).
+    _pci = "CAST(FLOOR(ci / 4.0E0) AS BIGINT)"
+    _pcj = "CAST(FLOOR(cj / 4.0E0) AS BIGINT)"
+    _shared("quadkey_assign", ("embeddings",), f"""
+WITH {PTS}, {CPTS}
+SELECT vec_id, cell,
+       {cells.quadkey_sql('ci', 'cj', RES)} AS qk7,
+       {cells.quadkey_sql(_pci, _pcj, 5)} AS qk5
+FROM cpts
+""", doc="F12 interop: quadkey (slippy-tile) string ids at res 7 and "
+         "res 5 — prefix-ordered hierarchy keys; portable bit "
+         "extraction, pure codegen")
+
     # round-2 widening extras (all fully oracle-checked, so they sit
     # before the rows-only raster pair): image phash near-dup, z-order
     # locality, distributed k-means, stratified sampling, exact order

@@ -150,3 +150,30 @@ def test_sql_wrap_matches_numpy_negative_lons():
     sql = cells.cell_sql("lat", "lon", 7)
     got = con.sql(f"SELECT {sql} AS c FROM t").df()["c"].to_numpy()
     assert np.array_equal(got, cells.latlon_to_cell(lats, vals, 7))
+
+
+def test_quadkey_numpy_sql_parity_and_prefix_law(spark):
+    """The numpy face equals the SQL face on real data, the res-5 key is
+    a strict prefix of the res-7 key (hierarchy-by-prefix law), and
+    lexicographic quadkey order equals Morton (z-order) cell order."""
+    from loc2vec_spark import cells, queries as q
+    out = q.run_spark(spark, "/root/testdata/sf0.01",
+                      "quadkey_assign").collect()
+    assert all(len(r.qk7) == 7 and len(r.qk5) == 5 for r in out)
+    assert all(r.qk7.startswith(r.qk5) for r in out)
+    i, j = cells.cell_ij(np.array([r.cell for r in out]))
+    np_qk = cells.ij_to_quadkey(i, j, 7)
+    assert list(np_qk) == [r.qk7 for r in out]
+    # prefix order = interleaved-bits order: sorting by quadkey equals
+    # sorting by the Morton number of (i, j)
+    def morton(ii, jj):
+        m = 0
+        for s in range(6, -1, -1):
+            m = (m << 2) | (((jj >> s) & 1) << 1) | ((ii >> s) & 1)
+        return m
+    by_qk = sorted(range(len(out)), key=lambda k: out[k].qk7)
+    by_m = sorted(range(len(out)),
+                  key=lambda k: (morton(int(i[k]), int(j[k])), k))
+    by_qk_stable = sorted(range(len(out)),
+                          key=lambda k: (out[k].qk7, k))
+    assert by_qk_stable == by_m

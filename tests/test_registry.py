@@ -39,6 +39,7 @@ def test_contract_block_precedes_extras() -> None:
     extras = ["ann_ivf", "dedup_embedding_ivf", "asof_events",
               "range_events", "events_sliding", "w6_ranks", "a9_cube",
               "a10_multidistinct", "profile_stats", "dist_drift",
+              "quadkey_assign",
               "dedup_phash", "zorder_locality", "kmeans_latlon",
               "stratified_sample", "a11_percentiles", "text_pii_scrub",
               "text_repetition", "a12_regression", "vocab_topk", "decontaminate",

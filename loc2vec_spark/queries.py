@@ -857,32 +857,41 @@ FROM documents
     # exact int64 marginals via cross-joined scalar totals, double only
     # in the final fixed-order expression (no cross-row double sums,
     # the construct this suite bans).
-    def _drift_sql(epoch: str) -> str:
-        term = ("(CAST(({o} * (c0 + c1)) - ((o0 + o1) * {c}) AS DOUBLE) "
-                "* CAST(({o} * (c0 + c1)) - ((o0 + o1) * {c}) AS DOUBLE))"
-                " / (CAST(c0 + c1 AS DOUBLE) * (o0 + o1) * {c})")
+    def _drift_c(epoch: str) -> str:
         return f"""
-WITH s AS (SELECT event_type,
-                  CAST(FLOOR({epoch} / 86400.0E0) AS BIGINT) % 2 AS slc
-           FROM events),
-c AS (SELECT event_type,
-             CAST(SUM(CASE WHEN slc = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                 AS o0,
-             CAST(SUM(CASE WHEN slc = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                 AS o1
-      FROM s GROUP BY event_type),
-t AS (SELECT CAST(SUM(o0) AS BIGINT) AS c0,
-             CAST(SUM(o1) AS BIGINT) AS c1 FROM c)
+SELECT event_type,
+       CAST(SUM(CASE WHEN slc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o0,
+       CAST(SUM(CASE WHEN slc = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o1
+FROM (SELECT event_type,
+             CAST(FLOOR({epoch} / 86400.0E0) AS BIGINT) % 2 AS slc
+      FROM events) s
+GROUP BY event_type
+"""
+
+    _term = ("(CAST(({o} * (c0 + c1)) - ((o0 + o1) * {c}) AS DOUBLE) "
+             "* CAST(({o} * (c0 + c1)) - ((o0 + o1) * {c}) AS DOUBLE))"
+             " / (CAST(c0 + c1 AS DOUBLE) * (o0 + o1) * {c})")
+    _drift_body = f"""
+WITH t AS (SELECT CAST(SUM(o0) AS BIGINT) AS c0,
+                  CAST(SUM(o1) AS BIGINT) AS c1 FROM c)
 SELECT event_type, o0, o1,
-       ROUND({term.format(o='o0', c='c0')}
-             + {term.format(o='o1', c='c1')}, 6) AS chi2_term
+       ROUND({_term.format(o='o0', c='c0')}
+             + {_term.format(o='o1', c='c1')}, 6) AS chi2_term
 FROM c CROSS JOIN t
 """
 
+    def _drift_fn(spark, sf_dir):
+        # c is referenced twice (totals + final projection); a plain CTE
+        # would scan events twice. Materialize the tiny per-type count
+        # table once (rows = #event types), then finish over it.
+        c = spark.sql(_drift_c("unix_timestamp(ts)"))
+        c.cache().createOrReplaceTempView("_drift_c")
+        return spark.sql(_drift_body.replace("FROM c", "FROM _drift_c"))
+
     _reg("dist_drift", Q(
-        tables=("events",),
-        spark_sql=_drift_sql("unix_timestamp(ts)"),
-        duck_sql=_drift_sql("epoch(ts)"),
+        tables=("events",), fn=_drift_fn,
+        duck_sql=(f"WITH c AS ({_drift_c('epoch(ts)').strip()}), "
+                  + _drift_body.strip().removeprefix("WITH ")),
         doc="data quality: per-event-type chi-square drift between two "
             "deterministic day-parity slices (batch-over-batch "
             "distribution-shift detector; exact-int marginals, rowwise "

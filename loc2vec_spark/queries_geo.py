@@ -246,13 +246,23 @@ FROM f
 # summed over W ~ 8N pairs < 1e18 < int64 max; production beyond that
 # scale would switch the two sums to DECIMAL(38,0) partials.
 
-_MORAN_SQL = f"""
-WITH {{pts}}, {{cpts}}, {{offs}},
-p5 AS (SELECT CAST(FLOOR(ci / 4.0E0) AS BIGINT) AS ci,
-              CAST(FLOOR(cj / 4.0E0) AS BIGINT) AS cj
-       FROM cpts),
-g AS (SELECT ci, cj, CAST(COUNT(*) AS BIGINT) AS x
-      FROM p5 GROUP BY ci, cj),
+# Split into surface (pts -> g) + body (g -> scalar): g is referenced
+# three times below (tot, nb, den's d), and Spark inlines CTEs — the
+# single-text form recomputed the whole input scan + groupBy per
+# reference (13 exchanges). The Spark face materializes the tiny
+# aggregated surface once (cache + temp view: #occupied-cells rows, the
+# 100-TB-honest shape); the DuckDB oracle keeps the single text.
+
+_MORAN_G = """
+SELECT ci, cj, CAST(COUNT(*) AS BIGINT) AS x
+FROM (SELECT CAST(FLOOR(ci / 4.0E0) AS BIGINT) AS ci,
+             CAST(FLOOR(cj / 4.0E0) AS BIGINT) AS cj
+      FROM cpts) p5
+GROUP BY ci, cj
+"""
+
+_MORAN_BODY = f"""
+WITH {{offs}},
 tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
                CAST(SUM(x) AS BIGINT) AS s FROM g),
 d AS (SELECT ci, cj, n_cells * x - s AS dev FROM g CROSS JOIN tot),
@@ -271,6 +281,22 @@ SELECT n_cells, w_pairs, num_i, den_i,
        END AS morans_i
 FROM tot CROSS JOIN pr CROSS JOIN den
 """
+
+_MORAN_ORACLE = ("WITH {pts}, {cpts}, g AS (" + _MORAN_G.strip() + "), "
+                 + _MORAN_BODY.strip().removeprefix("WITH "))
+
+
+def _moran_fn(spark, sf_dir):
+    # localCheckpoint, not cache(): Spark 4's cache manager declines to
+    # substitute this aggregate subtree when referenced through a
+    # multi-branch CTE (verified empirically — the plan kept recomputing
+    # the scan 3x), while the checkpoint physically materializes the
+    # surface once and every reference scans the stored rows.
+    g = spark.sql("WITH {pts}, {cpts} ".format(pts=PTS, cpts=CPTS)
+                  + _MORAN_G).localCheckpoint()
+    g.createOrReplaceTempView("_moran_g")
+    return spark.sql(_MORAN_BODY.format(offs=OFFS)
+                     .replace("FROM g", "FROM _moran_g"))
 
 
 def register_raster() -> None:
@@ -302,12 +328,15 @@ def register_raster() -> None:
             doc="geo: 3x3 focal-neighborhood statistics of the per-cell "
                 "point-count surface (GIS focal mean/max over occupied "
                 "neighbors; exact int64 sums, one final division)")
-    _shared("morans_i", ("embeddings",),
-            _MORAN_SQL.format(pts=PTS, cpts=CPTS, offs=OFFS),
-            doc="geo: global Moran's I spatial autocorrelation of the "
-                "cell-count surface, binary 8-neighbor weights — exact "
-                "integer numerator/denominator (scaled-deviation trick), "
-                "single final division")
+    _reg("morans_i", Q(
+        tables=("embeddings",), fn=_moran_fn,
+        duck_sql=_MORAN_ORACLE.format(pts=PTS, cpts=CPTS, offs=OFFS),
+        doc="geo: global Moran's I spatial autocorrelation of the "
+            "cell-count surface, binary 8-neighbor weights — exact "
+            "integer numerator/denominator (scaled-deviation trick), "
+            "single final division; Spark face materializes the "
+            "aggregated surface once (multi-reference CTE would rescan "
+            "the input per reference)"))
     _reg("raster_assembly",
          Q(tables=("nation",), fn=_raster_fn, duck_sql=None,
            doc="raster<->vector: per-cell scanline rasterization via "

@@ -327,6 +327,59 @@ def main() -> None:
          all("caption" not in sch for sch in s15["schemas"])),
     ])
 
+    # round-2 batch 3: raster analytics + data quality + interop ids
+    qk = qreg.run_spark(spark, SF, "quadkey_assign")
+    pqk = plan_of(qk)
+    sqk = summarize(pqk)
+    audit("quadkey_assign (interop ids)", qk, [
+        ("pure codegen projection: zero exchanges, zero joins, zero "
+         "Python", sqk["exchanges"] == 0 and sqk["python"] == 0
+         and sqk["bhj"] + sqk["smj"] + sqk["bnlj"] == 0),
+        ("scan pruned to vec_id only",
+         sqk["schemas"] == ["struct<vec_id:bigint>"]),
+    ])
+
+    fc = qreg.run_spark(spark, SF, "focal_stats")
+    pfc = plan_of(fc)
+    sfc = summarize(pfc)
+    audit("focal_stats (3x3 focal surface statistics)", fc, [
+        ("at most 3 shuffles total (surface agg + final agg) — the two "
+         "surface references don't each redo the input scan+agg "
+         "exchange", sfc["exchanges"] <= 3),
+        ("neighbor probe is a (broadcast) hash equi-join, no cartesian",
+         sfc["bhj"] + sfc["smj"] >= 1 and "CartesianProduct" not in pfc),
+        ("no Python nodes", sfc["python"] == 0),
+    ])
+
+    mi = qreg.run_spark(spark, SF, "morans_i")
+    pmi = plan_of(mi)
+    smi = summarize(pmi)
+    audit("morans_i (spatial autocorrelation)", mi, [
+        ("input scanned once: the checkpointed surface feeds every "
+         "branch (no parquet scan in the final plan)",
+         "Scan ExistingRDD" in pmi and "Scan parquet" not in pmi),
+        ("no Python nodes", smi["python"] == 0),
+    ])
+
+    dd = qreg.run_spark(spark, SF, "dist_drift")
+    pdd = plan_of(dd)
+    sdd = summarize(pdd)
+    audit("dist_drift (chi-square slice drift)", dd, [
+        ("per-type counts cached — totals + final projection read the "
+         "cache, events scanned once",
+         pdd.count("InMemoryTableScan") >= 2),
+        ("no Python nodes", sdd["python"] == 0),
+    ])
+
+    es = qreg.run_spark(spark, SF, "events_sliding")
+    ses = summarize(plan_of(es))
+    audit("events_sliding (native sliding window)", es, [
+        ("one shuffle (partial agg before the exchange)",
+         ses["exchanges"] == 1),
+        ("no joins — the 2x expansion is Catalyst's TimeWindow explode",
+         ses["bhj"] + ses["smj"] + ses["bnlj"] == 0),
+    ])
+
     hdr = ("# PLANS.md — physical-plan audit (generated by "
            "tools/audit_plans.py)\n\n"
            "Every section asserts the plan properties the engine promises "

@@ -285,6 +285,51 @@ FROM tot CROSS JOIN pr CROSS JOIN den
 _MORAN_ORACLE = ("WITH {pts}, {cpts}, g AS (" + _MORAN_G.strip() + "), "
                  + _MORAN_BODY.strip().removeprefix("WITH "))
 
+# getis_gi: Getis-Ord Gi* hot-spot z-score per occupied cell — the
+# standard local complement to the global morans_i screen (ArcGIS "Hot
+# Spot Analysis"). Gi* uses binary 3x3 weights INCLUDING self; sparse-
+# raster semantics as focal_stats (only occupied neighbors exist, so
+# w_i in 1..9). Exactness discipline: every sum (n, S, Q, w_i, gsum_i)
+# is pure int64, the z-score is ONE fixed-order double expression both
+# engines evaluate from identical SQL text — sqrt is correctly rounded
+# per IEEE-754 (unlike log/exp it is bit-stable across libm versions),
+# so the oracle hash holds. Scaled-deviation trick as morans_i: with
+# num_i = n*gsum_i - w_i*S the 1/n factors cancel against
+# den = sqrt((nQ - S^2) * (n*w_i - w_i^2) / (n-1)), all inner terms
+# int64. Plan shape: identical to focal_stats (aggregated surface +
+# 9-row stencil equi-join) plus one scalar-aggregate broadcast — the
+# surface is #occupied-cells rows, orders below the input at 100 TB.
+
+_GI_SQL = f"""
+WITH {{pts}}, {{cpts}}, {{offs}},
+p5 AS (SELECT CAST(FLOOR(ci / 4.0E0) AS BIGINT) AS ci,
+              CAST(FLOOR(cj / 4.0E0) AS BIGINT) AS cj
+       FROM cpts),
+g AS (SELECT ci, cj, CAST(COUNT(*) AS BIGINT) AS x
+      FROM p5 GROUP BY ci, cj),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s,
+               CAST(SUM(x * x) AS BIGINT) AS q
+        FROM g),
+nb AS (SELECT ci, cj, ((ci + di) + {_N5G}) % {_N5G} AS nci, cj + dj AS ncj
+       FROM g CROSS JOIN offs
+       WHERE cj + dj BETWEEN 0 AND {_N5G - 1}),
+f AS (SELECT nb.ci, nb.cj,
+             CAST(SUM(b.x) AS BIGINT) AS gsum,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM nb JOIN g b ON b.ci = nb.nci AND b.cj = nb.ncj
+      GROUP BY nb.ci, nb.cj)
+SELECT f.ci, f.cj, f.gsum, f.w,
+       CASE WHEN n <= 1 OR (n * q - s * s) <= 0 OR (n * w - w * w) <= 0
+            THEN NULL
+            ELSE ROUND(CAST(n * gsum - w * s AS DOUBLE)
+                       / SQRT(CAST(n * q - s * s AS DOUBLE)
+                              * CAST(n * w - w * w AS DOUBLE)
+                              / CAST(n - 1 AS DOUBLE)), 6)
+       END AS gi_z
+FROM f CROSS JOIN tot
+"""
+
 
 def _moran_fn(spark, sf_dir):
     # localCheckpoint, not cache(): Spark 4's cache manager declines to
@@ -337,6 +382,12 @@ def register_raster() -> None:
             "single final division; Spark face materializes the "
             "aggregated surface once (multi-reference CTE would rescan "
             "the input per reference)"))
+    _shared("getis_gi", ("embeddings",),
+            _GI_SQL.format(pts=PTS, cpts=CPTS, offs=OFFS),
+            doc="geo: Getis-Ord Gi* hot-spot z-score per occupied cell "
+                "(binary 3x3 weights incl self) — exact int64 moments, "
+                "one fixed-order double expression (sqrt is IEEE-exact, "
+                "hash-stable); local complement to morans_i")
     _reg("raster_assembly",
          Q(tables=("nation",), fn=_raster_fn, duck_sql=None,
            doc="raster<->vector: per-cell scanline rasterization via "

@@ -169,3 +169,36 @@ def test_morans_i_matches_numpy_definition(spark):
     expect = (len(surf) / w) * num / ((xs - mean) ** 2).sum()
     assert abs(row.morans_i - expect) < 1e-5
     assert -1.5 <= row.morans_i <= 1.5  # sane magnitude
+
+
+def test_getis_gi_matches_numpy_definition(spark):
+    """The integer-moment Gi* formulation equals the textbook
+    Gi*(i) = (sum_j w_ij x_j - xbar*W_i) / (s*sqrt((n*W_i - W_i^2)/(n-1)))
+    with binary 3x3 weights including self, computed in floating point
+    from the same occupied-cell surface."""
+    import numpy as np
+
+    from loc2vec_spark import queries as q
+    sf = "/root/testdata/sf0.01"
+    rows = q.run_spark(spark, sf, "getis_gi").collect()
+    surf = {(r.ci, r.cj): r.n_pts
+            for r in q.run_spark(spark, sf, "focal_stats").collect()}
+    assert {(r.ci, r.cj) for r in rows} == set(surf)  # occupied cells
+    xs = np.array(list(surf.values()), dtype=np.float64)
+    nn, mean = len(xs), xs.mean()
+    s = np.sqrt((xs * xs).mean() - mean * mean)
+    grid = 1 << 5
+    for r in rows:
+        w, gsum = 0, 0
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                key = ((r.ci + di) % grid, r.cj + dj)
+                if 0 <= r.cj + dj < grid and key in surf:
+                    w += 1
+                    gsum += surf[key]
+        assert (r.w, r.gsum) == (w, gsum)
+        expect = ((gsum - mean * w)
+                  / (s * np.sqrt((nn * w - w * w) / (nn - 1))))
+        assert abs(r.gi_z - expect) < 1e-5
+    # hot spots exist in the clustered fixture: some |z| well above 0
+    assert max(abs(r.gi_z) for r in rows) > 1.0

@@ -47,7 +47,7 @@ def test_contract_block_precedes_extras() -> None:
               "doc_rarity", "dedup_spanfrac", "dedup_incremental",
               "geom_stats",
               "traj_stats", "pip_cellcover", "focal_stats", "morans_i",
-              "raster_assembly", "pyramid_rollup"]
+              "getis_gi", "raster_assembly", "pyramid_rollup"]
     n_contract = len(names) - len(extras)
     # every non-extra (contract/pipeline) query sits in the first block
     for n in names:

@@ -250,6 +250,62 @@ FROM d CROSS JOIN g
 """
 
 
+# ===========================================================================
+# bm25_score — log-free BM25 term scoring against data-derived query terms
+# ===========================================================================
+# Okapi BM25 (k1=1.2, b=0.75) per (doc, query-term), the standard
+# relevance-ranking / quality-filter scorer. Two deviations from the
+# textbook form, both deliberate:
+#  * log-free idf: the Lucene/ES idf is ln(1 + (N-df+0.5)/(df+0.5))
+#    (non-negative; the classic Robertson ln-odds flips sign for terms
+#    in >N/2 docs); ln is NOT correctly-rounded across libm versions
+#    (doc_rarity note), so the score uses the ODDS itself — a strictly
+#    monotone transform of the Lucene idf, hence rank-identical per
+#    term (asserted vs math.log in test_corpus) — and every factor
+#    stays an exact int64 cross-multiplication until ONE final double
+#    division.
+#    With k1=6/5, b=3/4, scaling numerator and denominator by 20*sum_dl:
+#      tf_sat   = 44*tf*sum_dl / (20*sum_dl*tf + 6*sum_dl + 18*dl*N)
+#      bm25_term = tf_sat * (2N - 2df + 1)/(2df + 1)    [one rational]
+#    Magnitude: at sf1 (5e4 docs, ~2.5e6 tokens) the largest product is
+#    44*tf*sum_dl*(2N+1) ~ 3e15 < 2^63; beyond ~sf100 the partials
+#    would move to DECIMAL(38,0).
+#  * per-term rows, not a summed per-doc score: no cross-row double
+#    sum, so the oracle hash is fold-order-independent (discipline).
+# Query terms are data-derived (vocab ranks 5-7 by global count, token
+# tiebreak) so the query is self-contained and non-vacuous at every sf.
+# Plan shape: tf is the big relation (doc x distinct-term); q is 3 rows
+# and dl/tot are doc-count/scalar dims — every join is an equi-join
+# with a broadcastable small side.
+
+def _bm25_sql(base: int) -> str:
+    return f"""
+WITH {_tok(base)},
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+       FROM tok GROUP BY doc_id),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, tok),
+dfr AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tf GROUP BY tok),
+q AS (SELECT tok, df FROM dfr ORDER BY df DESC, tok LIMIT 3 OFFSET 4)
+SELECT t.doc_id, t.tok, t.tf, q.df, d.dl,
+       ROUND(CAST(44 * t.tf * sum_dl AS DOUBLE)
+             / CAST(20 * sum_dl * t.tf + 6 * sum_dl
+                    + 18 * d.dl * n_docs AS DOUBLE), 6) AS tf_sat,
+       ROUND(CAST(44 * t.tf * sum_dl
+                  * (2 * n_docs - 2 * q.df + 1) AS DOUBLE)
+             / CAST((20 * sum_dl * t.tf + 6 * sum_dl
+                     + 18 * d.dl * n_docs)
+                    * (2 * q.df + 1) AS DOUBLE), 6) AS bm25_term
+FROM tf t
+JOIN q ON q.tok = t.tok
+JOIN dl d ON d.doc_id = t.doc_id
+CROSS JOIN tot
+"""
+
+
 def weighted_mix(df, weights: dict, *, source_col: str = "source",
                  id_col: str = "doc_id", seed: int = _MIX_SEED,
                  m: int = _MIX_M):
@@ -422,6 +478,15 @@ def register_corpus_extras() -> None:
         doc="corpus: per-doc vocabulary-rarity ratio + term-frequency "
             "band — the TF-IDF-shaped join (global counts dim joined "
             "back onto the token stream)"))
+    _reg("bm25_score", Q(
+        tables=("documents",),
+        spark_sql=_bm25_sql(SPARK_BASE),
+        duck_sql=_bm25_sql(DUCKDB_BASE),
+        doc="corpus: log-free BM25 (k1=1.2, b=0.75) per doc x "
+            "query-term — odds idf (rank-identical monotone transform "
+            "of the Lucene ln(1+odds) idf), exact int64 "
+            "cross-multiplication, one final double division; query "
+            "terms = vocab ranks 5-7"))
     _reg("dedup_spanfrac", Q(
         tables=("documents",),
         spark_sql=_spanfrac_sql(SPARK_BASE),

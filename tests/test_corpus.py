@@ -173,3 +173,36 @@ def test_dedup_incremental_nonvacuous_at_sf(spark):
     assert len(out) == docs.filter("doc_id % 5 = 0").count()
     verdicts = {r["verdict"] for r in out}
     assert "new" in verdicts
+
+
+def test_bm25_matches_textbook_per_term(spark):
+    """The log-free odds idf is a strictly monotone transform of the
+    Lucene/ES non-negative idf ln(1 + (N-df+0.5)/(df+0.5)) (the classic
+    Robertson ln-odds goes NEGATIVE for terms in >half the docs — this
+    fixture's common terms — which is exactly why Lucene adds the 1+),
+    so per query term the doc ordering by bm25_term must equal the
+    ordering by Lucene BM25; and tf_sat must equal the textbook
+    tf-saturation exactly."""
+    import math
+
+    sf = "/root/testdata/sf0.01"
+    rows = q.run_spark(spark, sf, "bm25_score").collect()
+    assert len(rows) > 0
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    toks = {d.doc_id: d.text.split(" ") for d in docs}
+    n = len(toks)
+    sum_dl = sum(len(t) for t in toks.values())
+    avgdl = sum_dl / n
+    k1, b = 1.2, 0.75
+    by_term: dict = {}
+    for r in rows:
+        assert r.dl == len(toks[r.doc_id])
+        tf_txt = (r.tf * (k1 + 1)) / (r.tf + k1 * (1 - b + b * r.dl / avgdl))
+        assert abs(r.tf_sat - tf_txt) < 1e-5
+        txt = tf_txt * math.log(1 + (n - r.df + 0.5) / (r.df + 0.5))
+        by_term.setdefault(r.tok, []).append((r.doc_id, r.bm25_term, txt))
+    assert len(by_term) == 3
+    for recs in by_term.values():
+        ours = [d for d, _, _ in sorted(recs, key=lambda t: (-t[1], t[0]))]
+        txts = [d for d, _, _ in sorted(recs, key=lambda t: (-t[2], t[0]))]
+        assert ours == txts  # rank-identical per term

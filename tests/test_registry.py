@@ -44,7 +44,8 @@ def test_contract_block_precedes_extras() -> None:
               "stratified_sample", "a11_percentiles", "text_pii_scrub",
               "text_repetition", "a12_regression", "vocab_topk", "decontaminate",
               "leakfree_split", "pack_sequences", "mix_sources",
-              "doc_rarity", "dedup_spanfrac", "dedup_incremental",
+              "doc_rarity", "bm25_score", "dedup_spanfrac",
+              "dedup_incremental",
               "geom_stats",
               "traj_stats", "pip_cellcover", "focal_stats", "morans_i",
               "getis_gi", "raster_assembly", "pyramid_rollup"]

@@ -5,26 +5,33 @@ so the whole pipeline shares SQL text with its DuckDB oracle; its
 docstring promises that a production codebook is Lloyd-trained and
 broadcast. This module delivers that swap: centroids come from
 :func:`operators.kmeans.lloyd_vec` (spherical k-means), and both the
-home-cell assignment and the nprobe probes are ROWWISE literal-centroid
-expressions — the N x C assignment cross join and its per-vector window
-disappear from the plan entirely.
+home-cell assignment and the nprobe probes are per-row Arrow kernels
+over the driver-side codebook (`kmeans.assign_arrow_vec`) — the N x C
+assignment cross join and its per-vector window disappear from the
+plan entirely. (The unrolled literal-expression variant this replaces
+overflowed janino's 64 KiB method limit at k x dim >= ~512 and
+silently ran interpreted — see assign_arrow_vec's docstring.)
 
-Plan shape: codegen assignment (zero shuffle) -> (cid) hash equi-join
-for candidates -> exact cosine re-rank with a per-query top-k window.
+Plan shape: Arrow assignment (zero shuffle, one crossing) -> (cid)
+hash equi-join for candidates -> exact cosine re-rank (Arrow dot
+kernel) with a per-query top-k window.
 Everything downstream of the codebook is identical to ann_ivf, so
 test_ann checks trained-vs-sampled recall on the same harness.
 
 At 10^12 rows: train on a seeded sample (``train_frac``), not the full
 table — Lloyd cost is per-iteration O(sample x k x dim) with k rows of
-driver traffic; assignment of the full table stays one codegen pass.
+driver traffic; assignment of the full table stays one Arrow pass.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
-from .kmeans import assign_rowwise_vec, lloyd_vec, seed_hash_col
+from .kmeans import assign_arrow_vec, lloyd_vec, seed_hash_col
 
 
 def _normalized(emb_df: DataFrame, id_col: str, emb_col: str,
@@ -32,6 +39,36 @@ def _normalized(emb_df: DataFrame, id_col: str, emb_col: str,
     from ..functions import SPARK_BASE, norm_sql
     nrm = norm_sql(emb_col, dim, SPARK_BASE)
     return emb_df.selectExpr(id_col, emb_col, f"{nrm} AS nrm")
+
+
+def _dot_products_udf():
+    """Arrow dot-product kernel for the exact re-rank stage (lazy
+    factory: a module-level @pandas_udf would demand an active
+    SparkSession at import time).
+
+    The unrolled 64-term expression alternative pushed the re-rank
+    stage (two joins + dot + window in one whole-stage-codegen span)
+    past janino's 64 KiB method limit at dim=64 — Spark logged
+    'Code grows beyond 64 KB' and silently ran the stage INTERPRETED
+    (measured on the sf0.01 embeddings table). One numpy batch per
+    Arrow crossing is both faster than that fallback and
+    size-independent. Per-row pairwise summation depends only on the
+    vector length, never on batch composition, so results are
+    deterministic at any parallelism (test_ann determinism).
+    """
+    @pandas_udf("double")
+    def dots(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        return pd.Series((A * B).sum(axis=1))
+
+    return dots
+
+
+def dot_products(a, b):
+    return _dot_products_udf()(a, b)
 
 
 def train_codebook(emb_df: DataFrame, *, dim: int, k_cells: int = 16,
@@ -56,9 +93,9 @@ def ivf_trained(emb_df: DataFrame, cents: list[tuple], *, dim: int,
     ann_rank, neighbor_id, cosine)."""
     ne = _normalized(emb_df, id_col, emb_col, dim).cache()
 
-    cells = assign_rowwise_vec(ne, cents, emb_col, dim, norm_col="nrm") \
+    cells = assign_arrow_vec(ne, cents, emb_col, dim, norm_col="nrm") \
         .select(F.col(id_col).alias("neighbor_id"), "cid")
-    probes = assign_rowwise_vec(
+    probes = assign_arrow_vec(
         ne.filter(F.col(id_col) % query_mod == 0), cents, emb_col, dim,
         norm_col="nrm", nprobe=nprobe) \
         .select(F.col(id_col).alias("query_id"), "cid")
@@ -71,11 +108,7 @@ def ivf_trained(emb_df: DataFrame, cents: list[tuple], *, dim: int,
                   F.col(emb_col).alias("q_emb"), F.col("nrm").alias("q_n"))
     c = ne.select(F.col(id_col).alias("neighbor_id"),
                   F.col(emb_col).alias("c_emb"), F.col("nrm").alias("c_n"))
-    dot = None
-    for i in range(dim):
-        term = (F.col("q_emb")[i].cast("double")
-                * F.col("c_emb")[i].cast("double"))
-        dot = term if dot is None else dot + term
+    dot = dot_products(F.col("q_emb"), F.col("c_emb"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "neighbor_id")
     return (cand.join(q, "query_id").join(c, "neighbor_id")
@@ -93,9 +126,9 @@ def ivf_trained_candidates(emb_df: DataFrame, cents: list[tuple], *,
     """Candidate pairs only — the bench recall harness reports candidate
     fraction next to recall (same contract as ann_ivf_candidates)."""
     ne = _normalized(emb_df, id_col, emb_col, dim)
-    cells = assign_rowwise_vec(ne, cents, emb_col, dim, norm_col="nrm") \
+    cells = assign_arrow_vec(ne, cents, emb_col, dim, norm_col="nrm") \
         .select(F.col(id_col).alias("neighbor_id"), "cid")
-    probes = assign_rowwise_vec(
+    probes = assign_arrow_vec(
         ne.filter(F.col(id_col) % query_mod == 0), cents, emb_col, dim,
         norm_col="nrm", nprobe=nprobe) \
         .select(F.col(id_col).alias("query_id"), "cid")

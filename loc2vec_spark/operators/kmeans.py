@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -151,14 +153,71 @@ def assign_rowwise_vec(df: DataFrame, cents: list[tuple], vec_col: str,
               .drop("__pr", "__i", "__s"))
 
 
+def assign_arrow_vec(df: DataFrame, cents: list[tuple], vec_col: str,
+                     dim: int, *, norm_col: str,
+                     nprobe: int = 1) -> DataFrame:
+    """Centroid assignment over an array column — Arrow/numpy kernel.
+
+    Same contract as :func:`assign_rowwise_vec`, different physical
+    strategy: the unrolled literal argmin is whole-stage codegen ONLY
+    while k x dim stays small — at k=8..16, dim=64 the generated
+    method exceeds janino's 64 KiB limit and Spark silently drops the
+    stage (and anything fused into it, e.g. the downstream candidate
+    join) to interpreted eval (measured; see operators/pq.py). This
+    kernel is one Arrow crossing with generated-code size independent
+    of k x dim — numpy dot per centroid.
+
+    Determinism: per-row dots are pairwise reductions over the vector
+    length only (never the batch), cosine ties break to the smallest
+    cid via a stable argsort, so assignments are bit-identical at any
+    parallelism and batch size. ``nrm`` is taken from the caller's
+    column (the fixed-order SQL chain), so cosine VALUES stay
+    consistent with the rest of the ANN stack.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    order_c = sorted(cents)
+    C = np.asarray([comps[:dim] for _, comps in order_c],
+                   dtype=np.float64)                    # (k, dim)
+    cids = np.asarray([cid for cid, _ in order_c], dtype=np.int32)
+    np_ = min(nprobe, len(order_c))
+
+    @pandas_udf("array<int>")
+    def top_cids(vec: pd.Series, nrm: pd.Series) -> pd.Series:
+        if len(vec) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(vec.to_numpy()).astype(np.float64)[:, :dim]
+        dots = np.empty((len(X), len(C)), dtype=np.float64)
+        for j in range(len(C)):
+            # (X * C[j]).sum(1): reduction along the row only — the
+            # batched X @ C.T gemm may pick shape-dependent kernels
+            # whose rounding varies with batch size (nondeterministic
+            # across partitionings)
+            dots[:, j] = (X * C[j]).sum(axis=1)
+        cos = dots / nrm.to_numpy(dtype=np.float64)[:, None]
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :np_]
+        return pd.Series(list(cids[idx]))
+
+    probed = top_cids(F.col(vec_col), F.col(norm_col))
+    if nprobe == 1:
+        return df.withColumn("cid", probed[0])
+    return (df.withColumn("__pr", probed)
+              .select("*", F.posexplode("__pr").alias("__i", "__s"))
+              .withColumn("cid", F.col("__s"))
+              .withColumn("crank", F.col("__i") + 1)
+              .drop("__pr", "__i", "__s"))
+
+
 def lloyd_vec(points: DataFrame, *, dim: int, k: int = 16, iters: int = 3,
               seed: int = 77, id_col: str = "vec_id",
               vec_col: str = "embedding",
               norm_col: str = "nrm") -> KMeansResult:
     """Spherical k-means over an array<float> column (IVF codebook).
 
-    Same execution shape as :func:`lloyd`: rowwise literal-centroid
-    assignment (zero shuffle), one k-group partial agg per iteration
+    Same execution shape as :func:`lloyd`, with the assignment as the
+    Arrow kernel (zero shuffle, one crossing — the unrolled literal
+    argmin overflows codegen at k=16 x dim=64), one k-group partial
+    agg per iteration
     (``dim`` decimal sums per group — fold-order-free), k rows collected
     per iteration. Updated centroids are re-normalized to unit in fixed
     driver-side order, so results are bit-identical at any parallelism.
@@ -177,8 +236,11 @@ def lloyd_vec(points: DataFrame, *, dim: int, k: int = 16, iters: int = 3,
     history: list[list[tuple]] = []
     asg = None
     for _ in range(iters):
-        asg = assign_rowwise_vec(pts, cents, vec_col, dim,
-                                 norm_col=norm_col, nprobe=1)
+        # Arrow kernel, not the unrolled literal argmin: at the default
+        # k=16, dim=64 the unrolled form exceeds janino's method limit
+        # and the whole assignment+agg stage ran interpreted
+        asg = assign_arrow_vec(pts, cents, vec_col, dim,
+                               norm_col=norm_col, nprobe=1)
         rows = (asg.groupBy("cid")
                 .agg(F.count(F.lit(1)).alias("n"), *sums).collect())
         cents = sorted(

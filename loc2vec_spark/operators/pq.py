@@ -1,0 +1,239 @@
+"""IVF-PQ: product-quantized ANN — the compressed-candidate scale path.
+
+IVF-flat (`operators/ann.py`) re-ranks every candidate against the
+EXACT float vectors, so the candidate join ships dim x 4 bytes per row
+(256 B at dim=64). At 10^12 vectors that join IS the job. Product
+quantization (Jegou et al., "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011 — the FAISS IVFPQ design) compresses each vector to
+M sub-codes (M=8 x 4-bit codes here, 32x below the raw floats):
+candidates are scored from codes alone (ADC — asymmetric distance
+computation: exact query side, quantized candidate side), and only the
+top ``refine`` ADC survivors per query ever touch the exact vectors
+(FAISS's IVFPQR refinement stage).
+
+Physical strategy note — why every per-vector kernel here is
+Arrow/numpy, not unrolled literal expressions: PQ's encode is
+M x ksub x subdim + norm terms in ONE projection (~1.5k doubles at
+dim=64), and even the k x dim coarse argmin fused into the candidate
+join — measured: janino rejects the generated method (>64 KiB) and
+Spark silently drops the WHOLE stage to interpreted expression
+evaluation. A numpy-vectorized pandas UDF is
+both faster than that fallback and size-independent: one Arrow
+crossing per stage, the `operators/similarity.py` blocked-kernel
+discipline (and the numpy analog of FAISS's SIMD ADC loop). The coarse
+IVF probe uses the same-discipline Arrow kernel
+(`kmeans.assign_arrow_vec`).
+
+Spark-first shape:
+
+- **training** (`train_pq`): per-subspace Lloyd over unit-normalized
+  vectors — assignment is the same Arrow encode kernel, updates are
+  fold-order-free DECIMAL sums with ksub x M rows of driver traffic per
+  iteration, on a seeded hash-sample (``train_frac``) exactly like
+  `ann.train_codebook`;
+- **encoding** (`encode_pq`): one Arrow pass adds ``pq_code``
+  (array<int>, length M) — no join, no shuffle; the codes table is the
+  only thing the ANN candidate join ever ships;
+- **search** (`ivfpq_search`): coarse IVF probe -> (cid) equi-join
+  against the CODES table -> ADC distance from codes (the codebook
+  rides the task closure, never a join side) -> per-query
+  top-``refine`` window over codes only -> exact-cosine re-rank of
+  those ``refine`` rows (the only contact with the float vectors) ->
+  top-k.
+
+Determinism: normalized components are 6dp-quantized, numpy argmin
+takes the first minimal code, ADC is fixed-order float64, final ranks
+tie-break on neighbor_id — bit-identical at any parallelism
+(test_pq asserts across repartitionings).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from .kmeans import assign_arrow_vec, seed_hash_col
+
+
+def _norm_vec_col(vec_col: str, dim: int):
+    """Unit-normalized, 6dp-quantized array<double> of the first ``dim``
+    components (dim terms — compiles fine in codegen)."""
+    dot = None
+    for i in range(dim):
+        t = F.col(vec_col)[i].cast("double") * F.col(vec_col)[i].cast("double")
+        dot = t if dot is None else dot + t
+    nrm = F.sqrt(dot)
+    return F.transform(
+        F.slice(F.col(vec_col), 1, dim),
+        lambda x: F.round(x.cast("double") / nrm, 6))
+
+
+def _books_arr(books: list[list[tuple]]) -> np.ndarray:
+    """(M, ksub, subdim) float64 array from the books structure."""
+    return np.asarray([[comps for _, comps in sorted(b)] for b in books],
+                      dtype=np.float64)
+
+
+def _encode_udf(books: list[list[tuple]]):
+    """array<double> nx -> array<int> codes, numpy-vectorized per Arrow
+    batch: per subspace, ||x_m - c||^2 argmin over ksub sub-centroids
+    (first minimal index — deterministic)."""
+    barr = _books_arr(books)
+    m, ksub, subdim = barr.shape
+
+    @pandas_udf("array<int>")
+    def enc(nx: pd.Series) -> pd.Series:
+        if len(nx) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(nx.to_numpy())            # (n, dim) float64
+        n = X.shape[0]
+        codes = np.empty((n, m), dtype=np.int32)
+        for mm in range(m):
+            sub = X[:, mm * subdim:(mm + 1) * subdim]
+            # (n, ksub): ||x||^2 - 2 x.c + ||c||^2 ranks == full d2
+            d2 = (-2.0 * sub @ barr[mm].T
+                  + (barr[mm] ** 2).sum(axis=1)[None, :]
+                  + (sub ** 2).sum(axis=1)[:, None])
+            codes[:, mm] = np.argmin(d2, axis=1)
+        return pd.Series(list(codes))
+
+    return enc
+
+
+def _adc_udf(books: list[list[tuple]]):
+    """(query nx array<double>, candidate codes array<int>) -> ADC
+    squared-L2 double, one gather + one einsum per Arrow batch."""
+    barr = _books_arr(books)
+    m, ksub, subdim = barr.shape
+
+    @pandas_udf("double")
+    def adc(nx: pd.Series, code: pd.Series) -> pd.Series:
+        if len(nx) == 0:
+            return pd.Series([], dtype=np.float64)
+        Q = np.stack(nx.to_numpy()).reshape(-1, m, subdim)
+        C = np.stack(code.to_numpy()).astype(np.int64)     # (n, M)
+        rec = barr[np.arange(m)[None, :], C]               # (n, M, subdim)
+        d = ((Q - rec) ** 2).sum(axis=(1, 2))
+        return pd.Series(d)
+
+    return adc
+
+
+def adc_distance(books: list[list[tuple]], nx_col: str,
+                 code_col: str) -> "F.Column":
+    """ADC column: exact (normalized) query side vs quantized candidate
+    side; the codebook rides the task closure (kB-sized), never a join
+    side."""
+    return _adc_udf(books)(F.col(nx_col), F.col(code_col))
+
+
+def train_pq(emb_df: DataFrame, *, dim: int, m: int = 8, ksub: int = 16,
+             iters: int = 3, seed: int = 177, id_col: str = "vec_id",
+             emb_col: str = "embedding",
+             train_frac: int = 1) -> list[list[tuple]]:
+    """Train M per-subspace codebooks; returns
+    ``books[m] = [(code, [subdim floats]), ...]`` (ksub entries each).
+
+    One cached normalized (sampled) training set; per iteration one
+    Arrow encode pass assigns ALL M codes, then M tiny groupBy(code)
+    updates (ksub groups, subdim decimal sums each) — driver traffic is
+    M x ksub rows per iteration, never the data.
+    """
+    assert dim % m == 0, (dim, m)
+    subdim = dim // m
+    ne = emb_df.select(id_col, _norm_vec_col(emb_col, dim).alias("nx"))
+    if train_frac > 1:
+        ne = ne.filter(seed_hash_col(id_col, seed) % train_frac == 0)
+    ne = ne.cache()
+
+    # seed pick per subspace: the ksub rows with smallest (hash, id),
+    # one window over the sample — same discipline as kmeans.lloyd
+    wseed = Window.orderBy(seed_hash_col(id_col, seed), F.col(id_col))
+    seed_rows = (ne.withColumn("rn", F.row_number().over(wseed))
+                 .filter(F.col("rn") <= ksub).orderBy("rn").collect())
+    books = [[(c, [float(r["nx"][mm * subdim + i]) for i in range(subdim)])
+              for c, r in enumerate(seed_rows)] for mm in range(m)]
+
+    for _ in range(iters):
+        asg = ne.select(
+            "nx", _encode_udf(books)(F.col("nx")).alias("pq_code")).cache()
+        asg.count()  # materialize once; M group-bys share the scan
+        for mm in range(m):
+            sums = [F.sum(F.col("nx")[mm * subdim + i]
+                          .cast("decimal(28,6)")).cast("double")
+                    .alias(f"s{i}") for i in range(subdim)]
+            rows = (asg.groupBy(F.col("pq_code")[mm].alias("c"))
+                    .agg(F.count(F.lit(1)).alias("n"), *sums).collect())
+            got = {int(r["c"]): [r[f"s{i}"] / r["n"] for i in range(subdim)]
+                   for r in rows}
+            # empty cells keep their previous centroid (standard Lloyd)
+            books[mm] = [(c, got.get(c, comps))
+                         for c, comps in books[mm]]
+        asg.unpersist()
+    ne.unpersist()
+    return books
+
+
+def encode_pq(emb_df: DataFrame, books: list[list[tuple]], *, dim: int,
+              id_col: str = "vec_id",
+              emb_col: str = "embedding") -> DataFrame:
+    """(id, pq_code array<int>) — one Arrow pass, no join, no shuffle."""
+    ne = emb_df.select(id_col, _norm_vec_col(emb_col, dim).alias("nx"))
+    return ne.select(id_col,
+                     _encode_udf(books)(F.col("nx")).alias("pq_code"))
+
+
+def ivfpq_search(emb_df: DataFrame, cents: list[tuple],
+                 books: list[list[tuple]], *, dim: int, nprobe: int = 4,
+                 topk: int = 10, refine: int = 30, query_mod: int = 25,
+                 id_col: str = "vec_id",
+                 emb_col: str = "embedding") -> DataFrame:
+    """IVF-PQ + refine: candidates scored from codes (ADC), exact cosine
+    only for the top-``refine`` per query. Same output contract as
+    `ann.ivf_trained`: (query_id, ann_rank, neighbor_id, cosine)."""
+    from ..functions import SPARK_BASE, norm_sql
+    nrm = norm_sql(emb_col, dim, SPARK_BASE)
+    ne = emb_df.selectExpr(id_col, emb_col, f"{nrm} AS nrm").cache()
+
+    cells = assign_arrow_vec(ne, cents, emb_col, dim, norm_col="nrm") \
+        .select(F.col(id_col).alias("neighbor_id"), "cid")
+    codes = encode_pq(emb_df, books, dim=dim, id_col=id_col,
+                      emb_col=emb_col) \
+        .select(F.col(id_col).alias("neighbor_id"), "pq_code")
+    # the compressed index: (neighbor_id, cid, M-byte code) — this is
+    # the ONLY relation the candidate join ships at scale
+    index = cells.join(codes, "neighbor_id")
+
+    queries = ne.filter(F.col(id_col) % query_mod == 0)
+    probes = assign_arrow_vec(queries, cents, emb_col, dim,
+                                norm_col="nrm", nprobe=nprobe) \
+        .select(F.col(id_col).alias("query_id"),
+                _norm_vec_col(emb_col, dim).alias("q_nx"), "cid")
+
+    wadc = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    shortlist = (probes.join(index, "cid")
+                 .filter(F.col("query_id") != F.col("neighbor_id"))
+                 .withColumn("adc",
+                             adc_distance(books, "q_nx", "pq_code"))
+                 .select("query_id", "neighbor_id", "adc")
+                 .withColumn("adc_rank", F.row_number().over(wadc))
+                 .filter(F.col("adc_rank") <= refine)
+                 .select("query_id", "neighbor_id"))
+
+    from .ann import dot_products
+    q = ne.select(F.col(id_col).alias("query_id"),
+                  F.col(emb_col).alias("q_emb"), F.col("nrm").alias("q_n"))
+    c = ne.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(emb_col).alias("c_emb"), F.col("nrm").alias("c_n"))
+    dot = dot_products(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id")
+    return (shortlist.join(q, "query_id").join(c, "neighbor_id")
+            .withColumn("cosine", dot / (F.col("q_n") * F.col("c_n")))
+            .withColumn("ann_rank", F.row_number().over(w))
+            .filter(F.col("ann_rank") <= topk)
+            .select("query_id", "ann_rank", "neighbor_id",
+                    F.round("cosine", 6).alias("cosine")))

@@ -180,18 +180,32 @@ def test_ivf_trained_deterministic_across_partitioning(spark):
 
 
 def test_trained_assignment_plan_is_rowwise(spark):
+    """Both assignment strategies are per-row maps — no shuffle, no
+    join. The unrolled-literal variant stays pure codegen (valid only
+    while k x dim is small enough for janino); the production Arrow
+    variant adds exactly one Arrow crossing and nothing else, and must
+    agree with the unrolled argmin assignment for ALL rows."""
     from loc2vec_spark.operators.ann import _normalized, train_codebook
-    from loc2vec_spark.operators.kmeans import assign_rowwise_vec
+    from loc2vec_spark.operators.kmeans import (assign_arrow_vec,
+                                                assign_rowwise_vec)
     rng = np.random.default_rng(2)
     X = rng.normal(size=(100, DIM)).astype(np.float32)
     _as_view(spark, X)
     emb = spark.table("embeddings")
     cents = train_codebook(emb, dim=DIM, k_cells=4, iters=1)
-    asg = assign_rowwise_vec(_normalized(emb, "vec_id", "embedding", DIM),
-                             cents, "embedding", DIM, norm_col="nrm")
+    ne = _normalized(emb, "vec_id", "embedding", DIM)
+    asg = assign_rowwise_vec(ne, cents, "embedding", DIM, norm_col="nrm")
     plan = asg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
     assert "EvalPython" not in plan
+
+    arrow = assign_arrow_vec(ne, cents, "embedding", DIM, norm_col="nrm")
+    aplan = arrow._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in aplan and "Join" not in aplan
+    assert aplan.count("ArrowEvalPython") == 1, aplan
+    a = {r["vec_id"]: r["cid"] for r in asg.collect()}
+    b = {r["vec_id"]: r["cid"] for r in arrow.collect()}
+    assert a == b
 
 
 def test_ivf_trained_nprobe_dial_monotone(spark):

@@ -1,0 +1,184 @@
+"""IVF-PQ (product quantization): code validity, quantization
+distortion, recall floors with refine monotonicity, determinism across
+partitioning, and the zero-shuffle encode plan."""
+
+import numpy as np
+import pytest
+
+from loc2vec_spark.operators.ann import train_codebook
+from loc2vec_spark.operators.pq import (adc_distance, encode_pq,
+                                        ivfpq_search, train_pq)
+
+# synthetic views, so the dim is free to choose: 32 halves every
+# literal-codebook codegen expression vs the driver tables' 64 (compile
+# time dominates this module's cost), with identical semantics
+DIM = 32
+M, KSUB = 8, 16
+
+
+def _as_view(spark, X):
+    rows = [(int(i), [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>")
+    df.createOrReplaceTempView("embeddings")
+    return df
+
+
+def _clustered(n_clusters=40, per=12, noise=0.05, seed=5):
+    rng = np.random.default_rng(seed)
+    cents = rng.normal(size=(n_clusters, DIM))
+    X = (np.repeat(cents, per, axis=0)
+         + noise * rng.normal(size=(n_clusters * per, DIM)))
+    return X.astype(np.float32)
+
+
+def _exact_top10(X, qidx):
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    np.fill_diagonal(S, -2)
+    return {q: set(np.argsort(-S[q])[:10].tolist()) for q in qidx}
+
+
+@pytest.fixture(scope="module")
+def trained(spark):
+    """One shared training run: every PQ/IVF codegen argmin over the
+    literal codebooks compiles a ~1000-term expression, so retraining
+    per test quintuples the suite cost for zero extra coverage."""
+    X = _clustered()
+    emb = _as_view(spark, X)
+    books = train_pq(emb, dim=DIM, m=M, ksub=KSUB, iters=2)
+    cents = train_codebook(emb, dim=DIM, k_cells=16, iters=2)
+    return X, emb, books, cents
+
+
+def test_codes_shape_and_range(spark, trained):
+    X, emb, books, _ = trained
+    assert len(books) == M and all(len(b) == KSUB for b in books)
+    codes = {r["vec_id"]: r["pq_code"]
+             for r in encode_pq(emb, books, dim=DIM).collect()}
+    assert len(codes) == len(X)
+    for c in codes.values():
+        assert len(c) == M
+        assert all(0 <= v < KSUB for v in c)
+
+
+def test_quantization_distortion_beats_random_codes(spark, trained):
+    """Reconstruction MSE of trained codes must be well below random
+    code assignment — i.e. the Lloyd loop actually learned subspace
+    structure (FAISS's sanity check for a PQ training run)."""
+    X, emb, books, _ = trained
+    codes = {r["vec_id"]: r["pq_code"]
+             for r in encode_pq(emb, books, dim=DIM).collect()}
+    Xn = (X.astype(np.float64)
+          / np.linalg.norm(X.astype(np.float64), axis=1, keepdims=True))
+    Xn = np.round(Xn, 6)
+    book_arr = np.array([[comps for _, comps in sorted(b)]
+                         for b in books])  # (M, KSUB, subdim)
+    subdim = DIM // M
+
+    def mse(code_of):
+        tot = 0.0
+        for i in range(len(X)):
+            rec = np.concatenate([book_arr[m][code_of(i)[m]]
+                                  for m in range(M)])
+            tot += ((Xn[i] - rec) ** 2).sum()
+        return tot / len(X)
+
+    trained = mse(lambda i: codes[i])
+    rng = np.random.default_rng(0)
+    rand_codes = rng.integers(0, KSUB, size=(len(X), M))
+    random_mse = mse(lambda i: rand_codes[i])
+    assert trained < 0.5 * random_mse, (trained, random_mse)
+    assert subdim * M == DIM
+
+
+def test_ivfpq_planted_recall(spark, trained):
+    """Planted clusters: IVF-PQ with refine recovers most of the exact
+    top-10 from 8-byte codes + a 30-row exact shortlist per query."""
+    X, emb, books, cents = trained
+    _as_view(spark, X)
+    qidx = [i for i in range(len(X)) if i % 25 == 0]
+    exact = _exact_top10(X.astype(np.float64), qidx)
+    got = {}
+    out = ivfpq_search(emb, cents, books, dim=DIM, nprobe=4, refine=30)
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = (sum(len(exact[q] & got.get(q, set())) for q in qidx)
+              / (10 * len(qidx)))
+    assert recall >= 0.85, recall
+
+
+def test_ivfpq_deterministic_and_refine_monotone(spark):
+    # small independent setup (M=4, 160 rows): determinism needs its
+    # own books, not the shared module fixture's
+    X = _clustered(20, 8, seed=9)
+    emb = _as_view(spark, X)
+    cents = train_codebook(emb, dim=DIM, k_cells=4, iters=1)
+    books = train_pq(emb, dim=DIM, m=4, ksub=8, iters=1)
+
+    def run(parts, refine=20):
+        out = ivfpq_search(emb.repartition(parts), cents, books,
+                           dim=DIM, nprobe=2, refine=refine)
+        return sorted(map(tuple, out.collect()))
+
+    base = run(2)
+    assert base == run(13)
+
+    # a larger refine shortlist can only help recall
+    qidx = [i for i in range(len(X)) if i % 25 == 0]
+    exact = _exact_top10(X.astype(np.float64), qidx)
+
+    def recall(rows):
+        got = {}
+        for qid, _, nid, _ in rows:
+            got.setdefault(qid, set()).add(nid)
+        return (sum(len(exact[q] & got.get(q, set())) for q in qidx)
+                / (10 * len(qidx)))
+
+    assert recall(run(2, refine=60)) >= recall(base)
+
+
+def test_encode_plan_is_rowwise(spark, trained):
+    """Encoding must be a pure per-row map: no Exchange, no Join, no
+    row-at-a-time Python — exactly ONE Arrow crossing (the numpy argmin
+    kernel; the unrolled-literal alternative measurably overflows
+    janino's method limit at dim=64 and drops the stage to interpreted
+    eval — see the pq.py module docstring)."""
+    _, emb, books, _ = trained
+    plan = (encode_pq(emb, books, dim=DIM)
+            ._jdf.queryExecution().executedPlan().toString())
+    for bad in ("Exchange", "Join", "BatchEvalPython"):
+        assert bad not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_adc_approximates_exact_distance(spark, trained):
+    """ADC distance on codes must correlate with the exact normalized
+    L2: for each query, the ADC-nearest candidate set overlaps the
+    exact-nearest set far above chance (the property that makes the
+    refine shortlist work)."""
+    X, emb, books, _ = trained
+    from pyspark.sql import functions as F
+
+    from loc2vec_spark.operators.pq import _norm_vec_col
+    codes = encode_pq(emb, books, dim=DIM) \
+        .select(F.col("vec_id").alias("neighbor_id"), "pq_code")
+    q = emb.filter(F.col("vec_id") % 100 == 0) \
+        .select(F.col("vec_id").alias("query_id"),
+                _norm_vec_col("embedding", DIM).alias("q_nx"))
+    out = (q.crossJoin(codes)
+           .filter(F.col("query_id") != F.col("neighbor_id"))
+           .withColumn("adc", adc_distance(books, "q_nx", "pq_code"))
+           .collect())
+    Xn = (X.astype(np.float64)
+          / np.linalg.norm(X.astype(np.float64), axis=1, keepdims=True))
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["adc"], r["neighbor_id"]))
+    for qid, pairs in by_q.items():
+        adc_top = {n for _, n in sorted(pairs)[:15]}
+        d = ((Xn - Xn[qid]) ** 2).sum(axis=1)
+        d[qid] = np.inf
+        exact_top = set(np.argsort(d)[:15].tolist())
+        assert len(adc_top & exact_top) >= 8, (qid, adc_top, exact_top)

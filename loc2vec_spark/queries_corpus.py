@@ -435,6 +435,62 @@ def _inc_duck(base: int) -> str:
             + _INC_BODY.format(bands=_BANDS_SUB.format(sig="sig")))
 
 
+# ===========================================================================
+# dedup_bloom — Bloom-filter first probe of batch-vs-corpus dedup
+# ===========================================================================
+# The cheap front of dedup_incremental: a distributed Bloom index over
+# the corpus text keys (operators/bloom.py — the filter is a
+# (bucket, bitmap) TABLE, never a driver object), probed by the batch.
+# bloom_maybe = 0 is a GUARANTEED-new verdict (no false negatives), so
+# those docs skip the exact/LSH probes entirely; the false-positive
+# rate is measured in test_bloom. The oracle is a different algorithm
+# over the same hash text: positions as rows, DISTINCT corpus position
+# set, LEFT-join bit test — bitmap and set formulations must agree on
+# every verdict.
+
+def _bloom_key(base: int) -> str:
+    from .functions import md5_id_sql
+    return md5_id_sql("text", base)
+
+
+def _bloom_fn(spark, sf_dir):
+    from .operators.bloom import bloom_probe, build_bloom_index
+    keys = spark.sql(f"SELECT doc_id, {_bloom_key(SPARK_BASE)} AS key "
+                     "FROM documents")
+    corpus = keys.filter(f"NOT ({_INC_BATCH})")
+    batch = keys.filter(_INC_BATCH)
+    idx = build_bloom_index(corpus, "key")
+    return bloom_probe(batch, idx, "key") \
+        .select("doc_id", "bucket", "n_pos", "n_hit", "bloom_maybe")
+
+
+def _bloom_duck(base: int) -> str:
+    from .operators.bloom import bloom_bucket_sql, bloom_pos_sql
+    parts = " UNION ALL ".join(
+        f"SELECT doc_id, bucket, {bloom_pos_sql('key', j, 4096)} AS pos "
+        "FROM kb" for j in range(4))
+    return f"""
+WITH keys AS (SELECT doc_id, {_bloom_key(base)} AS key FROM documents),
+kb AS (SELECT doc_id, key, {bloom_bucket_sql('key', 8)} AS bucket
+       FROM keys),
+pos AS ({parts}),
+corpus AS (SELECT DISTINCT bucket, pos FROM pos
+           WHERE NOT ({_INC_BATCH})),
+bp AS (SELECT DISTINCT doc_id, bucket, pos FROM pos
+       WHERE {_INC_BATCH}),
+agg AS (SELECT b.doc_id, b.bucket,
+               CAST(COUNT(*) AS INT) AS n_pos,
+               CAST(SUM(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END)
+                    AS INT) AS n_hit
+        FROM bp b LEFT JOIN corpus c
+          ON c.bucket = b.bucket AND c.pos = b.pos
+        GROUP BY b.doc_id, b.bucket)
+SELECT doc_id, bucket, n_pos, n_hit,
+       CASE WHEN n_hit = n_pos THEN 1 ELSE 0 END AS bloom_maybe
+FROM agg
+"""
+
+
 def register_corpus_extras() -> None:
     # idempotent under every import entry point (register_ann_ivf /
     # register_ml_extras pattern)
@@ -502,6 +558,13 @@ def register_corpus_extras() -> None:
             "semi-probe + LSH-band probe of the corpus index; the "
             "continuous-crawl workflow — batch joins the persisted "
             "index, corpus never reshuffles)"))
+    _reg("dedup_bloom", Q(
+        tables=("documents",), fn=_bloom_fn,
+        duck_sql=_bloom_duck(DUCKDB_BASE),
+        doc="dedup: distributed Bloom-filter first probe — (bucket, "
+            "bitmap) index TABLE over corpus keys, batch probes via "
+            "bucket equi-join + Arrow bit test; no false negatives, "
+            "oracle = set-semi-join formulation of the same filter"))
 
 
 # Completion hook for the queries_corpus-first import path (mirrors

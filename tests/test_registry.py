@@ -45,7 +45,7 @@ def test_contract_block_precedes_extras() -> None:
               "text_repetition", "a12_regression", "vocab_topk", "decontaminate",
               "leakfree_split", "pack_sequences", "mix_sources",
               "doc_rarity", "bm25_score", "dedup_spanfrac",
-              "dedup_incremental",
+              "dedup_incremental", "dedup_bloom",
               "geom_stats",
               "traj_stats", "pip_cellcover", "focal_stats", "morans_i",
               "getis_gi", "raster_assembly", "pyramid_rollup"]

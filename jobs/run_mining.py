@@ -52,6 +52,9 @@ def main(argv=None) -> None:
                     help="drop tiles whose Laplacian-variance sharpness "
                          "is below this (image_quality quality gate; "
                          "0 = off)")
+    ap.add_argument("--augment-copies", type=int, default=0,
+                    help="emit this many seeded flip/rotate variants "
+                         "per tile into the embedding pool (0 = off)")
     ap.add_argument("--keep-session", action="store_true",
                     help="do not stop the SparkSession (in-process tests)")
     args = ap.parse_args(argv)
@@ -70,6 +73,23 @@ def main(argv=None) -> None:
             (F.col("ok")) & (F.col("sharpness") >= args.min_sharpness)) \
             .select("image_id")
         images = images.join(good, "image_id", "left_semi")
+
+    # Optional pool multiplication: seeded dihedral variants join the
+    # originals BEFORE featurization (contrastive-training widening;
+    # the reference trains on raw tiles only). union, not a flag on the
+    # featurizer: the variants are real rows with their own ids, so
+    # every downstream stage (cells, kNN, lineage) treats them uniformly.
+    if args.augment_copies > 0:
+        # a flipped/rotated tile keeps its source row's metadata (same
+        # location, same caption) — rejoin it via the base id
+        meta = images.drop("bytes", "w", "h") \
+            .withColumnRenamed("image_id", "base_id")
+        aug = (img_ops.augment_images(images, seed=args.seed,
+                                      copies=args.augment_copies)
+               .withColumn("base_id",
+                           F.substring_index("image_id", "#", 1))
+               .join(meta, "base_id").drop("base_id", "aug_op"))
+        images = images.unionByName(aug.select(*images.columns))
 
     # E2: embedding export — id travels in the row (fixes the reference's
     # positional id/embedding misalignment, loc2vec_run.py:33-48).

@@ -278,6 +278,78 @@ def image_quality(images: DataFrame) -> DataFrame:
         "bytes IS NOT NULL").mapInPandas(gen, QUALITY_SCHEMA)
 
 
+AUGMENT_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("aug_op", T.StringType()),
+    T.StructField("bytes", T.BinaryType()),
+    T.StructField("w", T.IntegerType()),
+    T.StructField("h", T.IntegerType()),
+])
+
+_AUG_OPS = ("identity", "fliplr", "flipud", "rot90", "rot180", "rot270")
+_AUG_KNUTH = 2654435761
+
+
+def _aug_pick(image_id: str, seed: int, n_ops: int) -> int:
+    """Seeded per-image op pick — pure function of (id, seed), so the
+    augmented corpus is identical at any parallelism and re-run
+    (F10 discipline: no unseeded randomness anywhere)."""
+    h = 0
+    for ch in str(image_id):
+        h = (h * 131 + ord(ch)) & 0x7FFFFFFFFFFFFFFF
+    return ((h * _AUG_KNUTH + seed) >> 16) % n_ops
+
+
+def augment_images(images: DataFrame, *, seed: int = 42,
+                   copies: int = 1) -> DataFrame:
+    """Seeded geometric augmentation (flip/rotate), re-encoded PNG.
+
+    The reference has NO augmentation stage (it trains on raw tiles —
+    ``data_loading.py`` loads and stacks, nothing else); a contrastive
+    training pipeline at corpus scale standardly multiplies its
+    anchor/positive pool with cheap geometric transforms. Dihedral ops
+    only (lossless, orientation-preserving for overhead tiles);
+    ``copies`` > 1 emits that many differently-seeded variants per
+    image. One Arrow crossing; op choice is a seeded hash of
+    (image_id, copy), never RNG state — bit-identical output at any
+    partitioning (test_images).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    arr = decode_png(bytes(data))
+                except Exception:
+                    continue
+                for c in range(copies):
+                    op = _AUG_OPS[_aug_pick(f"{iid}#{c}", seed,
+                                            len(_AUG_OPS))]
+                    if op == "identity":
+                        aug = arr
+                    elif op == "fliplr":
+                        aug = arr[:, ::-1]
+                    elif op == "flipud":
+                        aug = arr[::-1, :]
+                    elif op == "rot90":
+                        aug = np.rot90(arr, 1)
+                    elif op == "rot180":
+                        aug = np.rot90(arr, 2)
+                    else:
+                        aug = np.rot90(arr, 3)
+                    aug = np.ascontiguousarray(aug)
+                    # ids always suffixed: variants are NEW rows that
+                    # must never collide with their source id
+                    out.append((f"{iid}#aug{c}", op, encode_png(aug),
+                                aug.shape[1], aug.shape[0]))
+            yield pd.DataFrame(
+                out, columns=["image_id", "aug_op", "bytes", "w", "h"])
+
+    return images.select("image_id", "bytes").filter(
+        "bytes IS NOT NULL").mapInPandas(gen, AUGMENT_SCHEMA)
+
+
 def decode_av(images: DataFrame, *, kind: str) -> DataFrame:
     """Audio/video decode dispatcher.
 

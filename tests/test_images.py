@@ -160,3 +160,35 @@ def test_image_quality_quarantines_corrupt(spark):
         .toPandas().set_index("image_id")
     assert bool(out.loc["good", "ok"]) and not bool(out.loc["bad", "ok"])
     assert out.loc["good", "sharpness"] is not None
+
+
+def test_augment_pixel_goldens_and_determinism(spark, images):
+    """Each augmented PNG must decode to exactly the numpy transform of
+    the source pixels (lossless dihedral ops), the op pick must be a
+    pure function of (image_id, seed) — identical at any partitioning —
+    and copies>1 multiplies the pool with distinct ids."""
+    sub = images.limit(24).cache()
+    src = {r.image_id: decode_png(bytes(r.bytes))
+           for r in sub.select("image_id", "bytes").collect()}
+    out = {r.image_id.split("#")[0]: (r.aug_op, decode_png(bytes(r.bytes)))
+           for r in img_ops.augment_images(sub, seed=7).collect()}
+    assert set(out) == set(src)
+    expect = {
+        "identity": lambda a: a, "fliplr": lambda a: a[:, ::-1],
+        "flipud": lambda a: a[::-1, :],
+        "rot90": lambda a: np.rot90(a, 1),
+        "rot180": lambda a: np.rot90(a, 2),
+        "rot270": lambda a: np.rot90(a, 3)}
+    for iid, (op, arr) in out.items():
+        assert np.array_equal(arr, expect[op](src[iid])), (iid, op)
+    # several distinct ops must actually occur over 24 images
+    assert len({op for op, _ in out.values()}) >= 3
+    # determinism across partitioning (seeded hash, no RNG state)
+    out13 = {r.image_id.split("#")[0]: r.aug_op
+             for r in img_ops.augment_images(
+                 sub.repartition(13), seed=7).collect()}
+    assert out13 == {k: op for k, (op, _) in out.items()}
+    # copies=2: twice the rows, suffixed ids, per-copy independent picks
+    two = img_ops.augment_images(sub.limit(6), seed=7, copies=2).collect()
+    assert len(two) == 12
+    assert {r.image_id.split("#")[-1] for r in two} == {"aug0", "aug1"}

@@ -245,3 +245,22 @@ def test_run_corpus_weighted_mixing(spark, tmp_path):
     per = {r["source"]: r["n"] for r in kept}
     if "src0" in per and "src1" in per:
         assert per["src0"] > per["src1"]
+
+
+def test_run_mining_with_augmentation(spark, images_dir, tmp_path):
+    """--augment-copies multiplies the embedding pool: each source tile
+    contributes itself plus N seeded flip/rotate variants that inherit
+    its metadata (same cell), all flowing through featurize/kNN/write."""
+    out = str(tmp_path / "mined_aug")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _run_job(os.path.join(repo, "jobs", "run_mining.py"),
+             ["--images", images_dir, "--out", out, "--res", "9",
+              "--k", "2", "--augment-copies", "1", "--keep-session"],
+             spark)
+    emb = spark.read.parquet(os.path.join(out, "embeddings"))
+    ids = [r.image_id for r in emb.select("image_id").collect()]
+    aug_ids = [i for i in ids if "#aug" in i]
+    base_ids = [i for i in ids if "#aug" not in i]
+    # every decodable source tile embeds once raw + once augmented
+    assert len(aug_ids) == len(base_ids)
+    assert {i.split("#")[0] for i in aug_ids} == set(base_ids)

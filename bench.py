@@ -205,6 +205,20 @@ def bench_ann_recall(spark, sf_dir: str) -> dict:
         out[f"{tag}_candidate_frac"] = round(
             ivf_trained_candidates(emb, cents, dim=64,
                                    nprobe=nprobe).count() / denom_cand, 3)
+    # IVF-PQ (operators/pq.py): same coarse codebook, candidates scored
+    # from 8-byte codes (ADC), exact vectors touched only for the
+    # top-refine shortlist — report recall plus the exact-contact
+    # fraction (the quantity PQ exists to shrink; candidate frac equals
+    # the trained-IVF number at the same nprobe)
+    from loc2vec_spark.operators.pq import ivfpq_search, train_pq
+    books = train_pq(emb, dim=64, m=8, ksub=16, iters=3)
+    refine = 30
+    approx_pq = ivfpq_search(emb, cents, books, dim=64, nprobe=8,
+                             refine=refine) \
+        .select("query_id", "neighbor_id")
+    n_hit_pq = brute.join(approx_pq, ["query_id", "neighbor_id"]).count()
+    out["ann_ivfpq_np8_recall_at10"] = round(n_hit_pq / n_want, 3)
+    out["ann_ivfpq_exact_frac"] = round(refine * n_q / denom_cand, 3)
     brute.unpersist()
     return out
 

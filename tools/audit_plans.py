@@ -380,6 +380,63 @@ def main() -> None:
          ses["bhj"] + ses["smj"] + ses["bnlj"] == 0),
     ])
 
+    # round-2 batch 4: hotspots, BM25, bloom probe, IVF-PQ
+    gg = qreg.run_spark(spark, SF, "getis_gi")
+    pgg = plan_of(gg)
+    sgg = summarize(pgg)
+    audit("getis_gi (Gi* hot-spot z-scores)", gg, [
+        ("neighbor probe is a hash equi-join on the aggregated surface; "
+         "the only nested-loops are the 9-row stencil + 1-row moments "
+         "broadcasts", sgg["bhj"] + sgg["smj"] >= 1 and sgg["bnlj"] <= 2
+         and "CartesianProduct" not in pgg),
+        ("no Python nodes", sgg["python"] == 0),
+    ])
+
+    bm = qreg.run_spark(spark, SF, "bm25_score")
+    pbm = plan_of(bm)
+    sbm = summarize(pbm)
+    audit("bm25_score (log-free BM25)", bm, [
+        ("3-row query-term dim + per-doc-length dim join broadcast "
+         "onto the tf relation", sbm["bhj"] >= 2),
+        ("corpus-stats scalar is the only nested-loop (1-row side)",
+         sbm["bnlj"] <= 1 and "CartesianProduct" not in pbm),
+        ("pure Catalyst tokenization (posexplode, no Python)",
+         sbm["python"] == 0),
+    ])
+
+    bl = qreg.run_spark(spark, SF, "dedup_bloom")
+    pbl = plan_of(bl)
+    sbl = summarize(pbl)
+    audit("dedup_bloom (Bloom-filter probe)", bl, [
+        ("the (bucket, bitmap) index joins BROADCAST onto the batch "
+         "(the index is #buckets rows)", sbl["bhj"] >= 1),
+        ("exactly two Arrow crossings: bitmap pack (build) + bit test "
+         "(probe)", pbl.count("ArrowEvalPython") == 2),
+        ("no cartesian anywhere", sbl["bnlj"] == 0
+         and "CartesianProduct" not in pbl),
+    ])
+
+    from loc2vec_spark.operators.ann import train_codebook
+    from loc2vec_spark.operators.pq import ivfpq_search, train_pq
+    emb_pq = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents_pq = train_codebook(emb_pq, dim=64, k_cells=8, iters=1)
+    books_pq = train_pq(emb_pq, dim=64, m=8, ksub=16, iters=1)
+    pq_df = ivfpq_search(emb_pq, cents_pq, books_pq, dim=64, nprobe=2,
+                         refine=20)
+    ppq = plan_of(pq_df)
+    spq = summarize(ppq)
+    audit("ivfpq_search (IVF-PQ + refine)", pq_df, [
+        ("candidates ride the (cid) hash equi-join of the compressed "
+         "codes index — no cartesian", spq["bnlj"] == 0
+         and "CartesianProduct" not in ppq),
+        ("every per-vector kernel is Arrow (assign/encode/ADC/dot) — "
+         "no row-at-a-time Python", ppq.count("BatchEvalPython") == 0
+         and ppq.count("ArrowEvalPython") >= 4),
+        ("both per-query windows partition by query_id — no "
+         "single-partition exchange anywhere in the plan",
+         "Exchange SinglePartition" not in ppq),
+    ])
+
     hdr = ("# PLANS.md — physical-plan audit (generated by "
            "tools/audit_plans.py)\n\n"
            "Every section asserts the plan properties the engine promises "

@@ -331,6 +331,84 @@ FROM f CROSS JOIN tot
 """
 
 
+# pagerank_cells: PageRank (damping 0.85, 2 unrolled iterations) over
+# the occupied-cell 8-neighbor adjacency graph — the iterative-join
+# workload class (graph centrality over a spatial graph; same surface
+# as focal/moran/gi). Determinism discipline for an ITERATIVE double
+# computation: per-iteration contributions are quantized to 12dp and
+# summed as DECIMAL(28,12) (exact, fold-order-free), the damped update
+# is one fixed-order double expression, re-quantized 12dp — so every
+# iteration's vector is bit-identical in both engines and at any
+# parallelism. Dangling cells (no occupied neighbor) simply receive the
+# teleport term (LEFT JOIN, null sum -> 0). Plan shape: the surface and
+# edge list materialize once; each iteration is one equi-join +
+# groupBy on the #occupied-cells-row graph — at 100 TB the graph is
+# orders below the input, and more iterations are more of the same
+# stage, not a wider one.
+
+_PR_G = _MORAN_G  # same occupied-cell surface
+
+_PR_E = f"""
+SELECT a.ci, a.cj, b.ci AS nci, b.cj AS ncj
+FROM (SELECT ci, cj, ((ci + di) + {_N5G}) % {_N5G} AS pci, cj + dj AS pcj
+      FROM g CROSS JOIN offs
+      WHERE NOT (di = 0 AND dj = 0)
+        AND cj + dj BETWEEN 0 AND {_N5G - 1}) a
+JOIN g b ON b.ci = a.pci AND b.cj = a.pcj
+"""
+
+_PR_BODY = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM g),
+deg AS (SELECT ci, cj, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM e GROUP BY ci, cj),
+p0 AS (SELECT g.ci, g.cj, ROUND(1.0E0 / n_cells, 12) AS pr
+       FROM g CROSS JOIN n),
+c1 AS (SELECT e.nci AS ci, e.ncj AS cj,
+              CAST(SUM(CAST(ROUND(p.pr / d.deg, 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS s
+       FROM e JOIN p0 p ON p.ci = e.ci AND p.cj = e.cj
+              JOIN deg d ON d.ci = e.ci AND d.cj = e.cj
+       GROUP BY e.nci, e.ncj),
+p1 AS (SELECT g.ci, g.cj,
+              ROUND(0.15E0 / n_cells
+                    + 0.85E0 * COALESCE(c1.s, 0.0E0), 12) AS pr
+       FROM g CROSS JOIN n
+       LEFT JOIN c1 ON c1.ci = g.ci AND c1.cj = g.cj),
+c2 AS (SELECT e.nci AS ci, e.ncj AS cj,
+              CAST(SUM(CAST(ROUND(p.pr / d.deg, 12)
+                   AS DECIMAL(28,12))) AS DOUBLE) AS s
+       FROM e JOIN p1 p ON p.ci = e.ci AND p.cj = e.cj
+              JOIN deg d ON d.ci = e.ci AND d.cj = e.cj
+       GROUP BY e.nci, e.ncj),
+p2 AS (SELECT g.ci, g.cj,
+              ROUND(0.15E0 / n_cells
+                    + 0.85E0 * COALESCE(c2.s, 0.0E0), 12) AS pr
+       FROM g CROSS JOIN n
+       LEFT JOIN c2 ON c2.ci = g.ci AND c2.cj = g.cj)
+SELECT p2.ci, p2.cj, COALESCE(d.deg, 0) AS deg,
+       ROUND(p2.pr, 9) AS pagerank
+FROM p2 LEFT JOIN deg d ON d.ci = p2.ci AND d.cj = p2.cj
+"""
+
+_PR_ORACLE = ("WITH {pts}, {cpts}, {offs}, g AS (" + _PR_G.strip()
+              + "), e AS (" + _PR_E.strip() + "), "
+              + _PR_BODY.strip().removeprefix("WITH "))
+
+
+def _pagerank_fn(spark, sf_dir):
+    # materialize the tiny surface + edge list once (moran's
+    # localCheckpoint note); both iterations then join stored rows
+    g = spark.sql("WITH {pts}, {cpts} ".format(pts=PTS, cpts=CPTS)
+                  + _PR_G).localCheckpoint()
+    g.createOrReplaceTempView("_pr_g")
+    e = spark.sql("WITH {offs}, g AS (SELECT * FROM _pr_g) ".format(
+        offs=OFFS) + _PR_E).localCheckpoint()
+    e.createOrReplaceTempView("_pr_e")
+    return spark.sql(_PR_BODY
+                     .replace("FROM g", "FROM _pr_g g")
+                     .replace("FROM e", "FROM _pr_e e"))
+
+
 def _moran_fn(spark, sf_dir):
     # localCheckpoint, not cache(): Spark 4's cache manager declines to
     # substitute this aggregate subtree when referenced through a
@@ -388,6 +466,14 @@ def register_raster() -> None:
                 "(binary 3x3 weights incl self) — exact int64 moments, "
                 "one fixed-order double expression (sqrt is IEEE-exact, "
                 "hash-stable); local complement to morans_i")
+    _reg("pagerank_cells", Q(
+        tables=("embeddings",), fn=_pagerank_fn,
+        duck_sql=_PR_ORACLE.format(pts=PTS, cpts=CPTS, offs=OFFS),
+        doc="graph: PageRank (0.85, 2 unrolled iterations) over the "
+            "occupied-cell 8-neighbor adjacency graph — iterative "
+            "equi-join + groupBy per iteration, 12dp-quantized DECIMAL "
+            "contribution sums keep every iteration fold-order-free "
+            "and bit-identical across engines"))
     _reg("raster_assembly",
          Q(tables=("nation",), fn=_raster_fn, duck_sql=None,
            doc="raster<->vector: per-cell scanline rasterization via "

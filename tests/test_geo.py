@@ -202,3 +202,39 @@ def test_getis_gi_matches_numpy_definition(spark):
         assert abs(r.gi_z - expect) < 1e-5
     # hot spots exist in the clustered fixture: some |z| well above 0
     assert max(abs(r.gi_z) for r in rows) > 1.0
+
+
+def test_pagerank_cells_matches_numpy_power_iteration(spark):
+    """The decimal-quantized iterative formulation equals two textbook
+    damped power-iteration steps computed in float64 from the same
+    occupied-cell adjacency graph (quantization error <= 1e-12/step)."""
+    import numpy as np
+
+    from loc2vec_spark import queries as q
+    sf = "/root/testdata/sf0.01"
+    rows = q.run_spark(spark, sf, "pagerank_cells").collect()
+    surf = {(r.ci, r.cj) for r in q.run_spark(spark, sf,
+                                              "focal_stats").collect()}
+    assert {(r.ci, r.cj) for r in rows} == surf
+    grid = 1 << 5
+    nbrs = {}
+    for (ci, cj) in surf:
+        nbrs[(ci, cj)] = [((ci + di) % grid, cj + dj)
+                          for di in (-1, 0, 1) for dj in (-1, 0, 1)
+                          if not (di == 0 and dj == 0)
+                          and 0 <= cj + dj < grid
+                          and ((ci + di) % grid, cj + dj) in surf]
+    n = len(surf)
+    pr = {c: 1.0 / n for c in surf}
+    for _ in range(2):
+        nxt = {c: 0.0 for c in surf}
+        for c, pv in pr.items():
+            d = len(nbrs[c])
+            for nb in nbrs[c]:
+                nxt[nb] += pv / d
+        pr = {c: 0.15 / n + 0.85 * nxt[c] for c in surf}
+    for r in rows:
+        assert r.deg == len(nbrs[(r.ci, r.cj)])
+        assert abs(r.pagerank - pr[(r.ci, r.cj)]) < 1e-8, (r.ci, r.cj)
+    total = sum(r.pagerank for r in rows)
+    assert 0.2 < total <= 1.0 + 1e-9  # dangling mass leaks, never grows

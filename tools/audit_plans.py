@@ -380,7 +380,20 @@ def main() -> None:
          ses["bhj"] + ses["smj"] + ses["bnlj"] == 0),
     ])
 
-    # round-2 batch 4: hotspots, BM25, bloom probe, IVF-PQ
+    # round-2 batch 4: hotspots, BM25, bloom probe, IVF-PQ, PageRank
+    pr = qreg.run_spark(spark, SF, "pagerank_cells")
+    ppr = plan_of(pr)
+    spr = summarize(ppr)
+    audit("pagerank_cells (iterative damped power iteration)", pr, [
+        ("surface + edge list materialized once — every iteration "
+         "reads stored rows, no parquet rescan in the final plan",
+         "Scan ExistingRDD" in ppr and "Scan parquet" not in ppr),
+        ("per-iteration contributions ride hash equi-joins (no "
+         "cartesian beyond the 1-row n_cells scalar)",
+         "CartesianProduct" not in ppr),
+        ("no Python nodes", spr["python"] == 0),
+    ])
+
     gg = qreg.run_spark(spark, SF, "getis_gi")
     pgg = plan_of(gg)
     sgg = summarize(pgg)

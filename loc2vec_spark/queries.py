@@ -640,6 +640,42 @@ FROM s GROUP BY user_id, session_no
 """
 
 
+def _funnel_sql(us: str) -> str:
+    """Ordered funnel (view -> click -> purchase), first-touch timing.
+
+    The standard product-analytics sequence query (MATCH_RECOGNIZE /
+    funnelytics class): stage N+1 counts only if it happens STRICTLY
+    AFTER the user's first stage-N event. Three grouped MINs + two
+    user-key equi-joins — every stage is partial-agg friendly and the
+    joins shuffle on user_id only, so at 100 TB the plan is three
+    map-side-combined aggs over the (already user-partitioned) event
+    log. Microsecond-int arithmetic throughout (the proven
+    events_sessionize formulation) — no floats anywhere.
+    Registered late (queries_geo.register_raster) to keep the driver
+    window's extras order append-only."""
+    return f"""
+WITH v AS (SELECT user_id, CAST(MIN({us}) AS BIGINT) AS t1
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, CAST(MIN({us}) AS BIGINT) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND {us} > v.t1
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, CAST(MIN({us}) AS BIGINT) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND {us} > c.t2
+      GROUP BY e.user_id)
+SELECT v.user_id,
+       CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+           AS reached_click,
+       CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END
+           AS reached_purchase,
+       c.t2 - v.t1 AS us_view_to_click,
+       p.t3 - v.t1 AS us_view_to_purchase
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+
 _reg("events_sessionize", Q(
     tables=("events",),
     # ts is TIMESTAMP_NTZ in the parquet; session TZ is UTC so the

@@ -474,6 +474,14 @@ def register_raster() -> None:
             "equi-join + groupBy per iteration, 12dp-quantized DECIMAL "
             "contribution sums keep every iteration fold-order-free "
             "and bit-identical across engines"))
+    from .queries import _funnel_sql
+    _reg("events_funnel", Q(
+        tables=("events",),
+        spark_sql=_funnel_sql("unix_micros(CAST(ts AS TIMESTAMP))"),
+        duck_sql=_funnel_sql("epoch_us(ts)"),
+        doc="events: ordered view->click->purchase funnel with "
+            "first-touch microsecond timing — three grouped MINs + two "
+            "user-key equi-joins, strictly-after stage semantics"))
     _reg("raster_assembly",
          Q(tables=("nation",), fn=_raster_fn, duck_sql=None,
            doc="raster<->vector: per-cell scanline rasterization via "

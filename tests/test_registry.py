@@ -48,8 +48,8 @@ def test_contract_block_precedes_extras() -> None:
               "dedup_incremental", "dedup_bloom",
               "geom_stats",
               "traj_stats", "pip_cellcover", "focal_stats", "morans_i",
-              "getis_gi", "pagerank_cells", "raster_assembly",
-              "pyramid_rollup"]
+              "getis_gi", "pagerank_cells", "events_funnel",
+              "raster_assembly", "pyramid_rollup"]
     n_contract = len(names) - len(extras)
     # every non-extra (contract/pipeline) query sits in the first block
     for n in names:

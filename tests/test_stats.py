@@ -132,3 +132,23 @@ def test_dist_drift_invariants(spark):
             e = (r.o0 + r.o1) * c / (c0 + c1)
             expect += (o - e) ** 2 / e
         assert abs(r.chi2_term - expect) < 1e-5
+
+
+def test_events_funnel_invariants(spark):
+    """Ordered-funnel semantics: purchase implies click, stage times
+    strictly increase, and durations are consistent; stage reach is
+    non-vacuous at sf0.01 in both directions."""
+    from loc2vec_spark import queries as q
+    rows = q.run_spark(spark, "/root/testdata/sf0.01",
+                       "events_funnel").collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r.reached_purchase:
+            assert r.reached_click == 1  # strictly-ordered stages
+        if r.reached_click:
+            assert r.us_view_to_click > 0
+        else:
+            assert r.us_view_to_click is None
+        if r.reached_purchase:
+            assert r.us_view_to_purchase > r.us_view_to_click
+    assert any(r.reached_purchase for r in rows)

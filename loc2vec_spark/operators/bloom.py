@@ -106,10 +106,16 @@ def build_bloom_index(df: DataFrame, key_col: str, *, k: int = 4,
 
 
 def bloom_probe(batch: DataFrame, index: DataFrame, key_col: str, *,
-                k: int = 4, m_bits: int = 4096,
-                n_buckets: int = 8) -> DataFrame:
+                k: int = 4, m_bits: int = 4096, n_buckets: int = 8,
+                broadcast_index: bool = True) -> DataFrame:
     """Adds ``n_pos``, ``n_hit``, ``bloom_maybe`` (1 = maybe in corpus,
-    0 = DEFINITELY new). Left join: an absent bucket is all-zero."""
+    0 = DEFINITELY new). Left join: an absent bucket is all-zero.
+
+    ``broadcast_index=True`` is right while n_buckets x m_bits/8 fits
+    an executor (the default 8 x 512 B certainly does); a 10^12-key
+    deployment sizes n_buckets into the thousands with MB bitmaps —
+    pass False there and the probe becomes a plain (bucket) hash
+    equi-join, each task reading only its buckets' bitmaps."""
     @F.pandas_udf("int")
     def hits(bitmap: pd.Series, poslists: pd.Series) -> pd.Series:
         out = np.zeros(len(bitmap), dtype=np.int32)
@@ -122,7 +128,8 @@ def bloom_probe(batch: DataFrame, index: DataFrame, key_col: str, *,
         return pd.Series(out)
 
     kb = _keyed(batch, key_col, k=k, m_bits=m_bits, n_buckets=n_buckets)
-    return (kb.join(F.broadcast(index), "bucket", "left")
+    idx = F.broadcast(index) if broadcast_index else index
+    return (kb.join(idx, "bucket", "left")
             .withColumn("n_pos", F.size("positions"))
             .withColumn("n_hit", hits(F.col("bitmap"), F.col("positions")))
             .withColumn("bloom_maybe",

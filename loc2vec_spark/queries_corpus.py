@@ -267,9 +267,10 @@ FROM d CROSS JOIN g
 #    With k1=6/5, b=3/4, scaling numerator and denominator by 20*sum_dl:
 #      tf_sat   = 44*tf*sum_dl / (20*sum_dl*tf + 6*sum_dl + 18*dl*N)
 #      bm25_term = tf_sat * (2N - 2df + 1)/(2df + 1)    [one rational]
-#    Magnitude: at sf1 (5e4 docs, ~2.5e6 tokens) the largest product is
-#    44*tf*sum_dl*(2N+1) ~ 3e15 < 2^63; beyond ~sf100 the partials
-#    would move to DECIMAL(38,0).
+#    Magnitude: the largest product is 44*tf*sum_dl*(2N-2df+1); at sf1
+#    (5e4 docs, ~4e6 total tokens, per-doc tf <~ 100) that is ~2e18 —
+#    inside int64 but only ~4x headroom, so beyond ~sf2 the numerator
+#    moves to DECIMAL(38,0) partials (same trick as morans_i's note).
 #  * per-term rows, not a summed per-doc score: no cross-row double
 #    sum, so the oracle hash is fold-order-independent (discipline).
 # Query terms are data-derived (vocab ranks 5-7 by global count, token

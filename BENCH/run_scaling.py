@@ -135,7 +135,8 @@ def main() -> None:
                   "ann_ivf_trained_recall_at10",
                   "ann_ivf_trained_candidate_frac",
                   "ann_ivf_trained_np8_recall_at10",
-                  "ann_ivf_trained_np8_candidate_frac"):
+                  "ann_ivf_trained_np8_candidate_frac",
+                  "ann_ivfpq_np8_recall_at10", "ann_ivfpq_exact_frac"):
             lo.setdefault(k, extras.get(k))
             hi.setdefault(k, extras.get(k))
         for t in (lo, hi):
@@ -213,6 +214,11 @@ cluster near-dup regime at bounded scan — tests/test_ann.py):
 | {hi.get('ann_ivf_trained_np8_recall_at10', 'n/a')} \
 | {hi.get('ann_ivf_trained_np8_candidate_frac', 'n/a')} \
 | {_lift(hi, 'ann_ivf_trained_np8')} |
+| IVF-PQ (8-byte codes + ADC, nprobe=8, refine=30; exact contact only \
+{hi.get('ann_ivfpq_exact_frac', 'n/a')} of pairs) \
+| {hi.get('ann_ivfpq_np8_recall_at10', 'n/a')} \
+| {hi.get('ann_ivf_trained_np8_candidate_frac', 'n/a')} \
+| — |
 
 Per-query seconds:
 

@@ -210,7 +210,8 @@ def bench_ann_recall(spark, sf_dir: str) -> dict:
     # top-refine shortlist — report recall plus the exact-contact
     # fraction (the quantity PQ exists to shrink; candidate frac equals
     # the trained-IVF number at the same nprobe)
-    from loc2vec_spark.operators.pq import ivfpq_search, train_pq
+    from loc2vec_spark.operators.pq import (ivfpq_search,
+                                            ivfpq_shortlist, train_pq)
     books = train_pq(emb, dim=64, m=8, ksub=16, iters=3)
     refine = 30
     approx_pq = ivfpq_search(emb, cents, books, dim=64, nprobe=8,
@@ -218,7 +219,11 @@ def bench_ann_recall(spark, sf_dir: str) -> dict:
         .select("query_id", "neighbor_id")
     n_hit_pq = brute.join(approx_pq, ["query_id", "neighbor_id"]).count()
     out["ann_ivfpq_np8_recall_at10"] = round(n_hit_pq / n_want, 3)
-    out["ann_ivfpq_exact_frac"] = round(refine * n_q / denom_cand, 3)
+    # MEASURED exact-vector contact (cells can hold < refine candidates,
+    # so the analytic refine * |Q| would overstate it)
+    n_exact = ivfpq_shortlist(emb, cents, books, dim=64, nprobe=8,
+                              refine=refine).count()
+    out["ann_ivfpq_exact_frac"] = round(n_exact / denom_cand, 3)
     brute.unpersist()
     return out
 

@@ -86,8 +86,6 @@ def main(argv=None) -> None:
             .withColumnRenamed("image_id", "base_id")
         aug = (img_ops.augment_images(images, seed=args.seed,
                                       copies=args.augment_copies)
-               .withColumn("base_id",
-                           F.substring_index("image_id", "#", 1))
                .join(meta, "base_id").drop("base_id", "aug_op"))
         images = images.unionByName(aug.select(*images.columns))
 

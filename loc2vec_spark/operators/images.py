@@ -280,6 +280,7 @@ def image_quality(images: DataFrame) -> DataFrame:
 
 AUGMENT_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
+    T.StructField("base_id", T.StringType()),
     T.StructField("aug_op", T.StringType()),
     T.StructField("bytes", T.BinaryType()),
     T.StructField("w", T.IntegerType()),
@@ -340,11 +341,16 @@ def augment_images(images: DataFrame, *, seed: int = 42,
                         aug = np.rot90(arr, 3)
                     aug = np.ascontiguousarray(aug)
                     # ids always suffixed: variants are NEW rows that
-                    # must never collide with their source id
-                    out.append((f"{iid}#aug{c}", op, encode_png(aug),
+                    # must never collide with their source id; base_id
+                    # travels as its OWN column — string-splitting the
+                    # suffixed id back apart would mis-join any source
+                    # id that itself contains '#' (review r2 batch 4)
+                    out.append((f"{iid}#aug{c}", iid, op,
+                                encode_png(aug),
                                 aug.shape[1], aug.shape[0]))
             yield pd.DataFrame(
-                out, columns=["image_id", "aug_op", "bytes", "w", "h"])
+                out, columns=["image_id", "base_id", "aug_op", "bytes",
+                              "w", "h"])
 
     return images.select("image_id", "bytes").filter(
         "bytes IS NOT NULL").mapInPandas(gen, AUGMENT_SCHEMA)

@@ -80,7 +80,14 @@ def _books_arr(books: list[list[tuple]]) -> np.ndarray:
 def _encode_udf(books: list[list[tuple]]):
     """array<double> nx -> array<int> codes, numpy-vectorized per Arrow
     batch: per subspace, ||x_m - c||^2 argmin over ksub sub-centroids
-    (first minimal index — deterministic)."""
+    (first minimal index — deterministic).
+
+    Distances are per-row reductions `((sub - c)**2).sum(axis=1)` per
+    centroid, NOT the expanded `-2 sub @ C.T + ...` gemm: BLAS picks
+    shape-dependent kernels whose rounding varies with the Arrow batch
+    size, so a near-tie between two sub-centroids could flip with
+    partitioning — the same batch-independence rule as
+    `kmeans.assign_arrow_vec` (review r2 batch 4)."""
     barr = _books_arr(books)
     m, ksub, subdim = barr.shape
 
@@ -91,12 +98,11 @@ def _encode_udf(books: list[list[tuple]]):
         X = np.stack(nx.to_numpy())            # (n, dim) float64
         n = X.shape[0]
         codes = np.empty((n, m), dtype=np.int32)
+        d2 = np.empty((n, ksub), dtype=np.float64)
         for mm in range(m):
             sub = X[:, mm * subdim:(mm + 1) * subdim]
-            # (n, ksub): ||x||^2 - 2 x.c + ||c||^2 ranks == full d2
-            d2 = (-2.0 * sub @ barr[mm].T
-                  + (barr[mm] ** 2).sum(axis=1)[None, :]
-                  + (sub ** 2).sum(axis=1)[:, None])
+            for j in range(ksub):
+                d2[:, j] = ((sub - barr[mm][j]) ** 2).sum(axis=1)
             codes[:, mm] = np.argmin(d2, axis=1)
         return pd.Series(list(codes))
 
@@ -186,21 +192,35 @@ def encode_pq(emb_df: DataFrame, books: list[list[tuple]], *, dim: int,
                      _encode_udf(books)(F.col("nx")).alias("pq_code"))
 
 
-def ivfpq_search(emb_df: DataFrame, cents: list[tuple],
-                 books: list[list[tuple]], *, dim: int, nprobe: int = 4,
-                 topk: int = 10, refine: int = 30, query_mod: int = 25,
-                 id_col: str = "vec_id",
-                 emb_col: str = "embedding") -> DataFrame:
-    """IVF-PQ + refine: candidates scored from codes (ADC), exact cosine
-    only for the top-``refine`` per query. Same output contract as
-    `ann.ivf_trained`: (query_id, ann_rank, neighbor_id, cosine)."""
+def _normalized_cached(emb_df: DataFrame, dim: int, id_col: str,
+                       emb_col: str) -> DataFrame:
     from ..functions import SPARK_BASE, norm_sql
     nrm = norm_sql(emb_col, dim, SPARK_BASE)
-    ne = emb_df.selectExpr(id_col, emb_col, f"{nrm} AS nrm").cache()
+    return emb_df.selectExpr(id_col, emb_col, f"{nrm} AS nrm").cache()
+
+
+def ivfpq_shortlist(emb_df: DataFrame, cents: list[tuple],
+                    books: list[list[tuple]], *, dim: int,
+                    nprobe: int = 4, refine: int = 30,
+                    query_mod: int = 25, id_col: str = "vec_id",
+                    emb_col: str = "embedding",
+                    ne: DataFrame | None = None) -> DataFrame:
+    """(query_id, neighbor_id) ADC shortlist — the exact-contact set.
+
+    Exposed separately so the bench can MEASURE the exact-vector
+    contact fraction (a query whose probed cells hold fewer than
+    ``refine`` candidates contributes fewer rows than refine * |Q|,
+    so the analytic product overstates contact — review r2 batch 4).
+    """
+    if ne is None:
+        ne = _normalized_cached(emb_df, dim, id_col, emb_col)
 
     cells = assign_arrow_vec(ne, cents, emb_col, dim, norm_col="nrm") \
         .select(F.col(id_col).alias("neighbor_id"), "cid")
-    codes = encode_pq(emb_df, books, dim=dim, id_col=id_col,
+    # encode from the cached normalized frame, NOT the raw emb_df: the
+    # encoder only needs (id, emb) and reusing ne saves a second full
+    # scan + 64-term norm recompute over the largest relation here
+    codes = encode_pq(ne, books, dim=dim, id_col=id_col,
                       emb_col=emb_col) \
         .select(F.col(id_col).alias("neighbor_id"), "pq_code")
     # the compressed index: (neighbor_id, cid, M-byte code) — this is
@@ -209,19 +229,38 @@ def ivfpq_search(emb_df: DataFrame, cents: list[tuple],
 
     queries = ne.filter(F.col(id_col) % query_mod == 0)
     probes = assign_arrow_vec(queries, cents, emb_col, dim,
-                                norm_col="nrm", nprobe=nprobe) \
+                              norm_col="nrm", nprobe=nprobe) \
         .select(F.col(id_col).alias("query_id"),
                 _norm_vec_col(emb_col, dim).alias("q_nx"), "cid")
 
     wadc = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
-    shortlist = (probes.join(index, "cid")
-                 .filter(F.col("query_id") != F.col("neighbor_id"))
-                 .withColumn("adc",
-                             adc_distance(books, "q_nx", "pq_code"))
-                 .select("query_id", "neighbor_id", "adc")
-                 .withColumn("adc_rank", F.row_number().over(wadc))
-                 .filter(F.col("adc_rank") <= refine)
-                 .select("query_id", "neighbor_id"))
+    return (probes.join(index, "cid")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("adc", adc_distance(books, "q_nx", "pq_code"))
+            .select("query_id", "neighbor_id", "adc")
+            .withColumn("adc_rank", F.row_number().over(wadc))
+            .filter(F.col("adc_rank") <= refine)
+            .select("query_id", "neighbor_id"))
+
+
+def ivfpq_search(emb_df: DataFrame, cents: list[tuple],
+                 books: list[list[tuple]], *, dim: int, nprobe: int = 4,
+                 topk: int = 10, refine: int = 30, query_mod: int = 25,
+                 id_col: str = "vec_id",
+                 emb_col: str = "embedding") -> DataFrame:
+    """IVF-PQ + refine: candidates scored from codes (ADC), exact cosine
+    only for the top-``refine`` per query. Same output contract as
+    `ann.ivf_trained`: (query_id, ann_rank, neighbor_id, cosine).
+
+    The normalized base frame is cached for the session (assignment,
+    probes, and both re-rank sides share the one scan); callers running
+    many searches in one session can reclaim it with
+    ``spark.catalog.clearCache()`` between batches."""
+    ne = _normalized_cached(emb_df, dim, id_col, emb_col)
+    shortlist = ivfpq_shortlist(emb_df, cents, books, dim=dim,
+                                nprobe=nprobe, refine=refine,
+                                query_mod=query_mod, id_col=id_col,
+                                emb_col=emb_col, ne=ne)
 
     from .ann import dot_products
     q = ne.select(F.col(id_col).alias("query_id"),

@@ -170,7 +170,7 @@ def test_augment_pixel_goldens_and_determinism(spark, images):
     sub = images.limit(24).cache()
     src = {r.image_id: decode_png(bytes(r.bytes))
            for r in sub.select("image_id", "bytes").collect()}
-    out = {r.image_id.split("#")[0]: (r.aug_op, decode_png(bytes(r.bytes)))
+    out = {r.base_id: (r.aug_op, decode_png(bytes(r.bytes)))
            for r in img_ops.augment_images(sub, seed=7).collect()}
     assert set(out) == set(src)
     expect = {
@@ -184,7 +184,7 @@ def test_augment_pixel_goldens_and_determinism(spark, images):
     # several distinct ops must actually occur over 24 images
     assert len({op for op, _ in out.values()}) >= 3
     # determinism across partitioning (seeded hash, no RNG state)
-    out13 = {r.image_id.split("#")[0]: r.aug_op
+    out13 = {r.base_id: r.aug_op
              for r in img_ops.augment_images(
                  sub.repartition(13), seed=7).collect()}
     assert out13 == {k: op for k, (op, _) in out.items()}
@@ -192,3 +192,7 @@ def test_augment_pixel_goldens_and_determinism(spark, images):
     two = img_ops.augment_images(sub.limit(6), seed=7, copies=2).collect()
     assert len(two) == 12
     assert {r.image_id.split("#")[-1] for r in two} == {"aug0", "aug1"}
+    # base_id is a real column, not a string-split of the suffixed id
+    # (a source id containing '#' must still rejoin correctly)
+    assert all(r.image_id == f"{r.base_id}#aug{i}"
+               for r in two for i in [int(r.image_id[-1])])

@@ -99,6 +99,66 @@ def _shared(name: str, tables: tuple[str, ...], sql: str, doc: str = "",
                  doc=doc))
 
 
+# ---------------------------------------------------------------------------
+# driver-window order (round-3 rotation)
+# ---------------------------------------------------------------------------
+# The round driver's correctness sweep records only the FIRST ~50
+# registry entries, so the dict order is part of the driver contract.
+# Rounds 1-2 driver-verified the 37 §2-contract queries plus the first
+# 13 training-data-pipeline queries (all 50 green in
+# CORRECTNESS_r02.json). Round 3 rotates those 13 already-driver-green
+# pipeline slots out of the window in favor of 13 never-driver-checked
+# extras (VERDICT r2, next-round item 1), keeping every §2-contract
+# query pinned. Registration still happens module-by-module in the
+# order the modules complete; _finalize_window_order() then re-keys the
+# dict into this declared order once every window name is present, so
+# the window is import-order independent BY CONSTRUCTION rather than by
+# carefully sequenced completion hooks (tests/test_registry.py asserts
+# full-order equality across all five public entry points).
+ROTATED_OUT_R3: tuple[str, ...] = (
+    # driver-green in CORRECTNESS_r02; still oracle-checked every round
+    # by tools/check_oracles.py, just past the driver's ~50-slot window
+    "dedup_exact", "text_fingerprint", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_minhash_sig", "dedup_simhash",
+    "dedup_embedding", "dedup_components", "ann_bruteforce",
+    "ann_lsh_bucket", "ann_lsh_multiprobe", "text_quality",
+    "text_langid",
+)
+
+DRIVER_WINDOW: tuple[str, ...] = (
+    # --- the 37 §2-contract queries, order unchanged since round 1 ---
+    "tile_assign", "tile_rollup", "cell_parent", "kring_expand",
+    "knn_topk", "knn_nearest", "triplet_margin", "negative_farcell",
+    "negative_compat", "pip_bbox", "j1_multiway", "j3_semi", "j3_anti",
+    "t1_symdiff", "t2_intersect", "t3_union", "a1_counts", "a2_stats",
+    "a3_sliding", "a4_minmax", "a5_histogram", "p6_zscore",
+    "a1_equal_cardinality", "w1_topk", "w2_seeded_pick",
+    "w3_global_sort", "w4_batch_bucket", "w5_lag_lead", "f1_string",
+    "f2_json_date", "f3_f7_distances", "f9_array_var",
+    "events_tumbling", "a6_cov", "a8_cosine_mean", "events_sessionize",
+    "pip_exact",
+    # --- round-3 rotation-ins: never driver-checked before ---
+    "kmeans_latlon", "asof_events", "range_events", "dedup_phash",
+    "dedup_incremental", "dedup_bloom", "vocab_topk", "pack_sequences",
+    "bm25_score", "pagerank_cells", "getis_gi", "a12_regression",
+    "stratified_sample",
+)
+
+
+def _finalize_window_order() -> None:
+    """Re-key QUERIES so DRIVER_WINDOW comes first, everything else in
+    its existing relative order. No-op until every window name has
+    registered (exotic first-import paths finish registration in a
+    module-bottom completion hook, which calls this again)."""
+    if not all(n in QUERIES for n in DRIVER_WINDOW):
+        return
+    window = set(DRIVER_WINDOW)
+    rest = [n for n in QUERIES if n not in window]
+    ordered = {n: QUERIES[n] for n in (*DRIVER_WINDOW, *rest)}
+    QUERIES.clear()
+    QUERIES.update(ordered)
+
+
 def run_spark(spark, sf_dir: str, name: str):
     q = QUERIES[name]
     for t in q.tables:
@@ -977,6 +1037,12 @@ FROM cpts
     # partial module would AttributeError (review r2)
     if hasattr(queries_geo, "register_raster"):
         queries_geo.register_raster()
+
+    # in the normal (queries / queries_text first) paths everything is
+    # registered by now and this performs the actual re-key; in the
+    # queries_ml/_corpus/_geo-first paths it no-ops and the module's own
+    # completion hook re-invokes it once its extras exist
+    _finalize_window_order()
 
 
 from . import queries_text  # noqa: E402,F401  (dedup/ANN/text suite;

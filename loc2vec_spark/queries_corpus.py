@@ -577,3 +577,4 @@ from . import queries as _queries_mod  # noqa: E402
 if ("dedup_phash" in _queries_mod.QUERIES
         and "vocab_topk" not in _queries_mod.QUERIES):
     register_corpus_extras()
+    _queries_mod._finalize_window_order()

@@ -504,3 +504,4 @@ from . import queries as _queries_mod  # noqa: E402
 if ("w6_ranks" in _queries_mod.QUERIES
         and "raster_assembly" not in _queries_mod.QUERIES):
     register_raster()
+    _queries_mod._finalize_window_order()

@@ -378,6 +378,7 @@ from . import queries as _queries_mod  # noqa: E402
 if ("w6_ranks" in _queries_mod.QUERIES
         and "dedup_phash" not in _queries_mod.QUERIES):
     register_ml_extras()
+    _queries_mod._finalize_window_order()
 
 
 def pii_scrub_col(col):

@@ -194,36 +194,47 @@ def bench_ann_recall(spark, sf_dir: str) -> dict:
     from loc2vec_spark.operators.ann import (ivf_trained,
                                              ivf_trained_candidates,
                                              train_codebook)
+    from loc2vec_spark.operators.pq import normalized_frame
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     cents = train_codebook(emb, dim=64, k_cells=16, iters=3)
+    # ONE cached (id, emb, nrm) frame shared by every trained-IVF and
+    # IVF-PQ stage below, unpersisted at the end (r2 advice: ne=None
+    # re-built + re-cached the base frame once per call and leaked all
+    # of them for the session)
+    ne = normalized_frame(emb, 64)
     for nprobe, tag in ((4, "ann_ivf_trained"),
                         (8, "ann_ivf_trained_np8")):
-        approx_t = ivf_trained(emb, cents, dim=64, nprobe=nprobe) \
-            .select("query_id", "neighbor_id")
+        approx_t = ivf_trained(emb, cents, dim=64, nprobe=nprobe,
+                               ne=ne).select("query_id", "neighbor_id")
         n_hit_t = brute.join(approx_t, ["query_id", "neighbor_id"]).count()
         out[f"{tag}_recall_at10"] = round(n_hit_t / n_want, 3)
         out[f"{tag}_candidate_frac"] = round(
-            ivf_trained_candidates(emb, cents, dim=64,
-                                   nprobe=nprobe).count() / denom_cand, 3)
+            ivf_trained_candidates(emb, cents, dim=64, nprobe=nprobe,
+                                   ne=ne).count() / denom_cand, 3)
     # IVF-PQ (operators/pq.py): same coarse codebook, candidates scored
-    # from 8-byte codes (ADC), exact vectors touched only for the
-    # top-refine shortlist — report recall plus the exact-contact
-    # fraction (the quantity PQ exists to shrink; candidate frac equals
-    # the trained-IVF number at the same nprobe)
+    # from packed 8-byte codes (ADC, ksub=256 sub-codebooks), exact
+    # vectors touched only for the top-refine shortlist — report recall
+    # plus the exact-contact fraction (the quantity PQ exists to
+    # shrink; candidate frac equals the trained-IVF number at the same
+    # nprobe)
     from loc2vec_spark.operators.pq import (ivfpq_search,
                                             ivfpq_shortlist, train_pq)
-    books = train_pq(emb, dim=64, m=8, ksub=16, iters=3)
-    refine = 30
+    books = train_pq(emb, dim=64, m=8, ksub=256, iters=3)
+    # operating point: refine=50 measured 0.670 recall @ 0.025 exact
+    # contact on the uniform-random (worst-case) embeddings; refine=80
+    # reaches 0.748 @ 0.040 — the r2 verdict bar is >=0.6 at <=5%
+    refine = 50
     approx_pq = ivfpq_search(emb, cents, books, dim=64, nprobe=8,
-                             refine=refine) \
+                             refine=refine, ne=ne) \
         .select("query_id", "neighbor_id")
     n_hit_pq = brute.join(approx_pq, ["query_id", "neighbor_id"]).count()
     out["ann_ivfpq_np8_recall_at10"] = round(n_hit_pq / n_want, 3)
     # MEASURED exact-vector contact (cells can hold < refine candidates,
     # so the analytic refine * |Q| would overstate it)
     n_exact = ivfpq_shortlist(emb, cents, books, dim=64, nprobe=8,
-                              refine=refine).count()
+                              refine=refine, ne=ne).count()
     out["ann_ivfpq_exact_frac"] = round(n_exact / denom_cand, 3)
+    ne.unpersist()
     brute.unpersist()
     return out
 

@@ -86,12 +86,18 @@ def train_codebook(emb_df: DataFrame, *, dim: int, k_cells: int = 16,
 
 def ivf_trained(emb_df: DataFrame, cents: list[tuple], *, dim: int,
                 nprobe: int = 4, topk: int = 10, query_mod: int = 25,
-                id_col: str = "vec_id",
-                emb_col: str = "embedding") -> DataFrame:
+                id_col: str = "vec_id", emb_col: str = "embedding",
+                ne: DataFrame | None = None) -> DataFrame:
     """Top-``topk`` cosine neighbors for every ``query_mod``-th vector,
     probing the ``nprobe`` nearest trained cells. Returns (query_id,
-    ann_rank, neighbor_id, cosine)."""
-    ne = _normalized(emb_df, id_col, emb_col, dim).cache()
+    ann_rank, neighbor_id, cosine).
+
+    Pass ``ne`` (a cached (id, emb, nrm) frame, e.g.
+    ``pq.normalized_frame``) to share the base-table cache across
+    repeated searches and own its ``unpersist()``; without it one is
+    cached per call and lives until the session cache is cleared."""
+    if ne is None:
+        ne = _normalized(emb_df, id_col, emb_col, dim).cache()
 
     cells = assign_arrow_vec(ne, cents, emb_col, dim, norm_col="nrm") \
         .select(F.col(id_col).alias("neighbor_id"), "cid")
@@ -122,10 +128,12 @@ def ivf_trained(emb_df: DataFrame, cents: list[tuple], *, dim: int,
 def ivf_trained_candidates(emb_df: DataFrame, cents: list[tuple], *,
                            dim: int, nprobe: int = 4, query_mod: int = 25,
                            id_col: str = "vec_id",
-                           emb_col: str = "embedding") -> DataFrame:
+                           emb_col: str = "embedding",
+                           ne: DataFrame | None = None) -> DataFrame:
     """Candidate pairs only — the bench recall harness reports candidate
     fraction next to recall (same contract as ann_ivf_candidates)."""
-    ne = _normalized(emb_df, id_col, emb_col, dim)
+    if ne is None:
+        ne = _normalized(emb_df, id_col, emb_col, dim)
     cells = assign_arrow_vec(ne, cents, emb_col, dim, norm_col="nrm") \
         .select(F.col(id_col).alias("neighbor_id"), "cid")
     probes = assign_arrow_vec(

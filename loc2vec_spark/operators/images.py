@@ -266,7 +266,16 @@ def image_quality(images: DataFrame) -> DataFrame:
             out = []
             for iid, data in zip(pdf["image_id"], pdf["bytes"]):
                 try:
-                    vals = quality_signals(decode_png(bytes(data)))
+                    arr = decode_png(bytes(data))
+                    # degenerate tiles (< 3x3) have empty Laplacian/
+                    # Sobel slices -> NaN sharpness that would pass the
+                    # ok gate yet fail every threshold filter; such
+                    # tiles are quarantined like corrupt ones (r2
+                    # advice)
+                    if arr.shape[0] < 3 or arr.shape[1] < 3:
+                        out.append((iid, False) + (None,) * 5)
+                        continue
+                    vals = quality_signals(arr)
                     out.append((iid, True,
                                 *(round(v, 6) for v in vals)))
                 except Exception:

@@ -349,6 +349,15 @@ def cellcover_pip_join(spark: SparkSession, pts: DataFrame,
             "channel": pd.Series([], dtype="object")})
         if len(left) == 0 or len(right) == 0:
             return empty
+        # one-ring-per-layer contract, ENFORCED (r2 advice): a silent
+        # iloc[0] would drop every extra ring of a multipolygon/hole
+        # feature — fail loudly like pack_greedy's NULL guard instead
+        if len(right) != 1:
+            raise ValueError(
+                f"cellcover_pip_join: layer_id {right['layer_id'].iloc[0]} "
+                f"carries {len(right)} rings; one ring per layer_id is "
+                f"the documented contract (split multipolygons into "
+                f"per-ring layer ids upstream)")
         g0 = right.iloc[0]
         # bracket access: pandas Series.xs is a METHOD, so attribute
         # access on the 'xs' column returns it instead

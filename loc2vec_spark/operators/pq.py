@@ -5,24 +5,27 @@ EXACT float vectors, so the candidate join ships dim x 4 bytes per row
 (256 B at dim=64). At 10^12 vectors that join IS the job. Product
 quantization (Jegou et al., "Product Quantization for Nearest Neighbor
 Search", TPAMI 2011 — the FAISS IVFPQ design) compresses each vector to
-M sub-codes (M=8 x 4-bit codes here, 32x below the raw floats):
-candidates are scored from codes alone (ADC — asymmetric distance
+M sub-codes. Here M=8 subspaces x 8-bit codes (ksub=256 sub-centroids,
+the FAISS-standard codebook size), physically PACKED into one BIGINT:
+the codes relation really ships 8 bytes per vector, 32x below the raw
+floats — not an array<int> that merely encodes 8 bytes (round-2 review
+finding: the claimed size must exist in the schema, not the prose).
+Candidates are scored from codes alone (ADC — asymmetric distance
 computation: exact query side, quantized candidate side), and only the
 top ``refine`` ADC survivors per query ever touch the exact vectors
 (FAISS's IVFPQR refinement stage).
 
 Physical strategy note — why every per-vector kernel here is
 Arrow/numpy, not unrolled literal expressions: PQ's encode is
-M x ksub x subdim + norm terms in ONE projection (~1.5k doubles at
-dim=64), and even the k x dim coarse argmin fused into the candidate
-join — measured: janino rejects the generated method (>64 KiB) and
-Spark silently drops the WHOLE stage to interpreted expression
-evaluation. A numpy-vectorized pandas UDF is
-both faster than that fallback and size-independent: one Arrow
-crossing per stage, the `operators/similarity.py` blocked-kernel
-discipline (and the numpy analog of FAISS's SIMD ADC loop). The coarse
-IVF probe uses the same-discipline Arrow kernel
-(`kmeans.assign_arrow_vec`).
+M x ksub x subdim + norm terms in ONE projection (~16k doubles at
+dim=64/ksub=256), and even the k x dim coarse argmin fused into the
+candidate join — measured: janino rejects the generated method
+(>64 KiB) and Spark silently drops the WHOLE stage to interpreted
+expression evaluation. A numpy-vectorized pandas UDF is both faster
+than that fallback and size-independent: one Arrow crossing per stage,
+the `operators/similarity.py` blocked-kernel discipline (and the numpy
+analog of FAISS's SIMD ADC loop). The coarse IVF probe uses the
+same-discipline Arrow kernel (`kmeans.assign_arrow_vec`).
 
 Spark-first shape:
 
@@ -32,8 +35,8 @@ Spark-first shape:
   iteration, on a seeded hash-sample (``train_frac``) exactly like
   `ann.train_codebook`;
 - **encoding** (`encode_pq`): one Arrow pass adds ``pq_code``
-  (array<int>, length M) — no join, no shuffle; the codes table is the
-  only thing the ANN candidate join ever ships;
+  (BIGINT — M 8-bit codes packed little-endian) — no join, no shuffle;
+  the codes table is the only thing the ANN candidate join ever ships;
 - **search** (`ivfpq_search`): coarse IVF probe -> (cid) equi-join
   against the CODES table -> ADC distance from codes (the codebook
   rides the task closure, never a join side) -> per-query
@@ -57,6 +60,11 @@ from pyspark.sql.window import Window
 
 from .kmeans import assign_arrow_vec, seed_hash_col
 
+# row-chunk for the encode broadcast: (chunk, ksub, subdim) float64 is
+# ~32 MB at ksub=256/subdim=8 — bounds peak memory independently of the
+# Arrow batch size (per-row reductions, so chunking never changes bits)
+_ENC_CHUNK = 2048
+
 
 def _norm_vec_col(vec_col: str, dim: int):
     """Unit-normalized, 6dp-quantized array<double> of the first ``dim``
@@ -77,41 +85,71 @@ def _books_arr(books: list[list[tuple]]) -> np.ndarray:
                       dtype=np.float64)
 
 
-def _encode_udf(books: list[list[tuple]]):
-    """array<double> nx -> array<int> codes, numpy-vectorized per Arrow
-    batch: per subspace, ||x_m - c||^2 argmin over ksub sub-centroids
-    (first minimal index — deterministic).
+def unpack_codes(packed: int, m: int) -> list[int]:
+    """The M 8-bit sub-codes of one packed BIGINT (little-endian byte
+    order: sub-code mm lives at bits [8*mm, 8*mm+8))."""
+    u = np.uint64(np.int64(packed).astype(np.uint64))
+    return [int((u >> np.uint64(8 * mm)) & np.uint64(0xFF))
+            for mm in range(m)]
 
-    Distances are per-row reductions `((sub - c)**2).sum(axis=1)` per
-    centroid, NOT the expanded `-2 sub @ C.T + ...` gemm: BLAS picks
-    shape-dependent kernels whose rounding varies with the Arrow batch
-    size, so a near-tie between two sub-centroids could flip with
-    partitioning — the same batch-independence rule as
-    `kmeans.assign_arrow_vec` (review r2 batch 4)."""
+
+def code_byte_col(code_col, mm: int) -> "F.Column":
+    """Spark column extracting sub-code ``mm`` from the packed BIGINT
+    (JVM-side shift+mask — no Python crossing for per-subspace slices).
+    ``code_col`` is a column name or a Column expression."""
+    c = F.col(code_col) if isinstance(code_col, str) else code_col
+    return F.shiftrightunsigned(c, 8 * mm).bitwiseAND(F.lit(255))
+
+
+def _unpack_np(code: pd.Series, m: int) -> np.ndarray:
+    """(n, M) int64 sub-code matrix from the packed BIGINT series."""
+    u = code.to_numpy().astype(np.int64).view(np.uint64)
+    shifts = (np.arange(m) * 8).astype(np.uint64)
+    return ((u[:, None] >> shifts[None, :])
+            & np.uint64(0xFF)).astype(np.int64)
+
+
+def _encode_udf(books: list[list[tuple]]):
+    """array<double> nx -> packed BIGINT code, numpy-vectorized per
+    Arrow batch: per subspace, ||x_m - c||^2 argmin over ksub
+    sub-centroids (first minimal index — deterministic), the M 8-bit
+    winners packed little-endian into one int64.
+
+    Distances are per-row reductions `((sub - C)**2).sum(axis=-1)`
+    (broadcast over the centroid axis), NOT the expanded
+    `-2 sub @ C.T + ...` gemm: BLAS picks shape-dependent kernels whose
+    rounding varies with the Arrow batch size, so a near-tie between
+    two sub-centroids could flip with partitioning — the same
+    batch-independence rule as `kmeans.assign_arrow_vec` (review r2
+    batch 4). Row-chunked at ``_ENC_CHUNK`` purely to bound the
+    (chunk, ksub, subdim) temporary; chunking cannot change any row's
+    code."""
     barr = _books_arr(books)
     m, ksub, subdim = barr.shape
+    assert ksub <= 256, "packed 8-bit sub-codes cap ksub at 256"
 
-    @pandas_udf("array<int>")
+    @pandas_udf("long")
     def enc(nx: pd.Series) -> pd.Series:
         if len(nx) == 0:
-            return pd.Series([], dtype=object)
+            return pd.Series([], dtype=np.int64)
         X = np.stack(nx.to_numpy())            # (n, dim) float64
         n = X.shape[0]
-        codes = np.empty((n, m), dtype=np.int32)
-        d2 = np.empty((n, ksub), dtype=np.float64)
-        for mm in range(m):
-            sub = X[:, mm * subdim:(mm + 1) * subdim]
-            for j in range(ksub):
-                d2[:, j] = ((sub - barr[mm][j]) ** 2).sum(axis=1)
-            codes[:, mm] = np.argmin(d2, axis=1)
-        return pd.Series(list(codes))
+        packed = np.zeros(n, dtype=np.uint64)
+        for lo in range(0, n, _ENC_CHUNK):
+            sub = X[lo:lo + _ENC_CHUNK].reshape(-1, m, subdim)
+            for mm in range(m):
+                d2 = ((sub[:, mm, None, :] - barr[mm][None, :, :]) ** 2
+                      ).sum(axis=2)            # (chunk, ksub)
+                codes = np.argmin(d2, axis=1).astype(np.uint64)
+                packed[lo:lo + _ENC_CHUNK] |= codes << np.uint64(8 * mm)
+        return pd.Series(packed.view(np.int64))
 
     return enc
 
 
 def _adc_udf(books: list[list[tuple]]):
-    """(query nx array<double>, candidate codes array<int>) -> ADC
-    squared-L2 double, one gather + one einsum per Arrow batch."""
+    """(query nx array<double>, candidate packed BIGINT code) -> ADC
+    squared-L2 double, one unpack + one gather per Arrow batch."""
     barr = _books_arr(books)
     m, ksub, subdim = barr.shape
 
@@ -120,7 +158,7 @@ def _adc_udf(books: list[list[tuple]]):
         if len(nx) == 0:
             return pd.Series([], dtype=np.float64)
         Q = np.stack(nx.to_numpy()).reshape(-1, m, subdim)
-        C = np.stack(code.to_numpy()).astype(np.int64)     # (n, M)
+        C = _unpack_np(code, m)                            # (n, M)
         rec = barr[np.arange(m)[None, :], C]               # (n, M, subdim)
         d = ((Q - rec) ** 2).sum(axis=(1, 2))
         return pd.Series(d)
@@ -131,12 +169,12 @@ def _adc_udf(books: list[list[tuple]]):
 def adc_distance(books: list[list[tuple]], nx_col: str,
                  code_col: str) -> "F.Column":
     """ADC column: exact (normalized) query side vs quantized candidate
-    side; the codebook rides the task closure (kB-sized), never a join
-    side."""
+    side; the codebook rides the task closure (~128 kB at
+    M=8/ksub=256/dim=64), never a join side."""
     return _adc_udf(books)(F.col(nx_col), F.col(code_col))
 
 
-def train_pq(emb_df: DataFrame, *, dim: int, m: int = 8, ksub: int = 16,
+def train_pq(emb_df: DataFrame, *, dim: int, m: int = 8, ksub: int = 256,
              iters: int = 3, seed: int = 177, id_col: str = "vec_id",
              emb_col: str = "embedding",
              train_frac: int = 1) -> list[list[tuple]]:
@@ -144,11 +182,12 @@ def train_pq(emb_df: DataFrame, *, dim: int, m: int = 8, ksub: int = 16,
     ``books[m] = [(code, [subdim floats]), ...]`` (ksub entries each).
 
     One cached normalized (sampled) training set; per iteration one
-    Arrow encode pass assigns ALL M codes, then M tiny groupBy(code)
+    Arrow encode pass assigns ALL M codes, then M tiny groupBy(byte)
     updates (ksub groups, subdim decimal sums each) — driver traffic is
     M x ksub rows per iteration, never the data.
     """
     assert dim % m == 0, (dim, m)
+    assert ksub <= 256, "packed 8-bit sub-codes cap ksub at 256"
     subdim = dim // m
     ne = emb_df.select(id_col, _norm_vec_col(emb_col, dim).alias("nx"))
     if train_frac > 1:
@@ -156,10 +195,19 @@ def train_pq(emb_df: DataFrame, *, dim: int, m: int = 8, ksub: int = 16,
     ne = ne.cache()
 
     # seed pick per subspace: the ksub rows with smallest (hash, id),
-    # one window over the sample — same discipline as kmeans.lloyd
+    # one window over the sample — same discipline as kmeans.lloyd.
+    # NOTE: the unpartitioned Window relies on Spark 4's
+    # WindowGroupLimit rewrite to prune map-side to top-ksub; on an
+    # engine without that optimization this would be a single-task
+    # global sort of the TRAINING SAMPLE (bounded by train_frac), not
+    # of the data (round-2 verdict note).
     wseed = Window.orderBy(seed_hash_col(id_col, seed), F.col(id_col))
     seed_rows = (ne.withColumn("rn", F.row_number().over(wseed))
                  .filter(F.col("rn") <= ksub).orderBy("rn").collect())
+    if len(seed_rows) < ksub:
+        raise ValueError(
+            f"PQ training sample has {len(seed_rows)} rows < ksub={ksub}; "
+            f"lower ksub or train_frac")
     books = [[(c, [float(r["nx"][mm * subdim + i]) for i in range(subdim)])
               for c, r in enumerate(seed_rows)] for mm in range(m)]
 
@@ -171,7 +219,7 @@ def train_pq(emb_df: DataFrame, *, dim: int, m: int = 8, ksub: int = 16,
             sums = [F.sum(F.col("nx")[mm * subdim + i]
                           .cast("decimal(28,6)")).cast("double")
                     .alias(f"s{i}") for i in range(subdim)]
-            rows = (asg.groupBy(F.col("pq_code")[mm].alias("c"))
+            rows = (asg.groupBy(code_byte_col("pq_code", mm).alias("c"))
                     .agg(F.count(F.lit(1)).alias("n"), *sums).collect())
             got = {int(r["c"]): [r[f"s{i}"] / r["n"] for i in range(subdim)]
                    for r in rows}
@@ -186,17 +234,28 @@ def train_pq(emb_df: DataFrame, *, dim: int, m: int = 8, ksub: int = 16,
 def encode_pq(emb_df: DataFrame, books: list[list[tuple]], *, dim: int,
               id_col: str = "vec_id",
               emb_col: str = "embedding") -> DataFrame:
-    """(id, pq_code array<int>) — one Arrow pass, no join, no shuffle."""
+    """(id, pq_code BIGINT — M packed 8-bit sub-codes) — one Arrow pass,
+    no join, no shuffle; the shipped index row really is 8 B of code."""
     ne = emb_df.select(id_col, _norm_vec_col(emb_col, dim).alias("nx"))
     return ne.select(id_col,
                      _encode_udf(books)(F.col("nx")).alias("pq_code"))
 
 
-def _normalized_cached(emb_df: DataFrame, dim: int, id_col: str,
-                       emb_col: str) -> DataFrame:
+def normalized_frame(emb_df: DataFrame, dim: int,
+                     id_col: str = "vec_id",
+                     emb_col: str = "embedding") -> DataFrame:
+    """(id, emb, nrm) cached — the one scan assignment, probes and both
+    re-rank sides share. Returned as an explicit handle so callers
+    running many searches can ``.unpersist()`` it between batches
+    instead of relying on ``spark.catalog.clearCache()`` (round-2
+    verdict item: session-lifetime cache accumulation)."""
     from ..functions import SPARK_BASE, norm_sql
     nrm = norm_sql(emb_col, dim, SPARK_BASE)
     return emb_df.selectExpr(id_col, emb_col, f"{nrm} AS nrm").cache()
+
+
+# back-compat alias (pre-round-3 private name)
+_normalized_cached = normalized_frame
 
 
 def ivfpq_shortlist(emb_df: DataFrame, cents: list[tuple],
@@ -213,7 +272,7 @@ def ivfpq_shortlist(emb_df: DataFrame, cents: list[tuple],
     so the analytic product overstates contact — review r2 batch 4).
     """
     if ne is None:
-        ne = _normalized_cached(emb_df, dim, id_col, emb_col)
+        ne = normalized_frame(emb_df, dim, id_col, emb_col)
 
     cells = assign_arrow_vec(ne, cents, emb_col, dim, norm_col="nrm") \
         .select(F.col(id_col).alias("neighbor_id"), "cid")
@@ -223,7 +282,7 @@ def ivfpq_shortlist(emb_df: DataFrame, cents: list[tuple],
     codes = encode_pq(ne, books, dim=dim, id_col=id_col,
                       emb_col=emb_col) \
         .select(F.col(id_col).alias("neighbor_id"), "pq_code")
-    # the compressed index: (neighbor_id, cid, M-byte code) — this is
+    # the compressed index: (neighbor_id, cid, 8-byte code) — this is
     # the ONLY relation the candidate join ships at scale
     index = cells.join(codes, "neighbor_id")
 
@@ -247,16 +306,18 @@ def ivfpq_search(emb_df: DataFrame, cents: list[tuple],
                  books: list[list[tuple]], *, dim: int, nprobe: int = 4,
                  topk: int = 10, refine: int = 30, query_mod: int = 25,
                  id_col: str = "vec_id",
-                 emb_col: str = "embedding") -> DataFrame:
+                 emb_col: str = "embedding",
+                 ne: DataFrame | None = None) -> DataFrame:
     """IVF-PQ + refine: candidates scored from codes (ADC), exact cosine
     only for the top-``refine`` per query. Same output contract as
     `ann.ivf_trained`: (query_id, ann_rank, neighbor_id, cosine).
 
-    The normalized base frame is cached for the session (assignment,
-    probes, and both re-rank sides share the one scan); callers running
-    many searches in one session can reclaim it with
-    ``spark.catalog.clearCache()`` between batches."""
-    ne = _normalized_cached(emb_df, dim, id_col, emb_col)
+    Pass ``ne=normalized_frame(...)`` to share/own the cached base
+    frame across repeated searches (and ``ne.unpersist()`` after);
+    without it one is built per call and lives until the session's
+    cache is cleared."""
+    if ne is None:
+        ne = normalized_frame(emb_df, dim, id_col, emb_col)
     shortlist = ivfpq_shortlist(emb_df, cents, books, dim=dim,
                                 nprobe=nprobe, refine=refine,
                                 query_mod=query_mod, id_col=id_col,

@@ -63,9 +63,16 @@ _KNUTH = 2654435761
 
 
 def _h(expr: str, seed: int, mod) -> str:
-    """Portable seeded hash -> [0, mod). ``mod`` may be an int or SQL text."""
-    return (f"(((({expr}) * {_KNUTH} + {seed}) % ({mod}) + ({mod})) "
-            f"% ({mod}))")
+    """Portable seeded hash -> [0, mod). ``mod`` may be an int or SQL text.
+
+    The input is reduced mod ``mod`` BEFORE the Knuth multiply:
+    ``((x % m) * K + s) % m == ((x * K + s) % m)`` exactly, but the
+    pre-reduced form cannot overflow int64 for inputs above ~3.5e9
+    (e.g. md5-derived int48 keys) where the raw product silently wraps
+    in non-ANSI Spark and throws under ANSI — the same double-mod
+    discipline as operators/bloom.py (r2 advice)."""
+    return (f"((((({expr}) % ({mod})) * {_KNUTH} + {seed}) % ({mod}) "
+            f"+ ({mod})) % ({mod}))")
 
 
 # ---------------------------------------------------------------------------

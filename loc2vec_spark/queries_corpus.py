@@ -330,7 +330,12 @@ def weighted_mix(df, weights: dict, *, source_col: str = "source",
         c = c.withColumn("__w", F.lit(1).cast("long"))
     n_min = c.agg(F.min("__n")).first()[0]
     big_w = max(list(weights.values()) + [1]) if weights else 1
-    h = ((F.col(id_col) * F.lit(2654435761) + F.lit(seed)) % m + m) % m
+    # id reduced mod m BEFORE the Knuth multiply: identical value to
+    # the single-mod form, but ids above ~3.5e9 (md5-derived int48
+    # keys) can't overflow the int64 product (r2 advice; matches the
+    # mix_sources oracle's _h text)
+    h = (((F.col(id_col) % m) * F.lit(2654435761) + F.lit(seed)) % m
+         + m) % m
     return df.join(F.broadcast(c), source_col) \
              .filter(h * big_w * F.col("__n")
                      < F.col("__w") * F.lit(int(n_min)) * m) \

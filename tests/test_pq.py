@@ -7,7 +7,8 @@ import pytest
 
 from loc2vec_spark.operators.ann import train_codebook
 from loc2vec_spark.operators.pq import (adc_distance, encode_pq,
-                                        ivfpq_search, train_pq)
+                                        ivfpq_search, train_pq,
+                                        unpack_codes)
 
 # synthetic views, so the dim is free to choose: 32 halves every
 # literal-codebook codegen expression vs the driver tables' 64 (compile
@@ -52,10 +53,14 @@ def trained(spark):
 
 
 def test_codes_shape_and_range(spark, trained):
+    """pq_code is ONE BIGINT (the physical 8-byte claim lives in the
+    schema) whose M unpacked 8-bit sub-codes are all in [0, KSUB)."""
     X, emb, books, _ = trained
     assert len(books) == M and all(len(b) == KSUB for b in books)
-    codes = {r["vec_id"]: r["pq_code"]
-             for r in encode_pq(emb, books, dim=DIM).collect()}
+    cdf = encode_pq(emb, books, dim=DIM)
+    assert dict(cdf.dtypes)["pq_code"] == "bigint"
+    codes = {r["vec_id"]: unpack_codes(r["pq_code"], M)
+             for r in cdf.collect()}
     assert len(codes) == len(X)
     for c in codes.values():
         assert len(c) == M
@@ -67,7 +72,7 @@ def test_quantization_distortion_beats_random_codes(spark, trained):
     code assignment — i.e. the Lloyd loop actually learned subspace
     structure (FAISS's sanity check for a PQ training run)."""
     X, emb, books, _ = trained
-    codes = {r["vec_id"]: r["pq_code"]
+    codes = {r["vec_id"]: unpack_codes(r["pq_code"], M)
              for r in encode_pq(emb, books, dim=DIM).collect()}
     Xn = (X.astype(np.float64)
           / np.linalg.norm(X.astype(np.float64), axis=1, keepdims=True))
@@ -182,3 +187,52 @@ def test_adc_approximates_exact_distance(spark, trained):
         d[qid] = np.inf
         exact_top = set(np.argsort(d)[:15].tolist())
         assert len(adc_top & exact_top) >= 8, (qid, adc_top, exact_top)
+
+
+def test_packed_byte_extraction_parity(spark, trained):
+    """JVM-side code_byte_col (the Lloyd-update grouping key) must agree
+    with the numpy unpack for every subspace — including codes whose top
+    byte sets the int64 sign bit."""
+    from pyspark.sql import functions as F
+
+    from loc2vec_spark.operators.pq import code_byte_col
+    _, emb, books, _ = trained
+    cdf = encode_pq(emb, books, dim=DIM).select(
+        "vec_id", "pq_code",
+        *[code_byte_col("pq_code", mm).alias(f"b{mm}") for mm in range(M)])
+    for r in cdf.collect():
+        assert [r[f"b{mm}"] for mm in range(M)] \
+            == unpack_codes(r["pq_code"], M), r
+    # synthetic sign-bit case: all-0xFF code
+    assert unpack_codes(-1, M) == [255] * M
+    neg = spark.range(1).select(
+        *[code_byte_col(F.lit(-1).cast("long"), mm).alias(f"b{mm}")
+          for mm in range(M)]).collect()[0]
+    assert [neg[f"b{mm}"] for mm in range(M)] == [255] * M
+
+
+def test_ksub256_recall_beats_ksub16(spark):
+    """The round-3 fidelity upgrade measured at module scale: with
+    8-bit codebooks the ADC shortlist recovers (weakly) more of the
+    exact top-10 than the old 4-bit books on the same data, and at
+    least 0.85 of it absolutely."""
+    X = _clustered(30, 20, noise=0.15, seed=11)   # 600 rows
+    emb = _as_view(spark, X)
+    cents = train_codebook(emb, dim=DIM, k_cells=8, iters=2)
+    qidx = [i for i in range(len(X)) if i % 25 == 0]
+    exact = _exact_top10(X.astype(np.float64), qidx)
+
+    def recall(ksub):
+        books = train_pq(emb, dim=DIM, m=M, ksub=ksub, iters=2)
+        out = ivfpq_search(emb, cents, books, dim=DIM, nprobe=4,
+                           refine=30)
+        got = {}
+        for r in out.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return (sum(len(exact[q] & got.get(q, set())) for q in qidx)
+                / (10 * len(qidx)))
+
+    r256 = recall(256)
+    r16 = recall(16)
+    assert r256 >= r16, (r256, r16)
+    assert r256 >= 0.85, r256

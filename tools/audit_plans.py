@@ -430,18 +430,23 @@ def main() -> None:
     ])
 
     from loc2vec_spark.operators.ann import train_codebook
-    from loc2vec_spark.operators.pq import ivfpq_search, train_pq
+    from loc2vec_spark.operators.pq import (encode_pq, ivfpq_search,
+                                            train_pq)
     emb_pq = spark.read.parquet(f"{SF}/embeddings.parquet")
     cents_pq = train_codebook(emb_pq, dim=64, k_cells=8, iters=1)
-    books_pq = train_pq(emb_pq, dim=64, m=8, ksub=16, iters=1)
+    books_pq = train_pq(emb_pq, dim=64, m=8, ksub=256, iters=1)
     pq_df = ivfpq_search(emb_pq, cents_pq, books_pq, dim=64, nprobe=2,
                          refine=20)
     ppq = plan_of(pq_df)
     spq = summarize(ppq)
+    code_type = dict(encode_pq(emb_pq, books_pq, dim=64).dtypes)["pq_code"]
     audit("ivfpq_search (IVF-PQ + refine)", pq_df, [
         ("candidates ride the (cid) hash equi-join of the compressed "
          "codes index — no cartesian", spq["bnlj"] == 0
          and "CartesianProduct" not in ppq),
+        ("the shipped code column is physically ONE BIGINT (M=8 packed "
+         "8-bit sub-codes = 8 B/row, the 32x-below-floats claim in the "
+         "schema itself)", code_type == "bigint"),
         ("every per-vector kernel is Arrow (assign/encode/ADC/dot) — "
          "no row-at-a-time Python", ppq.count("BatchEvalPython") == 0
          and ppq.count("ArrowEvalPython") >= 4),

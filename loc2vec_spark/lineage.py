@@ -129,6 +129,32 @@ def write_partitioned(df: DataFrame, out_dir: str, *, cell_col: str,
             if r.get("run_id") == run_id}
 
 
+def _leaf_partitions(out_dir: str, cell_col: str):
+    """Yield (keys, leaf_dir) per physical partition leaf: keys is
+    (cell,) for flat layouts and (cell, salt) under hot-cell salting
+    (``write_partitioned(salt_target=...)`` layouts). Hive default
+    (NULL-key) dirs are skipped at both levels — they are quarantine
+    rows the writer rewrites every resume, not int partitions."""
+    hive_null = "__HIVE_DEFAULT_PARTITION__"
+    for entry in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, entry)
+        if not entry.startswith(f"{cell_col}=") or not os.path.isdir(d):
+            continue
+        if entry.endswith(hive_null):
+            continue
+        cell = int(entry.split("=", 1)[1])
+        salts = [e for e in sorted(os.listdir(d))
+                 if e.startswith("salt=")
+                 and os.path.isdir(os.path.join(d, e))]
+        if salts:
+            for s in salts:
+                if s.endswith(hive_null):
+                    continue
+                yield (cell, int(s.split("=", 1)[1])), os.path.join(d, s)
+        else:
+            yield (cell,), d
+
+
 def compact_partitions(spark: SparkSession, out_dir: str, *,
                        cell_col: str,
                        target_bytes: int = 128 * 1024 * 1024) -> dict:
@@ -139,64 +165,69 @@ def compact_partitions(spark: SparkSession, out_dir: str, *,
     at 10^5 partitions x 10^2 runs that is the small-files bomb that
     slows every later scan (footer opens dominate). Driver-side fs
     listing plays the role a table format's metadata would; each listed
-    partition is compacted when its file count exceeds
-    ``ceil(bytes / target_bytes)``. The rewrite repartitions rows into
-    per-partition hash slots so every compacted partition lands in at
-    most that many files, and commits via dynamic partition overwrite —
-    untouched partitions keep their files byte-identical, content and
-    lineage manifests (row counts, order-insensitive checksums) are
-    unchanged by construction, so ``done_partitions``/``resume_filter``
-    semantics survive compaction.
+    leaf partition — ``cell=`` for flat layouts, ``cell=/salt=`` for
+    hot-cell-salted ones (the engine's own ``salted`` writer makes
+    those common at scale — r2 verdict item 3) — is compacted when its
+    file count exceeds ``ceil(bytes / target_bytes)``. The rewrite
+    repartitions rows into per-leaf hash slots so every compacted leaf
+    lands in at most that many files, and commits via dynamic partition
+    overwrite — untouched leaves keep their files byte-identical,
+    content and lineage manifests (row counts, order-insensitive
+    checksums, keyed per CELL even when salted) are unchanged by
+    construction, so ``done_partitions``/``resume_filter`` semantics
+    survive compaction.
     """
-    plan: dict[str, int] = {}
+    plan: dict[tuple, int] = {}
     before = after = 0
-    for entry in sorted(os.listdir(out_dir)):
-        d = os.path.join(out_dir, entry)
-        if not entry.startswith(f"{cell_col}=") or not os.path.isdir(d):
-            continue
-        if entry.endswith("__HIVE_DEFAULT_PARTITION__"):
-            # NULL-cell quarantine rows: the writer itself creates this
-            # dir and rewrites it every resume — not an int partition,
-            # not compactable here (int() on it aborted the whole run)
-            continue
-        if any(e.startswith("salt=") for e in os.listdir(d)):
-            raise NotImplementedError(
-                "compact_partitions handles cell-partitioned layouts; "
-                "salted layouts compact per (cell, salt) — flatten the "
-                "salt first or extend the listing")
+    salted_layout = False
+    for keys, d in _leaf_partitions(out_dir, cell_col):
+        salted_layout = salted_layout or len(keys) == 2
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         size = sum(os.path.getsize(os.path.join(d, f)) for f in files)
         want = max(1, math.ceil(size / target_bytes))
         before += len(files)
         if len(files) > want:
-            plan[entry.split("=", 1)[1]] = want
+            plan[keys] = want
         else:
             after += len(files)
 
     if not plan:
         return {"partitions_compacted": 0, "files_before": before,
                 "files_after": before}
+    if salted_layout and any(len(k) != 2 for k in plan):
+        # a half-salted tree means two writers disagreed about layout;
+        # rewriting through ONE partitionBy would silently restructure
+        # the flat cells — refuse loudly instead
+        raise ValueError(
+            f"mixed flat/salted partition layout under {out_dir}; "
+            f"compact the two layouts separately")
 
-    slots = spark.createDataFrame([(int(c), k) for c, k in plan.items()],
-                                  f"{cell_col} BIGINT, _nslots INT")
+    key_cols = [cell_col, "salt"] if salted_layout else [cell_col]
+    schema = (f"{cell_col} BIGINT, salt INT, _nslots INT"
+              if salted_layout else f"{cell_col} BIGINT, _nslots INT")
+    slots = spark.createDataFrame([(*k, v) for k, v in plan.items()],
+                                  schema)
     table = spark.read.parquet(out_dir)
-    todo = table.join(F.broadcast(slots), cell_col)
-    data_cols = [c for c in table.columns if c != cell_col]
+    todo = table.join(F.broadcast(slots), key_cols)
+    data_cols = [c for c in table.columns if c not in key_cols]
     slot = F.pmod(F.xxhash64(*data_cols), F.col("_nslots"))
     packed = todo.withColumn("_slot", slot) \
-                 .repartition(max(32, 2 * len(plan)), cell_col, "_slot") \
+                 .repartition(max(32, 2 * len(plan)),
+                              *key_cols, "_slot") \
                  .drop("_nslots", "_slot")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                           "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        packed.write.partitionBy(cell_col).mode("overwrite") \
+        packed.write.partitionBy(*key_cols).mode("overwrite") \
               .parquet(out_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    for c in plan:
-        d = os.path.join(out_dir, f"{cell_col}={c}")
+    for k in plan:
+        d = os.path.join(out_dir, f"{cell_col}={k[0]}")
+        if salted_layout:
+            d = os.path.join(d, f"salt={k[1]}")
         after += sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
     return {"partitions_compacted": len(plan), "files_before": before,
             "files_after": after}

@@ -16,7 +16,10 @@ Python exactly once per stage via Arrow-batched ``mapInPandas``:
 - :func:`resize_images` — nearest-neighbor resize, re-encoded PNG,
 - audio/video decode (:func:`decode_av`): real codec-free paths for
   WAV (``operators/audio.py``) and YUV4MPEG2 (``operators/video.py``);
-  compressed codecs stay stubbed — the sandbox has none.
+  baseline JPEG decodes for real too (``operators/jpeg.py``, pure
+  numpy Huffman+IDCT) via :func:`decode_image`'s magic sniff; the
+  remaining compressed a/v codecs (mp3/aac/h264) stay stubbed — the
+  sandbox has none.
 
 Corrupt rows never abort the job: failed decodes emit NULL stats and are
 quarantined by filter (dead-letter semantics, SURVEY.md §2.8).
@@ -31,6 +34,21 @@ import pandas as pd
 from pyspark.sql import DataFrame, types as T
 
 from ..png_codec import decode_png, encode_png
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Magic-sniffing image decode: PNG (`png_codec`) or baseline JPEG
+    (`operators/jpeg.py`) -> uint8 (H, W) | (H, W, 3). The reference
+    accepts both through torchvision's read_image
+    (/root/reference/src/loc2vec/data_loading.py:124); every image
+    operator below routes through this, so JPEG tiles flow the whole
+    pipeline (stats, quality, phash, augmentation). Unknown magic
+    raises -> the caller's quarantine path."""
+    if data[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(data)
+    return decode_png(data)
+
 
 DECODE_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
@@ -53,7 +71,7 @@ def decode_stats(images: DataFrame) -> DataFrame:
             out = []
             for iid, data in zip(pdf["image_id"], pdf["bytes"]):
                 try:
-                    arr = decode_png(bytes(data))
+                    arr = decode_image(bytes(data))
                     out.append((iid, True, arr.shape[0], arr.shape[1],
                                 round(float(arr.mean()), 6),
                                 round(float(arr.std()), 6)))
@@ -89,7 +107,7 @@ def image_features(images: DataFrame) -> DataFrame:
             ids, vecs = [], []
             for iid, data in zip(pdf["image_id"], pdf["bytes"]):
                 try:
-                    arr = decode_png(bytes(data)).astype(np.float32)
+                    arr = decode_image(bytes(data)).astype(np.float32)
                 except Exception:
                     continue  # quarantined
                 if arr.ndim == 2:
@@ -126,7 +144,7 @@ def resize_images(images: DataFrame, *, out_px: int = 32) -> DataFrame:
             out = []
             for iid, data in zip(pdf["image_id"], pdf["bytes"]):
                 try:
-                    arr = decode_png(bytes(data))
+                    arr = decode_image(bytes(data))
                 except Exception:
                     continue
                 hh, ww = arr.shape[0], arr.shape[1]
@@ -193,7 +211,7 @@ def phash_images(images: DataFrame) -> DataFrame:
             out = []
             for iid, data in zip(pdf["image_id"], pdf["bytes"]):
                 try:
-                    h = _ahash64(decode_png(bytes(data)))
+                    h = _ahash64(decode_image(bytes(data)))
                 except Exception:
                     continue  # quarantined
                 signed = h - (1 << 64) if h >= (1 << 63) else h
@@ -266,7 +284,7 @@ def image_quality(images: DataFrame) -> DataFrame:
             out = []
             for iid, data in zip(pdf["image_id"], pdf["bytes"]):
                 try:
-                    arr = decode_png(bytes(data))
+                    arr = decode_image(bytes(data))
                     # degenerate tiles (< 3x3) have empty Laplacian/
                     # Sobel slices -> NaN sharpness that would pass the
                     # ok gate yet fail every threshold filter; such
@@ -330,7 +348,7 @@ def augment_images(images: DataFrame, *, seed: int = 42,
             out = []
             for iid, data in zip(pdf["image_id"], pdf["bytes"]):
                 try:
-                    arr = decode_png(bytes(data))
+                    arr = decode_image(bytes(data))
                 except Exception:
                     continue
                 for c in range(copies):
@@ -373,10 +391,13 @@ def decode_av(images: DataFrame, *, kind: str) -> DataFrame:
     YUV4MPEG2 parses with pure numpy
     (:mod:`loc2vec_spark.operators.video`): decode, stats, features,
     frame sampling, quarantine-on-error, all through the same
-    one-Arrow-crossing template as :func:`decode_stats`. Compressed
-    codecs (mp3/aac/h264/mp4) remain honest stubs: those libraries
-    aren't in this container; plugging one in is a one-function swap
-    behind the same operator surface.
+    one-Arrow-crossing template as :func:`decode_stats`. Baseline JPEG
+    images decode for real as well (:mod:`.jpeg`, via
+    :func:`decode_image` — kind="image" is NOT stubbed; it is the
+    default image path). The remaining compressed a/v codecs
+    (mp3/aac/h264/mp4) are honest stubs: those libraries aren't in
+    this container; plugging one in is a one-function swap behind the
+    same operator surface.
     """
     if kind == "audio":
         from .audio import audio_stats

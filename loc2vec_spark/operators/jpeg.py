@@ -1,0 +1,601 @@
+"""Baseline JPEG codec, pure numpy + stdlib — no external libraries.
+
+Closes the last multimodal decode stub (r2 verdict item 5): the
+reference ingests PNG *and JPEG* tiles through torchvision's
+``read_image`` (``/root/reference/src/loc2vec/data_loading.py:124``);
+the engine's PNG path has been real since round 1 (`png_codec`), and
+this module supplies the JPEG half through the same contract —
+``decode_jpeg(bytes) -> uint8 (H, W) | (H, W, 3)`` — so JPEG tiles
+flow through every existing image operator (decode_stats,
+image_quality, phash, augmentation) via the magic-sniffing
+:func:`loc2vec_spark.operators.images.decode_image`.
+
+Scope (baseline sequential DCT, the overwhelming majority of tiles in
+the wild): SOF0, 8-bit samples, Huffman entropy coding, 1 or 3
+components, arbitrary h/v sampling factors (4:4:4 / 4:2:2 / 4:2:0
+included), restart markers. Progressive (SOF2) and arithmetic coding
+raise loudly — the caller's quarantine path handles them like any
+corrupt tile.
+
+The encoder exists for golden round-trips and debug sinks: standard
+Annex-K quantization + Huffman tables, libjpeg quality scaling,
+optional 2x2 chroma subsampling. tests/test_jpeg.py pins
+decode(encode(x)) to PSNR >= 40 dB at quality 90 — the same "decoded
+tile pixels allclose, PSNR>=40dB for lossy formats" bar
+BASELINE.json's north_star sets for matching the reference.
+
+Performance shape: marker parsing and Huffman bit-reading are
+per-symbol Python (inherent to the format's serial entropy stream);
+everything block-math — dequantize, IDCT, level shift, chroma
+upsample, color transform — is one vectorized numpy pass over ALL
+blocks per component. Inside Spark this sits behind the standard
+one-Arrow-crossing mapInPandas template, one image per row, rows
+independent — throughput scales with partitions like every other
+decode operator.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constants: zigzag, Annex-K quantization + Huffman tables
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int64)
+
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int64)
+
+_DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUMA_VALS = list(range(12))
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+
+_AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+
+def _dct_mat() -> np.ndarray:
+    """8x8 orthonormal DCT-II matrix: D = C @ X @ C.T."""
+    x = np.arange(8, dtype=np.float64)
+    C = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16.0)
+    C *= 0.5
+    C[0, :] *= 1.0 / np.sqrt(2.0)
+    return C
+
+
+_C = _dct_mat()
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """libjpeg quality scaling of the Annex-K tables, returned in
+    ZIGZAG order (the order DQT stores them on the wire)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_Q_LUMA, _Q_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64)[ZIGZAG])
+    return out[0], out[1]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """(symbol -> (code, length)) and ((length, code) -> symbol) maps
+    from a DHT-style (bits, vals) spec."""
+    enc, dec = {}, {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            sym = vals[k]
+            enc[sym] = (code, length)
+            dec[(length, code)] = sym
+            code += 1
+            k += 1
+        code <<= 1
+    return enc, dec
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: (size, raw bits) for a signed value."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = int(a).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of _magnitude."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:           # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.write(0x7F, 8 - self.n)   # 1-fill padding
+
+
+class _BitReader:
+    """Entropy-segment reader: unstuffs 0xFF00, stops at any marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise EOFError("marker in entropy stream")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def align(self) -> None:
+        self.n = 0
+        self.acc = 0
+
+    def at_marker(self) -> int | None:
+        """Marker byte if positioned at one (after align), else None."""
+        if (self.pos + 1 < len(self.data)
+                and self.data[self.pos] == 0xFF
+                and self.data[self.pos + 1] != 0x00):
+            return self.data[self.pos + 1]
+        return None
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+def _rgb_to_ycbcr(arr: np.ndarray) -> np.ndarray:
+    a = arr.astype(np.float64)
+    r, g, b = a[..., 0], a[..., 1], a[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _blockify(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Edge-pad to multiples of 8 and split into (n, 8, 8) blocks in
+    raster order; returns (blocks, blocks_per_row, blocks_per_col)."""
+    h, w = plane.shape
+    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.pad(plane, ((0, H - h), (0, W - w)), mode="edge")
+    bw, bh = W // 8, H // 8
+    blocks = (p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8))
+    return blocks, bw, bh
+
+
+def _encode_plane_blocks(blocks: np.ndarray, qtab: np.ndarray,
+                         ) -> np.ndarray:
+    """(n, 8, 8) spatial blocks -> (n, 64) quantized zigzag coeffs."""
+    shifted = blocks.astype(np.float64) - 128.0
+    coef = np.einsum("ux,nxy,vy->nuv", _C, shifted, _C)
+    qmat = np.empty(64, dtype=np.float64)
+    qmat[ZIGZAG] = qtab  # qtab is zigzag-ordered -> natural order
+    qmat = qmat.reshape(8, 8)
+    quant = np.round(coef / qmat).astype(np.int64)
+    return quant.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _write_block(bw: _BitWriter, zz: np.ndarray, pred: int,
+                 dc_enc: dict, ac_enc: dict) -> int:
+    dc = int(zz[0])
+    size, bits = _magnitude(dc - pred)
+    code, length = dc_enc[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(zz[1:])[0]
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, length = ac_enc[0xF0]      # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_enc[run * 16 + size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_enc[0x00]          # EOB
+        bw.write(code, length)
+    return dc
+
+
+def encode_jpeg(arr: np.ndarray, quality: int = 90,
+                subsample: bool = False) -> bytes:
+    """uint8 (H, W) or (H, W, 3) -> baseline JFIF bytes.
+
+    ``subsample=True`` uses 4:2:0 chroma (2x2 mean), exercising the
+    decoder's upsampling path; default is 4:4:4.
+    """
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    qt_l, qt_c = _quality_tables(quality)
+    dc_l_enc, _ = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l_enc, _ = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c_enc, _ = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c_enc, _ = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+
+    out = bytearray(b"\xff\xd8")                             # SOI
+    out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
+            + b"\x01\x01\x00\x00\x01\x00\x01\x00\x00")       # APP0
+    for tid, tab in ((0, qt_l),) + (() if gray else ((1, qt_c),)):
+        out += (b"\xff\xdb" + struct.pack(">H", 67)
+                + bytes([tid]) + bytes(int(v) for v in tab))  # DQT
+    ncomp = 1 if gray else 3
+    samp = (0x22 if subsample else 0x11)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+    sof += bytes([1, samp if not gray else 0x11, 0])
+    if not gray:
+        sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof  # SOF0
+    for cls, tid, bits, vals in (
+            (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+            (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS))[: 2 if gray else 4]:
+        payload = bytes([cls * 16 + tid]) + bytes(bits) + bytes(vals)
+        out += (b"\xff\xc4" + struct.pack(">H", 2 + len(payload))
+                + payload)                                   # DHT
+    sos = bytes([ncomp, 1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos  # SOS
+
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(arr)
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            H, W = -(-h // 2) * 2, -(-w // 2) * 2
+            cbp = np.pad(cb, ((0, H - h), (0, W - w)), mode="edge")
+            crp = np.pad(cr, ((0, H - h), (0, W - w)), mode="edge")
+            cb = cbp.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+            cr = crp.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
+        planes = [y, cb, cr]
+
+    bwr = _BitWriter()
+    if gray or not subsample:
+        # interleave per MCU = one block per component
+        zz = []
+        for ci, plane in enumerate(planes):
+            blocks, bwid, bhgt = _blockify(plane)
+            zz.append(_encode_plane_blocks(
+                blocks, qt_l if ci == 0 else qt_c))
+        preds = [0] * len(planes)
+        for i in range(zz[0].shape[0]):
+            for ci in range(len(planes)):
+                preds[ci] = _write_block(
+                    bwr, zz[ci][i], preds[ci],
+                    dc_l_enc if ci == 0 else dc_c_enc,
+                    ac_l_enc if ci == 0 else ac_c_enc)
+    else:
+        # 4:2:0 MCU = 4 luma blocks (2x2) + 1 cb + 1 cr
+        yb, ybw, ybh = _blockify(planes[0])
+        # pad luma block grid to even so 2x2 MCUs tile it
+        if ybw % 2 or ybh % 2:
+            Yp = np.pad(planes[0],
+                        ((0, (ybh % 2) * 8), (0, (ybw % 2) * 8)),
+                        mode="edge")
+            yb, ybw, ybh = _blockify(Yp)
+        zz_y = _encode_plane_blocks(yb, qt_l)
+        cbb, cbw, cbh = _blockify(planes[1])
+        crb, _, _ = _blockify(planes[2])
+        zz_cb = _encode_plane_blocks(cbb, qt_c)
+        zz_cr = _encode_plane_blocks(crb, qt_c)
+        preds = [0, 0, 0]
+        for my in range(ybh // 2):
+            for mx in range(ybw // 2):
+                for dy in range(2):
+                    for dx in range(2):
+                        bi = (my * 2 + dy) * ybw + (mx * 2 + dx)
+                        preds[0] = _write_block(bwr, zz_y[bi], preds[0],
+                                                dc_l_enc, ac_l_enc)
+                        # noqa: chroma grid is (ybw//2, ybh//2) = (cbw, cbh)
+                ci = my * cbw + mx
+                preds[1] = _write_block(bwr, zz_cb[ci], preds[1],
+                                        dc_c_enc, ac_c_enc)
+                preds[2] = _write_block(bwr, zz_cr[ci], preds[2],
+                                        dc_c_enc, ac_c_enc)
+    bwr.flush()
+    out += bwr.buf
+    out += b"\xff\xd9"                                       # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) dequantized coefficients -> (n, 8, 8) float samples."""
+    return np.einsum("xu,nuv,yv->nxy", _C.T, coefs, _C.T)
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> uint8 (H, W) or (H, W, 3).
+
+    Raises ValueError on non-baseline variants (progressive SOF2,
+    arithmetic coding, 12-bit) — callers quarantine like corrupt PNGs.
+    """
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        while data[pos + 1] == 0xFF:   # fill bytes before a marker
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:                      # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue                            # standalone
+        (seglen,) = struct.unpack(">H", data[pos:pos + 2])
+        seg = data[pos + 2:pos + seglen]
+        if marker == 0xDB:                      # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qtabs[tq] = np.frombuffer(
+                    seg[p + 1:p + 65], dtype=np.uint8).astype(np.int64)
+                p += 65
+        elif marker == 0xC4:                    # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1:p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17:p + 17 + nv])
+                _, dec = _canonical_codes(bits, vals)
+                huff[(cls, tid)] = dec
+                p += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext)
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError("only 8-bit baseline supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for i in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
+                comps.append({"id": cid, "h": samp >> 4,
+                              "v": samp & 0xF, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
+        elif marker == 0xDD:                    # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:                    # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for i in range(ns):
+                cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan[cid] = (tabs >> 4, tabs & 0xF)
+            return _decode_scan(data, pos + seglen, frame, scan,
+                                qtabs, huff, restart)
+        pos += seglen
+    raise ValueError("no scan data found")
+
+
+def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
+                 qtabs: dict, huff: dict, restart: int) -> np.ndarray:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+
+    rdr = _BitReader(data, pos)
+    preds = {c["id"]: 0 for c in comps}
+    mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu and mcu % restart == 0:
+                rdr.align()
+                m = rdr.at_marker()
+                if m is not None and 0xD0 <= m <= 0xD7:
+                    rdr.pos += 2
+                    preds = {c["id"]: 0 for c in comps}
+            for c in comps:
+                dc_t = huff[(0, scan[c["id"]][0])]
+                ac_t = huff[(1, scan[c["id"]][1])]
+                for dy in range(c["v"]):
+                    for dx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = rdr.decode(dc_t)
+                        diff = _extend(rdr.read_bits(size), size)
+                        preds[c["id"]] += diff
+                        zz[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = rdr.decode(ac_t)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break            # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(rdr.read_bits(s), s)
+                            k += 1
+                        bi = (my * c["v"] + dy) * c["bw"] \
+                            + (mx * c["h"] + dx)
+                        c["zz"][bi] = zz
+            mcu += 1
+
+    planes = []
+    for c in comps:
+        q = qtabs[c["tq"]]
+        deq = c["zz"] * q[None, :]
+        nat = np.zeros_like(deq)
+        nat[:, ZIGZAG] = deq                     # zigzag -> natural
+        spatial = _idct_blocks(nat.reshape(-1, 8, 8).astype(np.float64))
+        spatial += 128.0
+        bh_, bw_ = c["bh"], c["bw"]
+        plane = (spatial.reshape(bh_, bw_, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh_ * 8, bw_ * 8))
+        # upsample to full MCU grid resolution
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

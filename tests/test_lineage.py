@@ -129,3 +129,54 @@ def test_compact_skips_hive_default_partition(spark, tmp_path):
     assert back.count() == 400  # NULL-cell rows untouched and present
     assert back.filter("cell IS NULL").count() == len(
         [i for i in range(400) if i % 7 == 0])
+
+
+def test_compact_salted_layout(spark, tmp_path):
+    """Salted layouts (the engine's own hot-cell writer) compact per
+    (cell, salt) leaf — r2 verdict item 3 closed: previously a loud
+    NotImplementedError. Content, per-CELL manifests and resume
+    semantics survive; untouched leaves keep their files."""
+    import pandas as pd
+
+    from loc2vec_spark.lineage import (compact_partitions, done_partitions,
+                                       resume_filter, write_partitioned)
+
+    out = str(tmp_path / "salted_compact")
+    # cell 0 is hot (3000 rows -> 3 salt leaves at target 1000), cells
+    # 1-2 cold (salt=0 only); 10 append runs accrete files per leaf
+    pdf = pd.DataFrame({
+        "doc_id": range(5000),
+        "cell": [0 if i % 5 < 3 else (i % 5) - 2 for i in range(5000)],
+        "payload": ["x" * 50] * 5000})
+    df = spark.createDataFrame(pdf).repartition(8)
+    write_partitioned(df, out, cell_col="cell", id_col="doc_id",
+                      salt_target=1000)
+    for _ in range(9):
+        write_partitioned(df, out, cell_col="cell", id_col="doc_id",
+                          salt_target=1000, mode="append",
+                          return_index=False)
+
+    before = spark.read.parquet(out)
+    rows_before = before.count()
+    sum_before = before.agg(F.sum("doc_id")).first()[0]
+    leaves = {k for k, _ in lineage._leaf_partitions(out, "cell")}
+    assert all(len(k) == 2 for k in leaves)  # salted layout everywhere
+    assert len({k for k in leaves if k[0] == 0}) >= 2  # hot cell split
+    done_before = done_partitions(out)
+
+    stats = compact_partitions(spark, out, cell_col="cell")
+    assert stats["partitions_compacted"] == len(leaves)
+    assert stats["files_after"] == len(leaves)  # tiny data -> 1/leaf
+    assert stats["files_before"] >= len(leaves) * 10
+
+    after = spark.read.parquet(out)
+    assert after.count() == rows_before
+    assert after.agg(F.sum("doc_id")).first()[0] == sum_before
+    # per-CELL manifest rows and resume behavior unchanged
+    assert done_partitions(out) == done_before
+    assert resume_filter(spark.createDataFrame(pdf), out,
+                         cell_col="cell").count() == 0
+    # idempotent
+    stats2 = compact_partitions(spark, out, cell_col="cell")
+    assert stats2["partitions_compacted"] == 0
+    assert stats2["files_after"] == stats2["files_before"] == len(leaves)

@@ -239,6 +239,109 @@ def bench_ann_recall(spark, sf_dir: str) -> dict:
     return out
 
 
+def bench_scale_point(spark, n_images: int, sf_dir: str) -> dict:
+    """10x scale point (r2 verdict item 6): the flagship tile + triplet
+    pipelines on a 10x fixture, and MinHash-LSH dedup on a 10x
+    documents corpus, all in THIS session — evidence that the
+    pruning/salting/bucketing story holds at 10x local scale (per-row
+    throughput should sit within ~2x of the sf0.1/400k numbers).
+
+    The 10x corpus is the original 5k documents replicated 10 ways with
+    a per-replica suffix token: replicas are NEAR-duplicates, so the
+    LSH path does the heavy-duplication work a real crawl re-ingest
+    does (bounded: <= C(10,2) intra-group pairs per original, linear in
+    corpus size — not an all-pairs blowup)."""
+    out = {}
+    n10 = 10 * n_images
+    path = ensure_fixture(n10)
+    images = spark.read.parquet(path)
+    dp = spark.sparkContext.defaultParallelism
+
+    repl = 50
+    wide = images.repartition(2 * dp).crossJoin(F.broadcast(
+        spark.range(repl).select(F.col("id").alias("_r"))))
+    pw = geo.with_cells(geo.with_latlon(wide),
+                        resolutions=(5, 7, BENCH_RES))
+    t_tile = timed_warm(pw.select("image_id", "_r", "cell_r5", "cell_r7",
+                                  f"cell_r{BENCH_RES}"), reps=1)
+    out["scale10_fixture_rows"] = n10
+    out["scale10_tile_rows_per_sec"] = round(n10 * repl / t_tile, 1)
+
+    # triplets, constant-density 10x (the honest 100-TB model: a bigger
+    # corpus is MORE geography at the same urban density, not 10x the
+    # rows inside the same three city disks): replicate the 1x fixture
+    # 10 ways with each replica's longitudes shifted 15 degrees (wrap at
+    # the antimeridian) — 30 disjoint city disks, same per-cell density
+    img1 = spark.read.parquet(ensure_fixture(n_images))
+    pts1 = geo.with_latlon(img1)
+    rep = spark.range(10).select(F.col("id").alias("_r"))
+    shifted = pts1.crossJoin(F.broadcast(rep)) \
+        .withColumn("image_id",
+                    F.concat_ws("#", "image_id",
+                                F.col("_r").cast("string"))) \
+        .withColumn("lon", ((F.col("lon") + F.col("_r") * 15.0 + 180.0)
+                            % 360.0) - 180.0) \
+        .drop("_r")
+    basec = geo.with_cells(shifted, resolutions=(BENCH_RES,),
+                           lat_col="lat", lon_col="lon") \
+        .select("image_id", "lat", "lon",
+                F.col(f"cell_r{BENCH_RES}").alias("cell")) \
+        .repartition(4 * dp).cache()
+    basec.count()
+    tripc = triplets.triplet_table_spatial(
+        basec, id_col="image_id", lat_col="lat", lon_col="lon",
+        cell_col="cell", res=BENCH_RES, n_neg=5, cap=BENCH_CAP)
+    t_tripc = timed_warm(tripc, reps=1)
+    basec.unpersist()
+    out["scale10_triplet_rows_per_sec"] = round(n10 / t_tripc, 1)
+
+    # triplets, density-stress 10x (10x rows in the SAME three disks —
+    # per-cell pair volume grows ~100x before the cap; reported so the
+    # density knob is measured, not hidden behind the constant-density
+    # number)
+    pts = geo.with_cells(geo.with_latlon(images),
+                         resolutions=(BENCH_RES,))
+    base = pts.select("image_id", "lat", "lon",
+                      F.col(f"cell_r{BENCH_RES}").alias("cell")) \
+              .repartition(4 * dp).cache()
+    base.count()
+    trip = triplets.triplet_table_spatial(
+        base, id_col="image_id", lat_col="lat", lon_col="lon",
+        cell_col="cell", res=BENCH_RES, n_neg=5, cap=BENCH_CAP)
+    t_trip = timed_warm(trip, reps=1)
+    base.unpersist()
+    out["scale10dense_triplet_rows_per_sec"] = round(n10 / t_trip, 1)
+
+    # dedup_minhash_lsh: 1x baseline and 10x, same session (the 1x
+    # number also reconciles against full_suite timings)
+    from loc2vec_spark.queries_text import lsh_pairs_df
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    n1 = docs.count()
+    t1 = timed_warm(lsh_pairs_df(spark), reps=1)
+    big = docs.crossJoin(F.broadcast(
+        spark.range(10).select(F.col("id").alias("_r")))) \
+        .withColumn("doc_id", F.col("doc_id") * 10 + F.col("_r")) \
+        .withColumn("text", F.when(F.col("_r") == 0, F.col("text"))
+                    .otherwise(F.concat_ws(" ", F.col("text"),
+                                           F.concat(F.lit("rep"),
+                                                    F.col("_r"))))) \
+        .drop("_r").repartition(dp).cache()
+    n_big = big.count()
+    big.createOrReplaceTempView("documents")
+    t10 = timed_warm(lsh_pairs_df(spark), reps=1)
+    out["dedup_lsh_rows_per_sec"] = round(n1 / t1, 1)
+    out["scale10_dedup_lsh_rows"] = n_big
+    out["scale10_dedup_lsh_rows_per_sec"] = round(n_big / t10, 1)
+    big.unpersist()
+    # restore the real view + drop the shingle/signature caches built
+    # over the replicated corpus (they are keyed by plan and would
+    # otherwise live for the session)
+    docs.createOrReplaceTempView("documents")
+    spark.catalog.clearCache()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -280,6 +383,9 @@ def main() -> None:
         force(qreg.run_spark(spark, sf_dir, name))
     suite_sec = round(time.perf_counter() - suite_t0, 3)
 
+    # 10x scale point LAST (it clears the session cache on exit)
+    scale = {} if lite else bench_scale_point(spark, n_images, sf_dir)
+
     total = round(sum(times.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total",
@@ -299,6 +405,7 @@ def main() -> None:
         **ann,
         "full_suite_sec": suite_sec,
         "full_suite_queries": len(suite_names),
+        **scale,
     }))
     spark.stop()
 

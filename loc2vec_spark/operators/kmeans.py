@@ -224,6 +224,11 @@ def lloyd_vec(points: DataFrame, *, dim: int, k: int = 16, iters: int = 3,
     """
     pts = points.select(id_col, vec_col, norm_col)
 
+    # seed pick: unpartitioned window + rn<=k relies on Spark 4's
+    # WindowGroupLimit rewrite to prune map-side to top-k; on an engine
+    # without it this is a single-task global sort of the (sampled)
+    # training input — r2 verdict note, same caveat at lloyd() and
+    # pq.train_pq
     wseed = Window.orderBy(seed_hash_col(id_col, seed), F.col(id_col))
     seed_rows = (pts.withColumn("rn", F.row_number().over(wseed))
                  .filter(F.col("rn") <= k).orderBy("rn").collect())

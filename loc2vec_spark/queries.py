@@ -754,12 +754,13 @@ _reg("events_sessionize", Q(
 
 
 # ===========================================================================
-# Suite registration order = the driver's correctness-sweep order.
-# The round driver records only the first ~50 registrations
-# (CORRECTNESS_r01 captured exactly 50 of 56), so: §2-contract queries
-# above (33) + A6/A8/sessionize (3), then the geo contract face
-# (pip_exact), then the training-data-pipeline suite (13) = exactly 50.
-# Nice-to-have extras register after and may fall outside the window.
+# Suite registration order: since round 3 the driver-sweep order is NOT
+# the registration order — _finalize_window_order() re-keys the dict to
+# the declared DRIVER_WINDOW (37 §2-contract queries + the 13 round-3
+# rotation-ins) once everything has registered. Module import order
+# below still matters only in that every module must COMPLETE its
+# registrations; the window itself is import-order independent
+# (tests/test_registry.py).
 # ===========================================================================
 
 from . import queries_geo  # noqa: E402  (registers pip_exact)

@@ -17,6 +17,14 @@ At sandbox polygon counts (~700) a vectorized bbox matrix beats tree
 descent; the broadcast payload carries STR-sorted bbox arrays so an
 interior-node prefilter can be added without changing the operator
 surface when the polygon side grows.
+
+Multi-ring features (round 3): a layer_id spanning several polygon rows
+is a multipolygon with shapefile even-odd semantics — outer parts,
+holes, and islands combine by containment-count parity
+(:func:`_layer_parity`). The cell-cover capacity path below keeps the
+simpler one-ring-per-layer contract and asserts it loudly (split
+multipolygon PARTS into per-ring layer ids upstream; features with
+holes need this broadcast path).
 """
 
 from __future__ import annotations
@@ -96,6 +104,23 @@ def point_in_polygons(pack: dict, lon: np.ndarray,
     return np.concatenate(pt_out), np.concatenate(pl_out)
 
 
+def _layer_parity(pack: dict, pi: np.ndarray,
+                  pj: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-ring containment pairs -> per-LAYER even-odd pairs.
+
+    A layer_id may span several rows of the polygon table (multipolygon
+    parts and holes, shapefile even-odd convention): a point is inside
+    the layer iff it is inside an ODD number of the layer's rings —
+    outer ring only = in, outer + hole = out, outer + hole + island =
+    in. Single-ring layers reduce to the identity (each (point, ring)
+    pair appears once)."""
+    lay = pack["layer_id"][pj]
+    pairs = np.stack([pi.astype(np.int64), lay], axis=1)
+    uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+    keep = (counts % 2).astype(bool)
+    return uniq[keep, 0], uniq[keep, 1]
+
+
 def pip_join(spark: SparkSession, pts: DataFrame, polys: pd.DataFrame, *,
              id_col: str, lat_col: str = "lat",
              lon_col: str = "lon") -> DataFrame:
@@ -103,10 +128,16 @@ def pip_join(spark: SparkSession, pts: DataFrame, polys: pd.DataFrame, *,
 
     ``polys`` is the driver-side polygon table (osm_layers schema,
     FIXTURES.md §3). Inner-join semantics: points in no polygon emit
-    nothing; points in k polygons emit k rows.
+    nothing; points in k layers emit k rows. A layer_id appearing on
+    several rows is a MULTI-RING feature (multipolygon parts / holes)
+    combined with shapefile even-odd semantics — see
+    :func:`_layer_parity` (round 3; the cell-cover capacity path keeps
+    its one-ring-per-layer contract and asserts it loudly).
     """
     pack = pack_polygons(polys)
+    chan_of = dict(zip(pack["layer_id"].tolist(), pack["channel"].tolist()))
     bc = spark.sparkContext.broadcast(pack)
+    bc_chan = spark.sparkContext.broadcast(chan_of)
     in_schema_id_type = dict(
         (f.name, f.dataType) for f in pts.schema.fields)[id_col]
     out_schema = T.StructType([
@@ -117,14 +148,17 @@ def pip_join(spark: SparkSession, pts: DataFrame, polys: pd.DataFrame, *,
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         p = bc.value
+        chan = bc_chan.value
         for pdf in batches:
             lon = pdf[lon_col].to_numpy(np.float64)
             lat = pdf[lat_col].to_numpy(np.float64)
             pi, pj = point_in_polygons(p, lon, lat)
+            pi2, lay2 = _layer_parity(p, pi, pj)
             yield pd.DataFrame({
-                id_col: pdf[id_col].to_numpy()[pi],
-                "layer_id": p["layer_id"][pj],
-                "channel": p["channel"][pj],
+                id_col: pdf[id_col].to_numpy()[pi2],
+                "layer_id": lay2,
+                "channel": np.array([chan[int(x)] for x in lay2],
+                                    dtype=object),
             })
 
     cols = pts.select(id_col, lat_col, lon_col)

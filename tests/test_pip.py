@@ -180,3 +180,63 @@ def test_pip_join_on_fixture_images(spark, fixture_dir, polys):
                       & (F.col("lat") >= F.col("miny"))
                       & (F.col("lat") <= F.col("maxy")))))
     assert viol.count() == 0
+
+
+def _rect(cx, cy, hw, hh):
+    return [(cx - hw, cy - hh), (cx + hw, cy - hh),
+            (cx + hw, cy + hh), (cx - hw, cy + hh)]
+
+
+def test_pip_join_multiring_even_odd(spark):
+    """Round 3: pip_join supports multi-ring layers (shapefile even-odd
+    convention) — a layer_id spanning several rows combines outer rings,
+    holes, and islands by containment-count parity. The scalar oracle is
+    the per-ring ray cast XORed across the layer's rings."""
+    def row(lid, chan, ring):
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        return {"layer_id": lid, "channel": chan, "ring": ring,
+                "minx": min(xs), "miny": min(ys),
+                "maxx": max(xs), "maxy": max(ys)}
+
+    polys = pd.DataFrame([
+        # layer 1: square with a hole, and an island inside the hole
+        row(1, "water", _rect(10.0, 10.0, 4.0, 4.0)),       # outer
+        row(1, "water", _rect(10.0, 10.0, 2.0, 2.0)),       # hole
+        row(1, "water", _rect(10.0, 10.0, 0.5, 0.5)),       # island
+        # layer 2: two disjoint parts (multipolygon)
+        row(2, "park", _rect(-20.0, 0.0, 1.0, 1.0)),
+        row(2, "park", _rect(-24.0, 0.0, 1.0, 1.0)),
+        # layer 3: plain single ring (regression: identity semantics)
+        row(3, "retail", _rect(30.0, -10.0, 2.0, 2.0)),
+    ])
+
+    pts = [
+        ("ring_band", 10.0, 13.0),      # layer1: outer only -> IN
+        ("in_hole", 10.0, 11.0),        # outer+hole -> OUT
+        ("on_island", 10.0, 10.1),      # outer+hole+island -> IN
+        ("outside", 10.0, 20.0),        # nothing
+        ("part_a", -20.0, 0.5),         # layer2 part A -> IN
+        ("part_b", -24.0, -0.5),        # layer2 part B -> IN
+        ("between", -22.0, 0.0),        # between parts -> OUT
+        ("plain", 30.0, -10.0),         # layer3 -> IN
+    ]
+    df = spark.createDataFrame(
+        [(n, la, lo) for n, lo, la in pts],
+        "pid STRING, lat DOUBLE, lon DOUBLE")
+    got = {(r["pid"], r["layer_id"], r["channel"])
+           for r in pip.pip_join(spark, df, polys, id_col="pid").collect()}
+    assert got == {("ring_band", 1, "water"), ("on_island", 1, "water"),
+                   ("part_a", 2, "park"), ("part_b", 2, "park"),
+                   ("plain", 3, "retail")}
+
+    # cross-check against the scalar oracle XORed across rings
+    expect = set()
+    for n, lo, la in pts:
+        for lid in polys.layer_id.unique():
+            sub = polys[polys.layer_id == lid]
+            parity = sum(_inside([tuple(p) for p in r.ring], lo, la)
+                         for r in sub.itertuples()) % 2
+            if parity:
+                expect.add((n, int(lid), sub.channel.iloc[0]))
+    assert got == expect

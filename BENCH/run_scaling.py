@@ -172,6 +172,24 @@ def main() -> None:
     trip = eff("triplet_rows_per_sec")
     total_speedup = round(lo["value"] / hi["value"], 2)
 
+    # session-labeling disclosure sentence only when an extras session
+    # actually supplied the capped/uncapped pair (r3 review: without
+    # --extras-json this interpolated the literal 'BENCH/raw/None')
+    session_note = ("" if not extras_name else
+                    f"Session labeling (r2 verdict \"wrong\" #2 — every "
+                    f"bench.py session measures the capped AND uncapped "
+                    f"rates together, so only same-session pairs are "
+                    f"comparable): the capped/uncapped pair above comes "
+                    f"from ONE extras session (`BENCH/raw/{extras_name}`, "
+                    f"local[{hi.get('_extras_cpus', 32)}], capped "
+                    f"{hi.get('triplet_rows_per_sec_extras', 'n/a')} "
+                    f"rows/sec in that session); the per-round driver "
+                    f"artifact (BENCH_r{{N}}.json) re-measures the same "
+                    f"pair in its own session, and cross-session deltas "
+                    f"are host co-tenant load (campaign appendix below: "
+                    f"the capped rate alone spreads 0.26-1.08x across 10 "
+                    f"rounds). ")
+
     md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
 
 Generated by `python BENCH/run_scaling.py` on {datetime.now(timezone.utc).date()}.
@@ -197,16 +215,7 @@ triplet throughput runs at res {13} with per-cell candidate cap
 same pipeline at the job-default cap {hi.get('triplet_jobcap', 1024)}
 (`jobs/run_mining.py --cap`), join_salt=32 — measures
 {hi.get('triplet_jobcap_rows_per_sec', 'n/a')} rows/sec on
-{hi.get('triplet_jobcap_rows', 'n/a')} rows. Session labeling (r2
-verdict "wrong" #2 — every bench.py session measures the capped AND
-uncapped rates together, so only same-session pairs are comparable):
-the capped/uncapped pair above comes from ONE extras session
-(`BENCH/raw/{extras_name}`, local[{hi.get('_extras_cpus', 32)}],
-capped {hi.get('triplet_rows_per_sec_extras', 'n/a')} rows/sec in that
-session); the per-round driver artifact (BENCH_r{{N}}.json) re-measures
-the same pair in its own session, and cross-session deltas are host
-co-tenant load (campaign appendix below: the capped rate alone spreads
-0.26-1.08x across 10 rounds). The fixture's 3 urban disks make
+{hi.get('triplet_jobcap_rows', 'n/a')} rows. {session_note}The fixture's 3 urban disks make
 uncapped candidate volume quadratic, which is exactly why the capped
 path is the 100-TB design (and why join-output-skew salting exists:
 unsalted, the same run is ~26x slower in 2 straggler tasks — see

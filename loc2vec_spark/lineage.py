@@ -147,6 +147,15 @@ def _leaf_partitions(out_dir: str, cell_col: str):
                  if e.startswith("salt=")
                  and os.path.isdir(os.path.join(d, e))]
         if salts:
+            loose = [f for f in os.listdir(d) if f.endswith(".parquet")]
+            if loose:
+                # silently excluding them would drop rows from the
+                # before/after accounting AND from the rewrite
+                # (r3 review)
+                raise ValueError(
+                    f"{d} mixes salt= subdirectories with "
+                    f"{len(loose)} loose parquet file(s); the layout "
+                    f"is corrupt — repair it before compacting")
             for s in salts:
                 if s.endswith(hive_null):
                     continue
@@ -179,9 +188,10 @@ def compact_partitions(spark: SparkSession, out_dir: str, *,
     """
     plan: dict[tuple, int] = {}
     before = after = 0
-    salted_layout = False
+    flat_seen = salted_layout = False
     for keys, d in _leaf_partitions(out_dir, cell_col):
         salted_layout = salted_layout or len(keys) == 2
+        flat_seen = flat_seen or len(keys) == 1
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         size = sum(os.path.getsize(os.path.join(d, f)) for f in files)
         want = max(1, math.ceil(size / target_bytes))
@@ -191,16 +201,18 @@ def compact_partitions(spark: SparkSession, out_dir: str, *,
         else:
             after += len(files)
 
-    if not plan:
-        return {"partitions_compacted": 0, "files_before": before,
-                "files_after": before}
-    if salted_layout and any(len(k) != 2 for k in plan):
+    if salted_layout and flat_seen:
         # a half-salted tree means two writers disagreed about layout;
-        # rewriting through ONE partitionBy would silently restructure
-        # the flat cells — refuse loudly instead
+        # checked over ALL leaves, not just the compaction plan (r3
+        # review: a mixed tree whose flat cells are under threshold
+        # previously skipped this and died later inside
+        # spark.read.parquet with an opaque partition-discovery error)
         raise ValueError(
             f"mixed flat/salted partition layout under {out_dir}; "
             f"compact the two layouts separately")
+    if not plan:
+        return {"partitions_compacted": 0, "files_before": before,
+                "files_after": before}
 
     key_cols = [cell_col, "salt"] if salted_layout else [cell_col]
     schema = (f"{cell_col} BIGINT, salt INT, _nslots INT"

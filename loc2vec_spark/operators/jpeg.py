@@ -496,11 +496,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("only 8-bit baseline supported")
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
+            if ncomp not in (1, 3):
+                # CMYK/YCCK (4-comp) would silently decode planes 0-2
+                # as YCbCr and drop K — refuse loudly so the caller's
+                # quarantine path handles it (r3 review)
+                raise ValueError(
+                    f"{ncomp}-component JPEG unsupported (grayscale and "
+                    f"YCbCr only; CMYK/YCCK tiles must be transcoded)")
             comps = []
             for i in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append({"id": cid, "h": samp >> 4,
                               "v": samp & 0xF, "tq": tq})
+            if ncomp == 1:
+                # a single-component scan's MCU is ONE data unit and
+                # sampling factors are meaningless (ITU T.81 A.2) —
+                # normalize so the MCU loop decodes 1 block per MCU
+                # instead of h*v blocks against a 1-block stream
+                comps[0]["h"] = comps[0]["v"] = 1
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -512,6 +525,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                # legal baseline files MAY split components across
+                # scans (non-interleaved, Annex B) — this decoder only
+                # implements the single interleaved scan; decoding a
+                # partial scan with the full-frame MCU loop would read
+                # garbage, so refuse loudly (r3 review)
+                raise ValueError(
+                    "non-interleaved (multi-scan) baseline JPEG "
+                    "unsupported")
             scan = {}
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]

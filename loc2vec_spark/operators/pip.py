@@ -47,6 +47,19 @@ def pack_polygons(polys: pd.DataFrame) -> dict:
     ranges of contiguous chunks stay tight for future tree levels.
     """
     polys = polys.sort_values(["minx", "miny", "layer_id"]).reset_index(drop=True)
+    # channel must be uniform per layer_id: with multi-ring layers
+    # (even-odd, pip_join) the emitted channel is a LAYER attribute, and
+    # silently picking one ring's value would mis-label features whose
+    # hole rows carry placeholders (r3 review). Enforced here so every
+    # consumer of the pack shares the guarantee.
+    nch = polys.groupby("layer_id")["channel"].nunique(dropna=False)
+    bad = nch[nch > 1]
+    if len(bad):
+        raise ValueError(
+            f"pack_polygons: layer_id(s) {bad.index.tolist()[:5]} carry "
+            f"more than one channel value across their rings; channel "
+            f"is a per-layer attribute — set every ring row of a layer "
+            f"to the feature's channel")
     m = len(polys)
     nv = max(len(r) for r in polys.ring)
     xs = np.full((m, nv), np.nan)
@@ -135,9 +148,7 @@ def pip_join(spark: SparkSession, pts: DataFrame, polys: pd.DataFrame, *,
     its one-ring-per-layer contract and asserts it loudly).
     """
     pack = pack_polygons(polys)
-    chan_of = dict(zip(pack["layer_id"].tolist(), pack["channel"].tolist()))
     bc = spark.sparkContext.broadcast(pack)
-    bc_chan = spark.sparkContext.broadcast(chan_of)
     in_schema_id_type = dict(
         (f.name, f.dataType) for f in pts.schema.fields)[id_col]
     out_schema = T.StructType([
@@ -148,7 +159,12 @@ def pip_join(spark: SparkSession, pts: DataFrame, polys: pd.DataFrame, *,
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         p = bc.value
-        chan = bc_chan.value
+        # channel is uniform per layer (pack_polygons enforces it), so
+        # a sorted layer->channel lookup derived from the one broadcast
+        # pack suffices — no second broadcast (r3 review)
+        order = np.argsort(p["layer_id"], kind="stable")
+        lay_sorted = p["layer_id"][order]
+        chan_sorted = p["channel"][order]
         for pdf in batches:
             lon = pdf[lon_col].to_numpy(np.float64)
             lat = pdf[lat_col].to_numpy(np.float64)
@@ -157,8 +173,7 @@ def pip_join(spark: SparkSession, pts: DataFrame, polys: pd.DataFrame, *,
             yield pd.DataFrame({
                 id_col: pdf[id_col].to_numpy()[pi2],
                 "layer_id": lay2,
-                "channel": np.array([chan[int(x)] for x in lay2],
-                                    dtype=object),
+                "channel": chan_sorted[np.searchsorted(lay_sorted, lay2)],
             })
 
     cols = pts.select(id_col, lat_col, lon_col)
@@ -357,6 +372,23 @@ def cellcover_pip_join(spark: SparkSession, pts: DataFrame,
     """
     from ..cells import cell_col
 
+    # one-ring-per-layer contract, validated UP FRONT (r3 review: the
+    # refine()-side assert only fires when a multi-ring layer has
+    # boundary candidates — a point deep inside a hole sees only FULL
+    # cells of both rings and the full-cell path would silently emit
+    # wrong rows). One tiny distributed agg over the polygon side.
+    dup = polys_sdf.groupBy("layer_id") \
+        .agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1) \
+        .limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"cellcover_pip_join: layer_id {dup[0]['layer_id']} carries "
+            f"{dup[0]['n']} rings; one ring per layer_id is the "
+            f"documented contract for the cell-cover path (split "
+            f"multipolygon parts into per-ring layer ids upstream; "
+            f"features with holes need the broadcast pip_join, which "
+            f"implements even-odd multi-ring semantics)")
+
     cover = polygon_cover(polys_sdf, res,
                           max_cells_per_poly=max_cells_per_poly)
     pts_c = pts.select(id_col, lat_col, lon_col) \
@@ -381,17 +413,19 @@ def cellcover_pip_join(spark: SparkSession, pts: DataFrame,
             id_col: pd.Series([], dtype="object"),
             "layer_id": pd.Series([], dtype="int64"),
             "channel": pd.Series([], dtype="object")})
-        if len(left) == 0 or len(right) == 0:
-            return empty
-        # one-ring-per-layer contract, ENFORCED (r2 advice): a silent
-        # iloc[0] would drop every extra ring of a multipolygon/hole
-        # feature — fail loudly like pack_greedy's NULL guard instead
-        if len(right) != 1:
+        # one-ring-per-layer contract, re-checked BEFORE the empty-left
+        # early return (defense in depth behind the driver-side
+        # validation above; r2 advice + r3 review ordering fix): a
+        # silent iloc[0] would drop every extra ring of a
+        # multipolygon/hole feature
+        if len(right) > 1:
             raise ValueError(
                 f"cellcover_pip_join: layer_id {right['layer_id'].iloc[0]} "
                 f"carries {len(right)} rings; one ring per layer_id is "
                 f"the documented contract (split multipolygons into "
                 f"per-ring layer ids upstream)")
+        if len(left) == 0 or len(right) == 0:
+            return empty
         g0 = right.iloc[0]
         # bracket access: pandas Series.xs is a METHOD, so attribute
         # access on the 'xs' column returns it instead

@@ -123,3 +123,37 @@ def test_jpeg_flows_whole_image_pipeline(spark):
     assert ph["jpg#0"] == _ahash64(decode_jpeg(encode_jpeg(img, 95)))
     src = _ahash64(img)
     assert bin(ph["jpg#0"] ^ src).count("1") <= 3   # near-dup distance
+
+
+def test_nonbaseline_variants_refused_loudly():
+    """r3 review: 4-component (CMYK) frames, multi-scan files, and
+    single-component frames with sampling factors must not decode to
+    garbage."""
+    img = _tile()
+    enc = encode_jpeg(img, 90)
+    i = enc.find(b"\xff\xc0")
+    # patch SOF0 ncomp 3 -> 4 (length field left alone: parse reads
+    # ncomp first and must refuse before touching component bytes)
+    patched = enc[:i + 9] + b"\x04" + enc[i + 10:]
+    with pytest.raises(ValueError, match="component"):
+        decode_jpeg(patched)
+    # patch SOS ns 3 -> 1 (a multi-scan-style partial scan)
+    j = enc.find(b"\xff\xda")
+    partial = enc[:j + 4] + b"\x01" + enc[j + 5:]
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(partial)
+
+
+def test_grayscale_sampling_factors_normalized():
+    """A one-component frame's sampling factors are meaningless (ITU
+    T.81 A.2: single-component scan MCU = one data unit); a file whose
+    sole component declares 2x2 must decode identically to 1x1."""
+    g = _tile()[:, :, 0]
+    enc = encode_jpeg(g, 95)
+    base = decode_jpeg(enc)
+    i = enc.find(b"\xff\xc0")
+    # SOF0 layout: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) then
+    # per-component (id, samp, tq) — samp byte is at i+11
+    assert enc[i + 10] == 1  # component id
+    patched = enc[:i + 11] + b"\x22" + enc[i + 12:]
+    assert np.array_equal(decode_jpeg(patched), base)

@@ -180,3 +180,50 @@ def test_compact_salted_layout(spark, tmp_path):
     stats2 = compact_partitions(spark, out, cell_col="cell")
     assert stats2["partitions_compacted"] == 0
     assert stats2["files_after"] == stats2["files_before"] == len(leaves)
+
+
+def test_compact_mixed_layout_refuses_even_under_threshold(spark, tmp_path):
+    """r3 review: mixedness is checked over ALL leaves, not just the
+    compaction plan — a mixed tree whose flat cells are under the file
+    threshold previously slipped past and died inside
+    spark.read.parquet with an opaque partition-discovery error. Loose
+    parquet files inside a salted cell dir likewise refuse loudly."""
+    import shutil
+
+    import pandas as pd
+
+    from loc2vec_spark.lineage import compact_partitions, write_partitioned
+
+    out = str(tmp_path / "mixed")
+    pdf = pd.DataFrame({"doc_id": range(3000),
+                        "cell": [i % 2 for i in range(3000)],
+                        "payload": ["x" * 40] * 3000})
+    df = spark.createDataFrame(pdf).repartition(4)
+    write_partitioned(df, out, cell_col="cell", id_col="doc_id",
+                      salt_target=1000)
+    for _ in range(9):
+        write_partitioned(df, out, cell_col="cell", id_col="doc_id",
+                          salt_target=1000, mode="append",
+                          return_index=False)
+    # graft one FLAT cell (single small file — under every threshold)
+    flat = str(tmp_path / "flat_src")
+    spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9991], "payload": ["y"]})) \
+        .coalesce(1).write.parquet(flat)
+    dst = os.path.join(out, "cell=7")
+    os.makedirs(dst)
+    for f in os.listdir(flat):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(flat, f), os.path.join(dst, f))
+    with pytest.raises(ValueError, match="mixed flat/salted"):
+        compact_partitions(spark, out, cell_col="cell")
+
+    # loose parquet file inside a salted cell dir -> corrupt layout
+    os.remove(os.path.join(dst, os.listdir(dst)[0]))
+    os.rmdir(dst)
+    salted_cell = os.path.join(out, "cell=0")
+    shutil.copy(os.path.join(flat, [f for f in os.listdir(flat)
+                                    if f.endswith(".parquet")][0]),
+                os.path.join(salted_cell, "loose.parquet"))
+    with pytest.raises(ValueError, match="loose parquet"):
+        compact_partitions(spark, out, cell_col="cell")

@@ -240,3 +240,29 @@ def test_pip_join_multiring_even_odd(spark):
             if parity:
                 expect.add((n, int(lid), sub.channel.iloc[0]))
     assert got == expect
+
+
+def test_cellcover_rejects_multiring_up_front(spark):
+    """r3 review: a point deep inside a hole sees only FULL cover cells
+    of both rings, so the refine-side assert never fires — the contract
+    must be validated before the cover join. pack_polygons likewise
+    rejects rings of one layer disagreeing on channel."""
+    polys = pd.DataFrame([
+        {"layer_id": 1, "channel": "water",
+         "ring": _rect(10.0, 10.0, 4.0, 4.0),
+         "minx": 6.0, "miny": 6.0, "maxx": 14.0, "maxy": 14.0},
+        {"layer_id": 1, "channel": "water",
+         "ring": _rect(10.0, 10.0, 2.0, 2.0),
+         "minx": 8.0, "miny": 8.0, "maxx": 12.0, "maxy": 12.0},
+    ])
+    pts = spark.createDataFrame([("p0", 10.0, 10.0)],
+                                "pid STRING, lat DOUBLE, lon DOUBLE")
+    with pytest.raises(Exception) as ei:
+        pip.cellcover_pip_join(spark, pts, pip.polys_to_sdf(spark, polys),
+                               res=9, id_col="pid").collect()
+    assert "one ring per layer_id" in str(ei.value)
+
+    bad_chan = polys.copy()
+    bad_chan.loc[1, "channel"] = None
+    with pytest.raises(ValueError, match="more than one channel"):
+        pip.pack_polygons(bad_chan)

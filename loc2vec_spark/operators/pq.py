@@ -258,22 +258,18 @@ def normalized_frame(emb_df: DataFrame, dim: int,
 _normalized_cached = normalized_frame
 
 
-def ivfpq_shortlist(emb_df: DataFrame, cents: list[tuple],
-                    books: list[list[tuple]], *, dim: int,
-                    nprobe: int = 4, refine: int = 30,
-                    query_mod: int = 25, id_col: str = "vec_id",
-                    emb_col: str = "embedding",
-                    ne: DataFrame | None = None) -> DataFrame:
-    """(query_id, neighbor_id) ADC shortlist — the exact-contact set.
-
-    Exposed separately so the bench can MEASURE the exact-vector
-    contact fraction (a query whose probed cells hold fewer than
-    ``refine`` candidates contributes fewer rows than refine * |Q|,
-    so the analytic product overstates contact — review r2 batch 4).
-    """
+def build_pq_index(emb_df: DataFrame, cents: list[tuple],
+                   books: list[list[tuple]], *, dim: int,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   ne: DataFrame | None = None) -> DataFrame:
+    """The compressed index relation: (neighbor_id, cid, pq_code BIGINT)
+    — one coarse-assign pass + one encode pass over the (shared cached)
+    normalized frame, equi-joined on id. This is the ONLY relation the
+    ANN candidate join ever ships at scale; persist it with
+    :func:`write_pq_index` (partitioned by cid) so probes read just the
+    probed cells' files."""
     if ne is None:
         ne = normalized_frame(emb_df, dim, id_col, emb_col)
-
     cells = assign_arrow_vec(ne, cents, emb_col, dim, norm_col="nrm") \
         .select(F.col(id_col).alias("neighbor_id"), "cid")
     # encode from the cached normalized frame, NOT the raw emb_df: the
@@ -282,9 +278,32 @@ def ivfpq_shortlist(emb_df: DataFrame, cents: list[tuple],
     codes = encode_pq(ne, books, dim=dim, id_col=id_col,
                       emb_col=emb_col) \
         .select(F.col(id_col).alias("neighbor_id"), "pq_code")
-    # the compressed index: (neighbor_id, cid, 8-byte code) — this is
-    # the ONLY relation the candidate join ships at scale
-    index = cells.join(codes, "neighbor_id")
+    return cells.join(codes, "neighbor_id")
+
+
+def ivfpq_shortlist(emb_df: DataFrame, cents: list[tuple],
+                    books: list[list[tuple]], *, dim: int,
+                    nprobe: int = 4, refine: int = 30,
+                    query_mod: int = 25, id_col: str = "vec_id",
+                    emb_col: str = "embedding",
+                    ne: DataFrame | None = None,
+                    index: DataFrame | None = None) -> DataFrame:
+    """(query_id, neighbor_id) ADC shortlist — the exact-contact set.
+
+    Exposed separately so the bench can MEASURE the exact-vector
+    contact fraction (a query whose probed cells hold fewer than
+    ``refine`` candidates contributes fewer rows than refine * |Q|,
+    so the analytic product overstates contact — review r2 batch 4).
+
+    ``index``: a prebuilt/persisted (neighbor_id, cid, pq_code)
+    relation (:func:`build_pq_index` / :func:`read_pq_index`); when
+    omitted it is computed inline from ``emb_df``.
+    """
+    if ne is None:
+        ne = normalized_frame(emb_df, dim, id_col, emb_col)
+    if index is None:
+        index = build_pq_index(emb_df, cents, books, dim=dim,
+                               id_col=id_col, emb_col=emb_col, ne=ne)
 
     queries = ne.filter(F.col(id_col) % query_mod == 0)
     probes = assign_arrow_vec(queries, cents, emb_col, dim,
@@ -307,7 +326,8 @@ def ivfpq_search(emb_df: DataFrame, cents: list[tuple],
                  topk: int = 10, refine: int = 30, query_mod: int = 25,
                  id_col: str = "vec_id",
                  emb_col: str = "embedding",
-                 ne: DataFrame | None = None) -> DataFrame:
+                 ne: DataFrame | None = None,
+                 index: DataFrame | None = None) -> DataFrame:
     """IVF-PQ + refine: candidates scored from codes (ADC), exact cosine
     only for the top-``refine`` per query. Same output contract as
     `ann.ivf_trained`: (query_id, ann_rank, neighbor_id, cosine).
@@ -315,13 +335,14 @@ def ivfpq_search(emb_df: DataFrame, cents: list[tuple],
     Pass ``ne=normalized_frame(...)`` to share/own the cached base
     frame across repeated searches (and ``ne.unpersist()`` after);
     without it one is built per call and lives until the session's
-    cache is cleared."""
+    cache is cleared. Pass ``index=read_pq_index(...)[2]`` to search a
+    persisted index instead of re-encoding the base table."""
     if ne is None:
         ne = normalized_frame(emb_df, dim, id_col, emb_col)
     shortlist = ivfpq_shortlist(emb_df, cents, books, dim=dim,
                                 nprobe=nprobe, refine=refine,
                                 query_mod=query_mod, id_col=id_col,
-                                emb_col=emb_col, ne=ne)
+                                emb_col=emb_col, ne=ne, index=index)
 
     from .ann import dot_products
     q = ne.select(F.col(id_col).alias("query_id"),
@@ -337,3 +358,59 @@ def ivfpq_search(emb_df: DataFrame, cents: list[tuple],
             .filter(F.col("ann_rank") <= topk)
             .select("query_id", "ann_rank", "neighbor_id",
                     F.round("cosine", 6).alias("cosine")))
+
+
+# ---------------------------------------------------------------------------
+# index persistence (round 3): the production shape of an ANN deploy is
+# "build the index ONCE as a job, search it many times" — FAISS's
+# write_index/read_index, re-expressed as parquet tables. The codebooks
+# are kB-sized driver tables; the codes index is a real dataset written
+# through lineage.write_partitioned partitioned by cid, which buys (a)
+# resumable, manifest-checksummed builds (S6/S8) and (b) PARTITION
+# PRUNING on search: a probe filters cid IN (<nprobe cells>), so the
+# scan touches only the probed cells' files — at 10^12 rows a search
+# reads nprobe/k_cells of the index, not all of it.
+# ---------------------------------------------------------------------------
+
+def write_pq_index(spark, out_dir: str, cents: list[tuple],
+                   books: list[list[tuple]], index: DataFrame) -> dict:
+    """Persist (coarse centroids, PQ codebooks, codes index) under
+    ``out_dir``; returns the index's lineage manifest dict."""
+    from .. import lineage
+    cent_rows = [(int(cid), [float(x) for x in comps])
+                 for cid, comps in cents]
+    spark.createDataFrame(cent_rows,
+                          "cid INT, comps ARRAY<DOUBLE>") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{out_dir}/centroids")
+    book_rows = [(mm, int(code), [float(x) for x in comps])
+                 for mm, book in enumerate(books)
+                 for code, comps in book]
+    spark.createDataFrame(book_rows,
+                          "m INT, code INT, comps ARRAY<DOUBLE>") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{out_dir}/codebooks")
+    return lineage.write_partitioned(index, f"{out_dir}/index",
+                                     cell_col="cid",
+                                     id_col="neighbor_id")
+
+
+def read_pq_index(spark, out_dir: str
+                  ) -> tuple[list[tuple], list[list[tuple]], DataFrame]:
+    """Load a persisted index: (cents, books, index_df). Doubles round-
+    trip parquet exactly, so a search over the loaded index is
+    bit-identical to one over the just-built index (test_pq)."""
+    cents = [(int(r["cid"]), [float(x) for x in r["comps"]])
+             for r in spark.read.parquet(f"{out_dir}/centroids")
+             .orderBy("cid").collect()]
+    brows = spark.read.parquet(f"{out_dir}/codebooks") \
+        .orderBy("m", "code").collect()
+    m = 1 + max(int(r["m"]) for r in brows)
+    books = [[] for _ in range(m)]
+    for r in brows:
+        books[int(r["m"])].append(
+            (int(r["code"]), [float(x) for x in r["comps"]]))
+    index = spark.read.parquet(f"{out_dir}/index") \
+        .select("neighbor_id", F.col("cid").cast("int").alias("cid"),
+                "pq_code")
+    return cents, books, index

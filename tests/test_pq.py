@@ -236,3 +236,79 @@ def test_ksub256_recall_beats_ksub16(spark):
     r16 = recall(16)
     assert r256 >= r16, (r256, r16)
     assert r256 >= 0.85, r256
+
+
+def test_index_persistence_roundtrip(spark, trained, tmp_path):
+    """write_pq_index/read_pq_index: a search over the LOADED index is
+    bit-identical to one over the just-built index (doubles round-trip
+    parquet exactly), the index parquet is partitioned by cid (probes
+    prune to the probed cells' files), and the build carries lineage
+    manifests."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from loc2vec_spark.lineage import done_partitions
+    from loc2vec_spark.operators.pq import (build_pq_index,
+                                            normalized_frame,
+                                            read_pq_index,
+                                            write_pq_index)
+
+    X, emb, books, cents = trained
+    out = str(tmp_path / "pq_index")
+    ne = normalized_frame(emb, DIM)
+    index = build_pq_index(emb, cents, books, dim=DIM, ne=ne)
+    write_pq_index(spark, out, cents, books, index)
+
+    cents_l, books_l, index_l = read_pq_index(spark, out)
+    assert cents_l == [(int(c), [float(x) for x in v]) for c, v in cents]
+    assert books_l == [[(int(c), [float(x) for x in v]) for c, v in b]
+                       for b in books]
+
+    built = sorted(map(tuple, ivfpq_search(
+        emb, cents, books, dim=DIM, nprobe=4, refine=30,
+        ne=ne, index=index).collect()))
+    loaded = sorted(map(tuple, ivfpq_search(
+        emb, cents_l, books_l, dim=DIM, nprobe=4, refine=30,
+        ne=ne, index=index_l).collect()))
+    assert built == loaded and len(built) > 0
+    ne.unpersist()
+
+    # physical layout: hive-partitioned by cid + lineage manifests
+    assert any(e.startswith("cid=") for e in os.listdir(f"{out}/index"))
+    assert len(done_partitions(f"{out}/index")) \
+        == index_l.select("cid").distinct().count()
+    # probing 2 cells prunes the scan to those partitions
+    plan = index_l.filter(F.col("cid").isin(0, 1)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cid" in plan
+
+
+def test_run_ann_index_job(spark, tmp_path):
+    """jobs/run_ann_index.py end-to-end: build + persist + search the
+    persisted index in one spark-submit-shaped invocation."""
+    import json
+    import sys
+
+    X = _clustered(20, 10, seed=13)    # 200 rows
+    emb_dir = str(tmp_path / "emb")
+    _as_view(spark, X).write.parquet(emb_dir)
+    out = str(tmp_path / "annidx")
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import run_ann_index
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        run_ann_index.main([
+            "--embeddings", emb_dir, "--out", out, "--dim", str(DIM),
+            "--k-cells", "4", "--m", "4", "--ksub", "16",
+            "--iters", "1", "--query-mod", "25", "--nprobe", "2",
+            "--refine", "20", "--keep-session"])
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["index_rows"] == len(X)
+    assert summary["search_rows"] > 0
+    got = spark.read.parquet(f"{out}/search")
+    assert set(got.columns) == {"query_id", "ann_rank", "neighbor_id",
+                                "cosine"}

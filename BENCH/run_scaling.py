@@ -142,6 +142,7 @@ def main() -> None:
                   "scale10_fixture_rows", "scale10_tile_rows_per_sec",
                   "scale10_triplet_rows_per_sec",
                   "scale10dense_triplet_rows_per_sec",
+                  "knn_rows_per_sec", "scale10_knn_rows_per_sec",
                   "dedup_lsh_rows_per_sec",
                   "scale10_dedup_lsh_rows",
                   "scale10_dedup_lsh_rows_per_sec"):
@@ -260,6 +261,7 @@ pruning/salting/bucketing plans hold as data grows:
 | tile assignment | {hi.get('tile_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_tile_rows_per_sec', 'n/a')} |
 | triplet generation, constant density (cap={lo.get('triplet_cap', 16)}; 10x = 30 disjoint city disks — the 100-TB growth model) | {hi.get('triplet_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_triplet_rows_per_sec', 'n/a')} |
 | triplet generation, density stress (10x rows in the SAME 3 disks: per-cell pair volume ~100x before the cap) | {hi.get('triplet_rows_per_sec_extras', 'n/a')} | {hi.get('scale10dense_triplet_rows_per_sec', 'n/a')} |
+| cell-blocked kNN top-5 (cap=16, 8-dim hash embeddings; 10x constant density) | {hi.get('knn_rows_per_sec', 'n/a')} | {hi.get('scale10_knn_rows_per_sec', 'n/a')} |
 | MinHash-LSH dedup (10x = near-dup-heavy replicated corpus, {hi.get('scale10_dedup_lsh_rows', 'n/a')} docs) | {hi.get('dedup_lsh_rows_per_sec', 'n/a')} | {hi.get('scale10_dedup_lsh_rows_per_sec', 'n/a')} |
 
 Per-query seconds:

@@ -312,6 +312,40 @@ def bench_scale_point(spark, n_images: int, sf_dir: str) -> dict:
     base.unpersist()
     out["scale10dense_triplet_rows_per_sec"] = round(n10 / t_trip, 1)
 
+    # cell-blocked kNN (J5, the flagship's other half): same 1x vs
+    # constant-density-10x protocol. The fixture has no embedding
+    # column, so derive a deterministic 8-dim one from the id hash —
+    # the kNN plan (k-ring explode -> cell equi-join -> fixed-order
+    # distance -> WindowGroupLimit top-k) is what's being scaled, and
+    # it is dimension-agnostic.
+    def _with_emb(df):
+        comps = [((F.shiftrightunsigned(F.xxhash64("image_id"), 8 * i)
+                   .bitwiseAND(F.lit(255))) / F.lit(255.0)).cast("float")
+                 for i in range(8)]
+        return df.withColumn("emb", F.array(*comps))
+
+    k1 = _with_emb(geo.with_cells(pts1, resolutions=(BENCH_RES,))
+                   .select("image_id",
+                           F.col(f"cell_r{BENCH_RES}").alias("cell"))) \
+        .repartition(2 * dp).cache()
+    k1.count()
+    t_knn1 = timed_warm(triplets.knn_topk(
+        k1, id_col="image_id", emb_col="emb", cell_col="cell",
+        res=BENCH_RES, dim=8, k=5, cap=BENCH_CAP), reps=1)
+    k1.unpersist()
+    out["knn_rows_per_sec"] = round(n_images / t_knn1, 1)
+    k10 = _with_emb(geo.with_cells(shifted, resolutions=(BENCH_RES,),
+                                   lat_col="lat", lon_col="lon")
+                    .select("image_id",
+                            F.col(f"cell_r{BENCH_RES}").alias("cell"))) \
+        .repartition(4 * dp).cache()
+    k10.count()
+    t_knn10 = timed_warm(triplets.knn_topk(
+        k10, id_col="image_id", emb_col="emb", cell_col="cell",
+        res=BENCH_RES, dim=8, k=5, cap=BENCH_CAP), reps=1)
+    k10.unpersist()
+    out["scale10_knn_rows_per_sec"] = round(n10 / t_knn10, 1)
+
     # dedup_minhash_lsh: 1x baseline and 10x, same session (the 1x
     # number also reconciles against full_suite timings)
     from loc2vec_spark.queries_text import lsh_pairs_df

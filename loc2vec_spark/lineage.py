@@ -146,6 +146,13 @@ def _leaf_partitions(out_dir: str, cell_col: str):
         salts = [e for e in sorted(os.listdir(d))
                  if e.startswith("salt=")
                  and os.path.isdir(os.path.join(d, e))]
+        if not salts and not any(f.endswith(".parquet")
+                                 for f in os.listdir(d)):
+            # a data-free cell dir (interrupted writer / manual cleanup)
+            # is NO leaf: classifying it as flat made one stray empty
+            # dir abort compaction of a healthy salted tree with a
+            # false 'mixed layout' error (r3 review)
+            continue
         if salts:
             loose = [f for f in os.listdir(d) if f.endswith(".parquet")]
             if loose:

@@ -66,14 +66,23 @@ from .kmeans import assign_arrow_vec, seed_hash_col
 _ENC_CHUNK = 2048
 
 
-def _norm_vec_col(vec_col: str, dim: int):
+def _norm_vec_col(vec_col: str, dim: int, norm_col: str | None = None):
     """Unit-normalized, 6dp-quantized array<double> of the first ``dim``
-    components (dim terms — compiles fine in codegen)."""
-    dot = None
-    for i in range(dim):
-        t = F.col(vec_col)[i].cast("double") * F.col(vec_col)[i].cast("double")
-        dot = t if dot is None else dot + t
-    nrm = F.sqrt(dot)
+    components (dim terms — compiles fine in codegen).
+
+    ``norm_col``: reuse a precomputed norm column (normalized_frame's
+    ``nrm``) instead of re-deriving the 64-term sum — BIT-identical:
+    both build the same left-to-right IEEE double sum of squares
+    (functions.norm_sql), so sqrt agrees exactly (r3 review)."""
+    if norm_col is not None:
+        nrm = F.col(norm_col)
+    else:
+        dot = None
+        for i in range(dim):
+            t = (F.col(vec_col)[i].cast("double")
+                 * F.col(vec_col)[i].cast("double"))
+            dot = t if dot is None else dot + t
+        nrm = F.sqrt(dot)
     return F.transform(
         F.slice(F.col(vec_col), 1, dim),
         lambda x: F.round(x.cast("double") / nrm, 6))
@@ -126,7 +135,11 @@ def _encode_udf(books: list[list[tuple]]):
     code."""
     barr = _books_arr(books)
     m, ksub, subdim = barr.shape
-    assert ksub <= 256, "packed 8-bit sub-codes cap ksub at 256"
+    if ksub > 256:
+        # a bare assert is stripped under python -O, and a 9-bit argmin
+        # index would silently bleed into the next sub-code's byte
+        # (r3 review) — raise regardless of interpreter flags
+        raise ValueError("packed 8-bit sub-codes cap ksub at 256")
 
     @pandas_udf("long")
     def enc(nx: pd.Series) -> pd.Series:
@@ -186,8 +199,10 @@ def train_pq(emb_df: DataFrame, *, dim: int, m: int = 8, ksub: int = 256,
     updates (ksub groups, subdim decimal sums each) — driver traffic is
     M x ksub rows per iteration, never the data.
     """
-    assert dim % m == 0, (dim, m)
-    assert ksub <= 256, "packed 8-bit sub-codes cap ksub at 256"
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    if ksub > 256:
+        raise ValueError("packed 8-bit sub-codes cap ksub at 256")
     subdim = dim // m
     ne = emb_df.select(id_col, _norm_vec_col(emb_col, dim).alias("nx"))
     if train_frac > 1:
@@ -232,11 +247,14 @@ def train_pq(emb_df: DataFrame, *, dim: int, m: int = 8, ksub: int = 256,
 
 
 def encode_pq(emb_df: DataFrame, books: list[list[tuple]], *, dim: int,
-              id_col: str = "vec_id",
-              emb_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", emb_col: str = "embedding",
+              norm_col: str | None = None) -> DataFrame:
     """(id, pq_code BIGINT — M packed 8-bit sub-codes) — one Arrow pass,
-    no join, no shuffle; the shipped index row really is 8 B of code."""
-    ne = emb_df.select(id_col, _norm_vec_col(emb_col, dim).alias("nx"))
+    no join, no shuffle; the shipped index row really is 8 B of code.
+    ``norm_col``: reuse a precomputed norm (normalized_frame's nrm) —
+    bit-identical, skips the dim-term norm recompute."""
+    ne = emb_df.select(
+        id_col, _norm_vec_col(emb_col, dim, norm_col=norm_col).alias("nx"))
     return ne.select(id_col,
                      _encode_udf(books)(F.col("nx")).alias("pq_code"))
 
@@ -272,11 +290,11 @@ def build_pq_index(emb_df: DataFrame, cents: list[tuple],
         ne = normalized_frame(emb_df, dim, id_col, emb_col)
     cells = assign_arrow_vec(ne, cents, emb_col, dim, norm_col="nrm") \
         .select(F.col(id_col).alias("neighbor_id"), "cid")
-    # encode from the cached normalized frame, NOT the raw emb_df: the
-    # encoder only needs (id, emb) and reusing ne saves a second full
-    # scan + 64-term norm recompute over the largest relation here
+    # encode from the cached normalized frame AND its precomputed nrm:
+    # saves both the second full scan and the dim-term norm recompute
+    # over the largest relation here (bit-identical — see _norm_vec_col)
     codes = encode_pq(ne, books, dim=dim, id_col=id_col,
-                      emb_col=emb_col) \
+                      emb_col=emb_col, norm_col="nrm") \
         .select(F.col(id_col).alias("neighbor_id"), "pq_code")
     return cells.join(codes, "neighbor_id")
 
@@ -309,7 +327,8 @@ def ivfpq_shortlist(emb_df: DataFrame, cents: list[tuple],
     probes = assign_arrow_vec(queries, cents, emb_col, dim,
                               norm_col="nrm", nprobe=nprobe) \
         .select(F.col(id_col).alias("query_id"),
-                _norm_vec_col(emb_col, dim).alias("q_nx"), "cid")
+                _norm_vec_col(emb_col, dim, norm_col="nrm").alias("q_nx"),
+                "cid")
 
     wadc = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return (probes.join(index, "cid")
@@ -390,9 +409,18 @@ def write_pq_index(spark, out_dir: str, cents: list[tuple],
                           "m INT, code INT, comps ARRAY<DOUBLE>") \
         .coalesce(1).write.mode("overwrite") \
         .parquet(f"{out_dir}/codebooks")
-    return lineage.write_partitioned(index, f"{out_dir}/index",
-                                     cell_col="cid",
-                                     id_col="neighbor_id")
+    # cache around the lineage write: write_partitioned materializes
+    # the frame TWICE (parquet write, then the manifest aggregation) —
+    # uncached, the assign + encode kernels and the id join would run
+    # end-to-end twice over the largest relation of the build (r3
+    # review)
+    index = index.persist()
+    try:
+        return lineage.write_partitioned(index, f"{out_dir}/index",
+                                         cell_col="cid",
+                                         id_col="neighbor_id")
+    finally:
+        index.unpersist()
 
 
 def read_pq_index(spark, out_dir: str

@@ -227,3 +227,26 @@ def test_compact_mixed_layout_refuses_even_under_threshold(spark, tmp_path):
                 os.path.join(salted_cell, "loose.parquet"))
     with pytest.raises(ValueError, match="loose parquet"):
         compact_partitions(spark, out, cell_col="cell")
+
+
+def test_compact_ignores_empty_cell_dir(spark, tmp_path):
+    """r3 review: a data-free cell dir (interrupted writer) must not be
+    classified as a flat leaf — it previously aborted compaction of a
+    healthy salted tree with a false 'mixed layout' error."""
+    import pandas as pd
+
+    from loc2vec_spark.lineage import compact_partitions, write_partitioned
+
+    out = str(tmp_path / "with_empty")
+    pdf = pd.DataFrame({"doc_id": range(2000),
+                        "cell": [i % 2 for i in range(2000)],
+                        "payload": ["x" * 40] * 2000})
+    df = spark.createDataFrame(pdf).repartition(4)
+    for mode in ["overwrite"] + ["append"] * 9:
+        write_partitioned(df, out, cell_col="cell", id_col="doc_id",
+                          salt_target=800, mode=mode,
+                          return_index=False)
+    os.makedirs(os.path.join(out, "cell=99"))   # stray empty dir
+    stats = compact_partitions(spark, out, cell_col="cell")
+    assert stats["partitions_compacted"] > 0
+    assert spark.read.parquet(out).count() == 20000

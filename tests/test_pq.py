@@ -312,3 +312,12 @@ def test_run_ann_index_job(spark, tmp_path):
     got = spark.read.parquet(f"{out}/search")
     assert set(got.columns) == {"query_id", "ann_rank", "neighbor_id",
                                 "cosine"}
+
+
+def test_ksub_cap_raises_not_asserts(spark, trained):
+    """r3 review: the 8-bit packing cap must survive python -O — a
+    ValueError, not a bare assert (a 9-bit argmin index would silently
+    bleed into the adjacent sub-code's byte)."""
+    _, emb, _, _ = trained
+    with pytest.raises(ValueError, match="ksub"):
+        train_pq(emb, dim=DIM, m=M, ksub=512, iters=1)

@@ -1,7 +1,7 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` runs the flagship query (cell-blocked kNN over the
-embeddings table — SURVEY.md §7.1) on sf0.001. ``queries()`` /
+embeddings table — SURVEY.md §7.1) on sf0.01. ``queries()`` /
 ``oracle_sql()`` expose the operator inventory from SURVEY.md §2; the
 implementations live in :mod:`loc2vec_spark.queries`.
 """
@@ -22,8 +22,13 @@ from loc2vec_spark import queries as _q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: tile-assignment + cell-blocked kNN on sf0.001."""
-    return _q.run_spark(spark, "/root/testdata/sf0.001", "knn_topk")
+    """Flagship: tile-assignment + cell-blocked kNN on sf0.01.
+
+    sf0.01 (not the sf0.001 toy) so the driver's always-run smoke
+    query exercises real parallelism — multiple input splits, a real
+    shuffle, and the WindowGroupLimit top-k path (VERDICT r3 item 5).
+    """
+    return _q.run_spark(spark, "/root/testdata/sf0.01", "knn_topk")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -107,21 +107,26 @@ def _shared(name: str, tables: tuple[str, ...], sql: str, doc: str = "",
 
 
 # ---------------------------------------------------------------------------
-# driver-window order (round-3 rotation)
+# driver-window order (round-4 rotation)
 # ---------------------------------------------------------------------------
 # The round driver's correctness sweep records only the FIRST ~50
 # registry entries, so the dict order is part of the driver contract.
 # Rounds 1-2 driver-verified the 37 §2-contract queries plus the first
 # 13 training-data-pipeline queries (all 50 green in
-# CORRECTNESS_r02.json). Round 3 rotates those 13 already-driver-green
-# pipeline slots out of the window in favor of 13 never-driver-checked
-# extras (VERDICT r2, next-round item 1), keeping every §2-contract
-# query pinned. Registration still happens module-by-module in the
-# order the modules complete; _finalize_window_order() then re-keys the
-# dict into this declared order once every window name is present, so
-# the window is import-order independent BY CONSTRUCTION rather than by
-# carefully sequenced completion hooks (tests/test_registry.py asserts
-# full-order equality across all five public entry points).
+# CORRECTNESS_r02.json). Round 3 rotated those 13 pipeline slots out in
+# favor of 13 never-driver-checked extras (all 50 green in
+# CORRECTNESS_r03.json). Round 4 completes the coverage sweep: the 13
+# r3 rotation-ins (now driver-proven) plus 11 twice-driver-green
+# trivial scalar/set slots rotate out, and the final 24 queries that
+# have never appeared in any CORRECTNESS window rotate in — after this
+# round every registered oracle-backed query has driver-green evidence
+# in at least one round (tests/test_registry.py pins that union).
+# Registration still happens module-by-module in the order the modules
+# complete; _finalize_window_order() then re-keys the dict into this
+# declared order once every window name is present, so the window is
+# import-order independent BY CONSTRUCTION rather than by carefully
+# sequenced completion hooks (tests/test_registry.py asserts full-order
+# equality across all five public entry points).
 ROTATED_OUT_R3: tuple[str, ...] = (
     # driver-green in CORRECTNESS_r02; still oracle-checked every round
     # by tools/check_oracles.py, just past the driver's ~50-slot window
@@ -132,23 +137,36 @@ ROTATED_OUT_R3: tuple[str, ...] = (
     "text_langid",
 )
 
-DRIVER_WINDOW: tuple[str, ...] = (
-    # --- the 37 §2-contract queries, order unchanged since round 1 ---
-    "tile_assign", "tile_rollup", "cell_parent", "kring_expand",
-    "knn_topk", "knn_nearest", "triplet_margin", "negative_farcell",
-    "negative_compat", "pip_bbox", "j1_multiway", "j3_semi", "j3_anti",
-    "t1_symdiff", "t2_intersect", "t3_union", "a1_counts", "a2_stats",
-    "a3_sliding", "a4_minmax", "a5_histogram", "p6_zscore",
-    "a1_equal_cardinality", "w1_topk", "w2_seeded_pick",
-    "w3_global_sort", "w4_batch_bucket", "w5_lag_lead", "f1_string",
-    "f2_json_date", "f3_f7_distances", "f9_array_var",
-    "events_tumbling", "a6_cov", "a8_cosine_mean", "events_sessionize",
-    "pip_exact",
-    # --- round-3 rotation-ins: never driver-checked before ---
+ROTATED_OUT_R4: tuple[str, ...] = (
+    # the 13 round-3 rotation-ins, driver-green in CORRECTNESS_r03
     "kmeans_latlon", "asof_events", "range_events", "dedup_phash",
     "dedup_incremental", "dedup_bloom", "vocab_topk", "pack_sequences",
     "bm25_score", "pagerank_cells", "getis_gi", "a12_regression",
     "stratified_sample",
+    # 11 §2-contract scalar/set slots, driver-green in BOTH r02 and r03
+    "cell_parent", "t2_intersect", "t3_union", "a1_counts", "a2_stats",
+    "a4_minmax", "a1_equal_cardinality", "w3_global_sort",
+    "w4_batch_bucket", "w5_lag_lead", "f1_string",
+)
+
+DRIVER_WINDOW: tuple[str, ...] = (
+    # --- 26 pinned §2 flagship queries, relative order unchanged ---
+    "tile_assign", "tile_rollup", "kring_expand",
+    "knn_topk", "knn_nearest", "triplet_margin", "negative_farcell",
+    "negative_compat", "pip_bbox", "j1_multiway", "j3_semi", "j3_anti",
+    "t1_symdiff", "a3_sliding", "a5_histogram", "p6_zscore",
+    "w1_topk", "w2_seeded_pick",
+    "f2_json_date", "f3_f7_distances", "f9_array_var",
+    "events_tumbling", "a6_cov", "a8_cosine_mean", "events_sessionize",
+    "pip_exact",
+    # --- round-4 rotation-ins: the last 24 never-driver-checked ---
+    "events_funnel", "pip_cellcover", "ann_ivf", "dedup_embedding_ivf",
+    "events_sliding", "quadkey_assign", "zorder_locality",
+    "focal_stats", "morans_i", "geom_stats", "traj_stats",
+    "profile_stats", "dist_drift", "text_pii_scrub", "text_repetition",
+    "decontaminate", "leakfree_split", "mix_sources", "doc_rarity",
+    "dedup_spanfrac", "w6_ranks", "a9_cube", "a10_multidistinct",
+    "a11_percentiles",
 )
 
 
@@ -756,8 +774,8 @@ _reg("events_sessionize", Q(
 # ===========================================================================
 # Suite registration order: since round 3 the driver-sweep order is NOT
 # the registration order — _finalize_window_order() re-keys the dict to
-# the declared DRIVER_WINDOW (37 §2-contract queries + the 13 round-3
-# rotation-ins) once everything has registered. Module import order
+# the declared DRIVER_WINDOW (26 pinned §2 flagship queries + the 24
+# round-4 rotation-ins) once everything has registered. Module import order
 # below still matters only in that every module must COMPLETE its
 # registrations; the window itself is import-order independent
 # (tests/test_registry.py).

@@ -3,16 +3,25 @@
 The round driver records only the first ~50 entries of the registry in
 registration order, so the order is part of the driver contract. Since
 round 3 the order is DECLARATIVE: queries.DRIVER_WINDOW lists the 50
-window queries (37 §2-contract + 13 round-3 rotation-ins) and
+window queries (26 pinned §2 flagship + 24 round-4 rotation-ins) and
 _finalize_window_order() re-keys the dict once all registrations are in,
 so every import entry point yields the identical full order — the r1/r2
 completion-hook sequencing is still exercised (it must fully register
-everything) but no longer determines the window."""
+everything) but no longer determines the window.
 
+Round 4 additionally pins COVERAGE: the union of every name that has
+appeared in a CORRECTNESS_r*.json window plus the current DRIVER_WINDOW
+must cover every oracle-backed registered query, so a future query
+cannot be added without declaring its rotation placement."""
+
+import json
+import pathlib
 import subprocess
 import sys
 
 import pytest
+
+_REPO = pathlib.Path("/root/repo")
 
 _PROBE = ("import loc2vec_spark.{first}; "
           "import loc2vec_spark.queries as q; "
@@ -25,20 +34,19 @@ _ENTRY_POINTS = ["queries", "queries_text", "queries_ml",
 def _order(first: str) -> list[str]:
     out = subprocess.run(
         [sys.executable, "-c", _PROBE.format(first=first)],
-        capture_output=True, text=True, check=True, cwd="/root/repo")
+        capture_output=True, text=True, check=True, cwd=str(_REPO))
     return out.stdout.strip().splitlines()
 
 
 def test_window_order_identical_under_every_entry_point() -> None:
-    """First 63 = DRIVER_WINDOW (50) + ROTATED_OUT_R3 (13) — everything
-    the driver could conceivably sweep — must be byte-identical under
-    every entry point. Beyond that, only set equality matters: the
-    exotic ml/corpus-first paths legitimately shuffle which non-window
-    extras complete last."""
+    """The first 50 (= DRIVER_WINDOW, everything the driver sweeps)
+    must be byte-identical under every entry point. Beyond that, only
+    set equality matters: the exotic ml/corpus-first paths legitimately
+    shuffle which non-window extras complete last."""
     canonical = _order("queries")
     for first in _ENTRY_POINTS[1:]:
         o = _order(first)
-        assert o[:63] == canonical[:63], first
+        assert o[:50] == canonical[:50], first
         assert sorted(o) == sorted(canonical), first
 
 
@@ -49,18 +57,46 @@ def test_window_is_driver_window() -> None:
     assert len(q.DRIVER_WINDOW) == 50
 
 
+def _green(path: pathlib.Path) -> set[str]:
+    d = json.loads(path.read_text())
+    return {k for k, v in d.items()
+            if v.get("rows_match") and v.get("schema_match")}
+
+
 def test_rotation_accounting() -> None:
-    """Round-3 rotation bookkeeping: the 13 rotated-out queries were all
-    driver-green in CORRECTNESS_r02 and sit immediately after the
-    window; the 13 rotation-ins were all absent from the r02 window."""
+    """Round-4 rotation bookkeeping: every rotated-out query carries
+    prior driver-green evidence (r3 for the 13 round-3 ins, r2 AND r3
+    for the 11 pinned-slot retirements); every rotation-in was never in
+    any prior CORRECTNESS window; no name is both pinned and rotated."""
     from loc2vec_spark import queries as q
-    names = _order("queries")
-    n = len(q.DRIVER_WINDOW)
-    assert names[n:n + len(q.ROTATED_OUT_R3)] == list(q.ROTATED_OUT_R3)
-    r2_window = set(q.DRIVER_WINDOW[:37]) | set(q.ROTATED_OUT_R3)
-    rotation_ins = set(q.DRIVER_WINDOW) - set(q.DRIVER_WINDOW[:37])
-    assert len(rotation_ins) == 13
-    assert not rotation_ins & r2_window
+    r2 = _green(_REPO / "CORRECTNESS_r02.json")
+    r3 = _green(_REPO / "CORRECTNESS_r03.json")
+    out_r4 = set(q.ROTATED_OUT_R4)
+    assert len(out_r4) == 24
+    assert out_r4 <= r2 | r3          # all have driver-green evidence
+    assert set(q.ROTATED_OUT_R4[13:]) <= r2 & r3  # retirements twice-green
+    pinned = set(q.DRIVER_WINDOW[:26])
+    ins = set(q.DRIVER_WINDOW[26:])
+    assert len(ins) == 24
+    assert not ins & (r2 | r3 | set(q.ROTATED_OUT_R3) | out_r4)
+    assert not pinned & (out_r4 | set(q.ROTATED_OUT_R3))
+
+
+def test_every_query_has_driver_window_placement() -> None:
+    """VERDICT r3 item 7: the union of all CORRECTNESS_r* window names
+    plus the current DRIVER_WINDOW must cover every oracle-backed
+    registered query. A new query must either enter the window or this
+    test forces the author to do rotation bookkeeping. Rows-only
+    queries (no DuckDB oracle) are exempt — they get the driver's
+    weaker rows-only check wherever they land."""
+    from loc2vec_spark import queries as q
+    seen: set[str] = set(q.DRIVER_WINDOW)
+    for p in sorted(_REPO.glob("CORRECTNESS_r*.json")):
+        seen |= set(json.loads(p.read_text()))
+    oracle_backed = {n for n, v in q.QUERIES.items()
+                     if v.duck_sql is not None}
+    missing = oracle_backed - seen
+    assert not missing, f"queries without driver-window placement: {missing}"
 
 
 def test_window_queries_all_oracle_checked() -> None:

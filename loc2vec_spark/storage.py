@@ -56,29 +56,81 @@ def bucketed_join_is_shuffle_free(a: DataFrame, b: DataFrame,
             and "Exchange hashpartitioning" not in plan)
 
 
+def _exact_partition_keys(spark: SparkSession, n: int) -> list[int]:
+    """One bigint key per target partition: the smallest ``id`` with
+    ``pmod(murmur3(id), n) == p`` for each ``p`` in ``0..n-1``.
+
+    ``df.repartition(n, col)`` routes rows by ``pmod(hash(col), n)``
+    where ``hash`` is the same Murmur3 (seed 42) that ``F.hash``
+    computes, so routing each z-bucket through its probed key places it
+    in exactly one partition — a bijective, fully deterministic layout.
+    The probe is one bounded job (64·n candidate ids, n rows collected);
+    with 64·n uniform hashes the odds of an unhit partition are
+    ``n·((n-1)/n)^(64n) < 1e-27`` even at n=1, and the guard below
+    turns the impossible miss into a loud error rather than a bad
+    layout.
+    """
+    from pyspark.sql import functions as F
+
+    rows = (spark.range(0, max(4096, 64 * n))
+                 .select(F.pmod(F.hash("id"), F.lit(n)).alias("p"), "id")
+                 .groupBy("p").agg(F.min("id").alias("k"))
+                 .collect())
+    keys = {r["p"]: r["k"] for r in rows}
+    if len(keys) < n:
+        raise ValueError(f"partition-key probe hit {len(keys)}/{n} "
+                         "partitions; widen the probe range")
+    return [keys[p] for p in range(n)]
+
+
 def zorder_by(df: DataFrame, i_col: str, j_col: str, *, bits: int = 8,
-              n_files: int = 32) -> DataFrame:
+              n_files: int = 32, deterministic: bool = True) -> DataFrame:
     """Z-order (Morton) clustering for 2-D min/max data skipping.
 
     Interleaves the bits of two non-negative integer columns (cell i/j —
-    ``cells.ij_sql`` output) into a ``__z`` key, range-partitions on it,
-    and sorts within partitions — so each output file covers a compact
+    ``cells.ij_sql`` output) into a ``__z`` key, partitions on it, and
+    sorts within partitions — so each output file covers a compact
     square-ish (i, j) region. Parquet footer min/max stats on ``i_col``/
     ``j_col`` then prune 2-D range predicates (a k-ring probe, a bbox
     scan) to a handful of files; a 1-D lat-sort layout leaves every file
     spanning the full other dimension and prunes nothing on it.
 
-    Scale shape: ``repartitionByRange`` samples boundaries (no global
-    single-task sort — the NTILE formulation in the ``zorder_locality``
-    oracle is the deterministic small-scale face of exactly this) and
-    the write stays fully parallel. This is the plain-parquet analog of
-    Iceberg/Delta ``ZORDER BY`` table maintenance.
+    ``deterministic=True`` (default): each file is an EXACT z-range —
+    ``bucket = (z * n_files) >> (2 * bits)`` (pure integer math), routed
+    bijectively to shuffle partitions via probed Murmur3 keys. The
+    layout is a pure function of the data: byte-identical across runs,
+    sessions, and prior RDD history, which is the engine's
+    reproducible-layout claim (SURVEY §7.0) — and when ``n_files``
+    divides the z-range at a quadrant boundary (any power of four),
+    every file is an exact Morton quadrant. The trade: heavy spatial
+    skew (hot cities) makes fixed z-ranges uneven in ROWS per file;
+    raise ``n_files`` or pass ``deterministic=False`` to let
+    ``repartitionByRange`` sample row-balanced boundaries instead
+    (balanced files, but boundary placement varies with the sampling
+    seed, i.e. with session history).
+
+    Scale shape: both modes are one shuffle and a fully parallel write —
+    no global single-task sort. The NTILE formulation in the
+    ``zorder_locality`` oracle is the small-scale SQL face of the same
+    clustering. This is the plain-parquet analog of Iceberg/Delta
+    ``ZORDER BY`` table maintenance.
     """
     from pyspark.sql import functions as F
 
     from .functions import morton_sql
     z = F.expr(morton_sql(i_col, j_col, bits))
+    if not deterministic:
+        return (df.withColumn("__z", z)
+                  .repartitionByRange(n_files, "__z")
+                  .sortWithinPartitions("__z")
+                  .drop("__z"))
+    keys = _exact_partition_keys(df.sparkSession, n_files)
+    bucket = F.shiftright(z * F.lit(n_files), 2 * bits)
+    key = F.element_at(
+        F.array(*[F.lit(k).cast("bigint") for k in keys]),
+        (bucket + F.lit(1)).cast("int"))
     return (df.withColumn("__z", z)
-              .repartitionByRange(n_files, "__z")
+              .withColumn("__zk", key)
+              .repartition(n_files, "__zk")
               .sortWithinPartitions("__z")
-              .drop("__z"))
+              .drop("__z", "__zk"))

@@ -50,7 +50,14 @@ def _hits(bboxes, ci_rng, cj_rng):
 def test_zorder_prunes_on_both_dimensions(spark, grid, tmp_path):
     """The z-order claim is BALANCED pruning: a 1-D ci-sort layout
     prunes ci probes perfectly but a cj-only predicate hits every file;
-    z-order bounds the unprunable fraction on either dimension."""
+    z-order bounds the unprunable fraction on either dimension.
+
+    With the deterministic layout (fixed z-range buckets, bijective
+    partition routing — no sampled boundaries, no RDD-id seed, no
+    session-history dependence), 16 files over an 8-bit grid are the 16
+    EXACT 64x64 Morton quadrants, so every prune count below is an
+    exact equality, not a jittery margin (VERDICT r3 item 2: the old
+    repartitionByRange layout failed 1-in-2 full-suite runs)."""
     zpath = str(tmp_path / "z")
     storage.zorder_by(grid, "ci", "cj", bits=8, n_files=16) \
         .write.parquet(zpath)
@@ -62,28 +69,49 @@ def test_zorder_prunes_on_both_dimensions(spark, grid, tmp_path):
     assert spark.read.parquet(zpath).count() == grid.count()
 
     zb, sb = _file_bboxes(spark, zpath), _file_bboxes(spark, spath)
-    assert len(zb) >= 8 and len(sb) >= 8
+    assert len(sb) >= 8
     FULL, PROBE = (0, 255), (100, 131)
 
     # the 1-D layout's failure mode: a cj-only probe scans EVERY file
     assert _hits(sb, FULL, PROBE) == len(sb)
-    # z-order: either single-dimension probe prunes a real fraction.
-    # Margins allow +-1-2 files of boundary jitter: repartitionByRange
-    # SAMPLES its range boundaries with a seed derived from the RDD id,
-    # i.e. from how many RDDs the shared session created before this
-    # test — a session-history dependence that shifted splits off the
-    # quadrant seams when unrelated tests ran first (12/16 observed vs
-    # 11/16 solo). The 1-D contrast above stays exact (16/16 unpruned).
-    assert _hits(zb, PROBE, FULL) <= 0.8 * len(zb)
-    assert _hits(zb, FULL, PROBE) <= 0.8 * len(zb)
-    # and a 2-D probe (the k-ring / bbox scan shape) still prunes a
-    # sizeable fraction — (100,131) deliberately straddles the Z
-    # curve's top-level quadrant seam at 128, its worst alignment
-    # (6/16 solo, up to 9/16 observed under full-suite RDD-id history
-    # — the same seed dependence as the note above); a
-    # quadrant-interior probe prunes far more
-    assert _hits(zb, PROBE, PROBE) <= 0.65 * len(zb)
-    assert _hits(zb, (64, 95), (64, 95)) <= 0.45 * len(zb)
+
+    # deterministic z-order: exactly 16 files, each an exact 64x64
+    # quadrant (bucket = z >> 12, z-aligned blocks of 2^12 = squares)
+    assert len(zb) == 16
+    assert sorted(zb) == sorted(
+        (ci0, ci0 + 63, cj0, cj0 + 63)
+        for ci0 in (0, 64, 128, 192) for cj0 in (0, 64, 128, 192))
+    # PROBE ci-range [100,131] straddles the 128 seam: 2 of 4 ci-bands
+    # x 4 cj-bands = 8 files; same for the cj-only probe
+    assert _hits(zb, PROBE, FULL) == 8
+    assert _hits(zb, FULL, PROBE) == 8
+    # 2-D probe (k-ring / bbox shape) at the worst seam alignment: 2x2
+    assert _hits(zb, PROBE, PROBE) == 4
+    # quadrant-interior probe: exactly 1 file survives
+    assert _hits(zb, (64, 95), (64, 95)) == 1
+
+
+def test_zorder_layout_deterministic_across_sessions(spark, grid,
+                                                     tmp_path):
+    """Reproducible-layout claim (SURVEY §7.0): two writes of the same
+    data — after unrelated jobs have shifted the session's RDD-id
+    history — produce identical file->rowset layouts."""
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    storage.zorder_by(grid, "ci", "cj", bits=8, n_files=16) \
+        .write.parquet(a)
+    spark.range(1000).selectExpr("sum(id)").collect()  # perturb RDD ids
+    storage.zorder_by(grid, "ci", "cj", bits=8, n_files=16) \
+        .write.parquet(b)
+
+    def layout(path):
+        out = {}
+        for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+            pdf = pd.read_parquet(f, columns=["ci", "cj", "row_id"])
+            key = (pdf.ci.min(), pdf.cj.min())
+            out[key] = sorted(pdf.row_id.tolist())
+        return out
+
+    assert layout(a) == layout(b)
 
 
 def test_morton_expression_matches_numpy(spark, grid):

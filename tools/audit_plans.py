@@ -231,7 +231,9 @@ def main() -> None:
         ("pure Catalyst", s8["python"] == 0),
     ])
 
-    # 9. z-order write plan — one range exchange, no global sort
+    # 9. z-order write plan — one hash exchange on the deterministic
+    # bucket key, no global sort (the sampled rangepartitioning mode is
+    # the deterministic=False fallback)
     from loc2vec_spark import storage
     zdf = storage.zorder_by(pts_km.selectExpr(
         "vec_id", "CAST(lat AS BIGINT) AS ci", "CAST(lon AS BIGINT) AS cj"),
@@ -239,9 +241,10 @@ def main() -> None:
     p9 = plan_of(zdf)
     s9 = summarize(p9)
     audit("zorder_by (clustered write shape)", zdf, [
-        ("exactly one exchange: rangepartitioning on the Morton key "
-         "(sampled boundaries, no single-task global sort)",
-         s9["exchanges"] == 1 and "rangepartitioning" in p9),
+        ("exactly one exchange: hashpartitioning on the probed bucket "
+         "key (fixed z-ranges, deterministic layout, no single-task "
+         "global sort)",
+         s9["exchanges"] == 1 and "hashpartitioning" in p9),
         ("sort is within-partition only (no Exchange SinglePartition)",
          "SinglePartition" not in p9),
         ("pure Catalyst (Morton interleave is arithmetic)",

@@ -53,6 +53,12 @@ def main(argv=None) -> None:
     ap.add_argument("--nprobe", type=int, default=8)
     ap.add_argument("--refine", type=int, default=50)
     ap.add_argument("--topk", type=int, default=10)
+    ap.add_argument("--residual", action="store_true",
+                    help="FAISS by_residual: train/encode/search on "
+                         "coarse residuals — the right mode for "
+                         "CLUSTERED embeddings (cuts ADC distortion "
+                         "~43%% there); leave off for near-uniform "
+                         "data (see operators/pq.py docstring)")
     ap.add_argument("--keep-session", action="store_true",
                     help="do not stop the SparkSession (in-process tests)")
     args = ap.parse_args(argv)
@@ -72,19 +78,25 @@ def main(argv=None) -> None:
                            iters=args.iters,
                            train_frac=args.train_frac)
     books = train_pq(emb, dim=args.dim, m=args.m, ksub=args.ksub,
-                     iters=args.iters, train_frac=args.train_frac)
+                     iters=args.iters, train_frac=args.train_frac,
+                     cents=cents if args.residual else None)
     ne = normalized_frame(emb, args.dim)
-    index = build_pq_index(emb, cents, books, dim=args.dim, ne=ne)
-    manifest = write_pq_index(spark, args.out, cents, books, index)
+    index = build_pq_index(emb, cents, books, dim=args.dim, ne=ne,
+                           residual=args.residual)
+    manifest = write_pq_index(spark, args.out, cents, books, index,
+                              residual=args.residual)
     summary = {"index_rows": sum(r["rows"] for r in manifest.values()),
-               "cells": len(manifest)}
+               "cells": len(manifest), "residual": args.residual}
 
     if args.query_mod > 0:
+        from loc2vec_spark.operators.pq import read_pq_meta
         cents_l, books_l, index_l = read_pq_index(spark, args.out)
         hits = ivfpq_search(emb, cents_l, books_l, dim=args.dim,
                             nprobe=args.nprobe, refine=args.refine,
                             topk=args.topk, query_mod=args.query_mod,
-                            ne=ne, index=index_l)
+                            ne=ne, index=index_l,
+                            residual=read_pq_meta(spark,
+                                                  args.out)["residual"])
         hits.write.mode("overwrite").parquet(f"{args.out}/search")
         summary["search_rows"] = \
             spark.read.parquet(f"{args.out}/search").count()

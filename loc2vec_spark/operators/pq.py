@@ -44,10 +44,23 @@ Spark-first shape:
   those ``refine`` rows (the only contact with the float vectors) ->
   top-k.
 
+Coarse-residual mode (round 4 — FAISS ``by_residual``): with
+``cents`` passed to :func:`train_pq` and ``residual=True`` threaded
+through build/search, codes quantize ``nx - centroid[cid]`` and the
+query side of the ADC residualizes per probed cell. MEASURED: on
+clustered data (the real-embedding regime) residual cuts mean ADC
+distortion 43% (test_pq); on the uniform-random worst-case fixture it
+*inflates* the target (unit centroids are near-orthogonal to unit
+points, ``||x - c||^2 ~ 1.6``) and lowers recall — so the uniform
+bench runs ``residual=False`` and clustered deployments should run
+``residual=True`` (``read_pq_meta`` records which mode a persisted
+index used).
+
 Determinism: normalized components are 6dp-quantized, numpy argmin
-takes the first minimal code, ADC is fixed-order float64, final ranks
-tie-break on neighbor_id — bit-identical at any parallelism
-(test_pq asserts across repartitionings).
+takes the first minimal code, ADC is fixed-order float64, the residual
+is an elementwise ``zip_with`` over a constant-folded centroid map,
+final ranks tie-break on neighbor_id — bit-identical at any
+parallelism (test_pq asserts across repartitionings).
 """
 
 from __future__ import annotations
@@ -92,6 +105,27 @@ def _books_arr(books: list[list[tuple]]) -> np.ndarray:
     """(M, ksub, subdim) float64 array from the books structure."""
     return np.asarray([[comps for _, comps in sorted(b)] for b in books],
                       dtype=np.float64)
+
+
+def residual_col(cents: list[tuple], nx_col, cid_col: str = "cid"):
+    """JVM-side coarse residual: ``nx - centroid[cid]`` (FAISS IVFPQ's
+    ``by_residual`` — Jegou et al. §IV encode the offset from the coarse
+    cell, whose spread is far smaller than the raw vectors', so the
+    same ksub=256 budget buys a finer quantizer).
+
+    Pure Catalyst: the centroid table is a constant-folded map literal
+    (k x dim doubles — one precomputed object, not per-row codegen) and
+    the subtraction is ``zip_with`` — elementwise IEEE doubles, so the
+    residual is bit-deterministic at any parallelism. ``nx_col`` may be
+    a name or a Column (the normalized-vector expression)."""
+    pairs = []
+    for cid, comps in sorted(cents):
+        pairs.append(F.lit(int(cid)))
+        pairs.append(F.array(*[F.lit(float(x)) for x in comps]))
+    cmap = F.create_map(*pairs)
+    nx = F.col(nx_col) if isinstance(nx_col, str) else nx_col
+    cent = F.element_at(cmap, F.col(cid_col).cast("int"))
+    return F.zip_with(nx, cent, lambda x, c: x - c)
 
 
 def unpack_codes(packed: int, m: int) -> list[int]:
@@ -189,8 +223,8 @@ def adc_distance(books: list[list[tuple]], nx_col: str,
 
 def train_pq(emb_df: DataFrame, *, dim: int, m: int = 8, ksub: int = 256,
              iters: int = 3, seed: int = 177, id_col: str = "vec_id",
-             emb_col: str = "embedding",
-             train_frac: int = 1) -> list[list[tuple]]:
+             emb_col: str = "embedding", train_frac: int = 1,
+             cents: list[tuple] | None = None) -> list[list[tuple]]:
     """Train M per-subspace codebooks; returns
     ``books[m] = [(code, [subdim floats]), ...]`` (ksub entries each).
 
@@ -198,13 +232,30 @@ def train_pq(emb_df: DataFrame, *, dim: int, m: int = 8, ksub: int = 256,
     Arrow encode pass assigns ALL M codes, then M tiny groupBy(byte)
     updates (ksub groups, subdim decimal sums each) — driver traffic is
     M x ksub rows per iteration, never the data.
+
+    ``cents``: coarse IVF centroids — when given, codebooks are trained
+    on coarse RESIDUALS ``nx - centroid[cid]`` (FAISS ``by_residual``),
+    using the SAME assignment kernel (raw vector + exact norm) the
+    index build and the search probes use, so train/encode/ADC all
+    quantize one distribution. Pass the same ``cents`` with
+    ``residual=True`` to :func:`build_pq_index` / :func:`ivfpq_search`.
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     if ksub > 256:
         raise ValueError("packed 8-bit sub-codes cap ksub at 256")
     subdim = dim // m
-    ne = emb_df.select(id_col, _norm_vec_col(emb_col, dim).alias("nx"))
+    if cents is not None:
+        from ..functions import SPARK_BASE, norm_sql
+        nf = emb_df.selectExpr(
+            id_col, emb_col,
+            f"{norm_sql(emb_col, dim, SPARK_BASE)} AS nrm")
+        asg = assign_arrow_vec(nf, cents, emb_col, dim, norm_col="nrm")
+        ne = asg.select(id_col, residual_col(
+            cents, _norm_vec_col(emb_col, dim, norm_col="nrm"),
+            "cid").alias("nx"))
+    else:
+        ne = emb_df.select(id_col, _norm_vec_col(emb_col, dim).alias("nx"))
     if train_frac > 1:
         ne = ne.filter(seed_hash_col(id_col, seed) % train_frac == 0)
     ne = ne.cache()
@@ -279,24 +330,28 @@ _normalized_cached = normalized_frame
 def build_pq_index(emb_df: DataFrame, cents: list[tuple],
                    books: list[list[tuple]], *, dim: int,
                    id_col: str = "vec_id", emb_col: str = "embedding",
-                   ne: DataFrame | None = None) -> DataFrame:
+                   ne: DataFrame | None = None,
+                   residual: bool = False) -> DataFrame:
     """The compressed index relation: (neighbor_id, cid, pq_code BIGINT)
-    — one coarse-assign pass + one encode pass over the (shared cached)
-    normalized frame, equi-joined on id. This is the ONLY relation the
-    ANN candidate join ever ships at scale; persist it with
+    — ONE pass over the (shared cached) normalized frame: coarse-assign,
+    then encode in the same projection (no self-join — the cid the
+    residual needs is already on the row). This is the ONLY relation
+    the ANN candidate join ever ships at scale; persist it with
     :func:`write_pq_index` (partitioned by cid) so probes read just the
-    probed cells' files."""
+    probed cells' files.
+
+    ``residual=True``: codes quantize ``nx - centroid[cid]`` (books
+    must come from ``train_pq(..., cents=cents)``)."""
     if ne is None:
         ne = normalized_frame(emb_df, dim, id_col, emb_col)
-    cells = assign_arrow_vec(ne, cents, emb_col, dim, norm_col="nrm") \
-        .select(F.col(id_col).alias("neighbor_id"), "cid")
+    asg = assign_arrow_vec(ne, cents, emb_col, dim, norm_col="nrm")
     # encode from the cached normalized frame AND its precomputed nrm:
-    # saves both the second full scan and the dim-term norm recompute
-    # over the largest relation here (bit-identical — see _norm_vec_col)
-    codes = encode_pq(ne, books, dim=dim, id_col=id_col,
-                      emb_col=emb_col, norm_col="nrm") \
-        .select(F.col(id_col).alias("neighbor_id"), "pq_code")
-    return cells.join(codes, "neighbor_id")
+    # saves the dim-term norm recompute over the largest relation here
+    # (bit-identical — see _norm_vec_col)
+    nx = _norm_vec_col(emb_col, dim, norm_col="nrm")
+    rx = residual_col(cents, nx, "cid") if residual else nx
+    return asg.select(F.col(id_col).alias("neighbor_id"), "cid",
+                      _encode_udf(books)(rx).alias("pq_code"))
 
 
 def ivfpq_shortlist(emb_df: DataFrame, cents: list[tuple],
@@ -305,7 +360,8 @@ def ivfpq_shortlist(emb_df: DataFrame, cents: list[tuple],
                     query_mod: int = 25, id_col: str = "vec_id",
                     emb_col: str = "embedding",
                     ne: DataFrame | None = None,
-                    index: DataFrame | None = None) -> DataFrame:
+                    index: DataFrame | None = None,
+                    residual: bool = False) -> DataFrame:
     """(query_id, neighbor_id) ADC shortlist — the exact-contact set.
 
     Exposed separately so the bench can MEASURE the exact-vector
@@ -316,19 +372,30 @@ def ivfpq_shortlist(emb_df: DataFrame, cents: list[tuple],
     ``index``: a prebuilt/persisted (neighbor_id, cid, pq_code)
     relation (:func:`build_pq_index` / :func:`read_pq_index`); when
     omitted it is computed inline from ``emb_df``.
+
+    ``residual=True``: the query side of the ADC is residualized PER
+    PROBED CELL (``q_nx - centroid[cid]`` after the nprobe explode), so
+    ADC(q, code) estimates ``||(q - c) - decode(code)||^2 =
+    ||q - (c + decode(code))||^2`` — the FAISS residual ADC identity.
+    Must match how the index was encoded.
     """
     if ne is None:
         ne = normalized_frame(emb_df, dim, id_col, emb_col)
     if index is None:
         index = build_pq_index(emb_df, cents, books, dim=dim,
-                               id_col=id_col, emb_col=emb_col, ne=ne)
+                               id_col=id_col, emb_col=emb_col, ne=ne,
+                               residual=residual)
 
     queries = ne.filter(F.col(id_col) % query_mod == 0)
+    q_nx = _norm_vec_col(emb_col, dim, norm_col="nrm")
     probes = assign_arrow_vec(queries, cents, emb_col, dim,
                               norm_col="nrm", nprobe=nprobe) \
-        .select(F.col(id_col).alias("query_id"),
-                _norm_vec_col(emb_col, dim, norm_col="nrm").alias("q_nx"),
+        .select(F.col(id_col).alias("query_id"), q_nx.alias("q_nx"),
                 "cid")
+    if residual:
+        probes = probes.select(
+            "query_id", residual_col(cents, "q_nx", "cid").alias("q_nx"),
+            "cid")
 
     wadc = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
     return (probes.join(index, "cid")
@@ -346,7 +413,8 @@ def ivfpq_search(emb_df: DataFrame, cents: list[tuple],
                  id_col: str = "vec_id",
                  emb_col: str = "embedding",
                  ne: DataFrame | None = None,
-                 index: DataFrame | None = None) -> DataFrame:
+                 index: DataFrame | None = None,
+                 residual: bool = False) -> DataFrame:
     """IVF-PQ + refine: candidates scored from codes (ADC), exact cosine
     only for the top-``refine`` per query. Same output contract as
     `ann.ivf_trained`: (query_id, ann_rank, neighbor_id, cosine).
@@ -355,13 +423,16 @@ def ivfpq_search(emb_df: DataFrame, cents: list[tuple],
     frame across repeated searches (and ``ne.unpersist()`` after);
     without it one is built per call and lives until the session's
     cache is cleared. Pass ``index=read_pq_index(...)[2]`` to search a
-    persisted index instead of re-encoding the base table."""
+    persisted index instead of re-encoding the base table.
+    ``residual``: must match how books/index were trained/encoded (the
+    exact-cosine re-rank itself is residual-agnostic)."""
     if ne is None:
         ne = normalized_frame(emb_df, dim, id_col, emb_col)
     shortlist = ivfpq_shortlist(emb_df, cents, books, dim=dim,
                                 nprobe=nprobe, refine=refine,
                                 query_mod=query_mod, id_col=id_col,
-                                emb_col=emb_col, ne=ne, index=index)
+                                emb_col=emb_col, ne=ne, index=index,
+                                residual=residual)
 
     from .ann import dot_products
     q = ne.select(F.col(id_col).alias("query_id"),
@@ -392,10 +463,18 @@ def ivfpq_search(emb_df: DataFrame, cents: list[tuple],
 # ---------------------------------------------------------------------------
 
 def write_pq_index(spark, out_dir: str, cents: list[tuple],
-                   books: list[list[tuple]], index: DataFrame) -> dict:
+                   books: list[list[tuple]], index: DataFrame,
+                   *, residual: bool = False) -> dict:
     """Persist (coarse centroids, PQ codebooks, codes index) under
-    ``out_dir``; returns the index's lineage manifest dict."""
+    ``out_dir``; returns the index's lineage manifest dict.
+    ``residual`` is recorded in a meta table so a later reader searches
+    the index in the encoding mode it was built with
+    (:func:`read_pq_meta`)."""
     from .. import lineage
+    spark.createDataFrame([(bool(residual), len(books))],
+                          "residual BOOLEAN, m INT") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(f"{out_dir}/meta")
     cent_rows = [(int(cid), [float(x) for x in comps])
                  for cid, comps in cents]
     spark.createDataFrame(cent_rows,
@@ -442,3 +521,15 @@ def read_pq_index(spark, out_dir: str
         .select("neighbor_id", F.col("cid").cast("int").alias("cid"),
                 "pq_code")
     return cents, books, index
+
+
+def read_pq_meta(spark, out_dir: str) -> dict:
+    """Encoding-mode metadata of a persisted index:
+    ``{"residual": bool, "m": int}``. Indexes written before the meta
+    table existed (round 3) were all non-residual — absent meta reads
+    as ``residual=False``."""
+    try:
+        r = spark.read.parquet(f"{out_dir}/meta").collect()[0]
+        return {"residual": bool(r["residual"]), "m": int(r["m"])}
+    except Exception:
+        return {"residual": False, "m": 8}

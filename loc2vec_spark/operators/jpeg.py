@@ -1,4 +1,5 @@
-"""Baseline JPEG codec, pure numpy + stdlib — no external libraries.
+"""JPEG codec (baseline + progressive), pure numpy + stdlib — no
+external libraries.
 
 Closes the last multimodal decode stub (r2 verdict item 5): the
 reference ingests PNG *and JPEG* tiles through torchvision's
@@ -10,19 +11,25 @@ flow through every existing image operator (decode_stats,
 image_quality, phash, augmentation) via the magic-sniffing
 :func:`loc2vec_spark.operators.images.decode_image`.
 
-Scope (baseline sequential DCT, the overwhelming majority of tiles in
-the wild): SOF0, 8-bit samples, Huffman entropy coding, 1 or 3
-components, arbitrary h/v sampling factors (4:4:4 / 4:2:2 / 4:2:0
-included), restart markers. Progressive (SOF2) and arithmetic coding
-raise loudly — the caller's quarantine path handles them like any
-corrupt tile.
+Scope: SOF0/1 baseline sequential DCT AND SOF2 progressive (spectral
+selection + successive approximation, ITU T.81 Annex G — the majority
+of web-sourced JPEGs; round 4, closing VERDICT r3 item 6), 8-bit
+samples, Huffman entropy coding, 1 or 3 components, arbitrary h/v
+sampling factors (4:4:4 / 4:2:2 / 4:2:0 included), restart markers,
+SOS component order independent of SOF order (T.81 B.2.3). Arithmetic
+coding, 12-bit, hierarchical, and CMYK raise ValueError loudly — the
+caller's quarantine path handles them like any corrupt tile (every
+malformed input surfaces as ValueError; r3 ADVICE exception contract).
 
 The encoder exists for golden round-trips and debug sinks: standard
 Annex-K quantization + Huffman tables, libjpeg quality scaling,
-optional 2x2 chroma subsampling. tests/test_jpeg.py pins
-decode(encode(x)) to PSNR >= 40 dB at quality 90 — the same "decoded
-tile pixels allclose, PSNR>=40dB for lossy formats" bar
-BASELINE.json's north_star sets for matching the reference.
+optional 2x2 chroma subsampling, and a progressive scan-script mode
+(``progressive=True``) that exercises every Annex-G decode path.
+tests/test_jpeg.py pins decode(encode(x)) to PSNR >= 40 dB at quality
+90 — the same "decoded tile pixels allclose, PSNR>=40dB for lossy
+formats" bar BASELINE.json's north_star sets for matching the
+reference — and pins decode(progressive) bit-identical to
+decode(baseline) of the same pixels.
 
 Performance shape: marker parsing and Huffman bit-reading are
 per-symbol Python (inherent to the format's serial entropy stream);
@@ -332,20 +339,193 @@ def _write_block(bw: _BitWriter, zz: np.ndarray, pred: int,
     return dc
 
 
+def _prog_comp_data(planes: list, gray: bool, subsample: bool,
+                    qt_l: np.ndarray, qt_c: np.ndarray):
+    """Per-component quantized zigzag blocks + grids for the
+    progressive scan writers: ``bw``/``bh`` MCU-padded (DC scans),
+    ``nbw``/``nbh`` the true block grid (AC scans)."""
+    comps = []
+    if gray or not subsample:
+        for ci, plane in enumerate(planes):
+            blocks, bwid, bhgt = _blockify(plane)
+            comps.append({"zz": _encode_plane_blocks(
+                              blocks, qt_l if ci == 0 else qt_c),
+                          "bw": bwid, "bh": bhgt,
+                          "nbw": bwid, "nbh": bhgt, "hs": 1, "vs": 1})
+        return comps, comps[0]["bw"], comps[0]["bh"]
+    yb, ybw, ybh = _blockify(planes[0])
+    nbw, nbh = ybw, ybh
+    if ybw % 2 or ybh % 2:
+        Yp = np.pad(planes[0], ((0, (ybh % 2) * 8), (0, (ybw % 2) * 8)),
+                    mode="edge")
+        yb, ybw, ybh = _blockify(Yp)
+    comps.append({"zz": _encode_plane_blocks(yb, qt_l),
+                  "bw": ybw, "bh": ybh, "nbw": nbw, "nbh": nbh,
+                  "hs": 2, "vs": 2})
+    for plane in planes[1:]:
+        cbb, cbw, cbh = _blockify(plane)
+        comps.append({"zz": _encode_plane_blocks(cbb, qt_c),
+                      "bw": cbw, "bh": cbh, "nbw": cbw, "nbh": cbh,
+                      "hs": 1, "vs": 1})
+    return comps, ybw // 2, ybh // 2
+
+
+def _prog_blocks(cd: dict):
+    """The component's TRUE block rows (raster order) — the coverage
+    of a non-interleaved progressive scan."""
+    for by in range(cd["nbh"]):
+        for bx in range(cd["nbw"]):
+            yield cd["zz"][by * cd["bw"] + bx]
+
+
+def _progressive_scans(planes: list, gray: bool, subsample: bool,
+                       qt_l: np.ndarray, qt_c: np.ndarray) -> bytes:
+    """SOS segments for the progressive scan script: interleaved DC
+    first (Al=1) -> per-component AC first (Ss=1..63, Al=1) -> DC
+    refinement (Ah=1, Al=0) -> per-component AC refinement. EOB runs
+    are flushed per block (run length 1) — always legal, and it keeps
+    the writer stateless across blocks."""
+    comps, mcux, mcuy = _prog_comp_data(planes, gray, subsample,
+                                        qt_l, qt_c)
+    dc_l, _ = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l, _ = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c, _ = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c, _ = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    dc_encs = [dc_l] + [dc_c] * (len(comps) - 1)
+    ac_encs = [ac_l] + [ac_c] * (len(comps) - 1)
+    out = bytearray()
+
+    def sos(comp_ids, ss, se, ah, al, payload: bytes) -> None:
+        seg = bytes([len(comp_ids)])
+        for ci in comp_ids:
+            tid = 0 if ci == 0 else 1
+            seg += bytes([ci + 1, tid * 16 + tid])
+        seg += bytes([ss, se, ah * 16 + al])
+        out.extend(b"\xff\xda" + struct.pack(">H", 2 + len(seg)) + seg)
+        out.extend(payload)
+
+    def dc_mcu_order():
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, cd in enumerate(comps):
+                    for dy in range(cd["vs"]):
+                        for dx in range(cd["hs"]):
+                            yield ci, ((my * cd["vs"] + dy) * cd["bw"]
+                                       + (mx * cd["hs"] + dx))
+
+    AL = 1
+    # 1. DC first, interleaved, point transform Al=1 (arithmetic shift)
+    bwr = _BitWriter()
+    preds = [0] * len(comps)
+    for ci, bi in dc_mcu_order():
+        v = int(comps[ci]["zz"][bi, 0]) >> AL
+        size, bits = _magnitude(v - preds[ci])
+        code, length = dc_encs[ci][size]
+        bwr.write(code, length)
+        if size:
+            bwr.write(bits, size)
+        preds[ci] = v
+    bwr.flush()
+    sos(list(range(len(comps))), 0, 0, 0, AL, bwr.buf)
+
+    # 2. AC first per component (Ss=1..63, Al=1): magnitude truncated
+    # toward zero (T.81 G.1.2.2 point transform, unlike DC's shift)
+    for ci, cd in enumerate(comps):
+        bwr = _BitWriter()
+        enc = ac_encs[ci]
+        for zz in _prog_blocks(cd):
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                t = abs(v) >> AL
+                if t == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = enc[0xF0]
+                    bwr.write(code, length)
+                    run -= 16
+                size, bits = _magnitude(t if v > 0 else -t)
+                code, length = enc[run * 16 + size]
+                bwr.write(code, length)
+                bwr.write(bits, size)
+                run = 0
+            if run:
+                code, length = enc[0x00]       # EOB, run of 1
+                bwr.write(code, length)
+        bwr.flush()
+        sos([ci], 1, 63, 0, AL, bwr.buf)
+
+    # 3. DC refinement: one raw bit per block (bit Al=0 of the value)
+    bwr = _BitWriter()
+    for ci, bi in dc_mcu_order():
+        bwr.write(int(comps[ci]["zz"][bi, 0]) & 1, 1)
+    bwr.flush()
+    sos(list(range(len(comps))), 0, 0, AL, 0, bwr.buf)
+
+    # 4. AC refinement per component (Ah=1 -> Al=0): newly significant
+    # coefficients as ±1, correction bits buffered and flushed after
+    # each symbol — the walk order the refinement decoder expects
+    for ci, cd in enumerate(comps):
+        bwr = _BitWriter()
+        enc = ac_encs[ci]
+        for zz in _prog_blocks(cd):
+            absv = [abs(int(zz[k])) for k in range(64)]
+            eob = 0
+            for k in range(1, 64):
+                if absv[k] == 1:
+                    eob = k                    # last NEWLY significant
+            r, br = 0, []
+            for k in range(1, 64):
+                t = absv[k]
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    code, length = enc[0xF0]
+                    bwr.write(code, length)
+                    r -= 16
+                    for b in br:
+                        bwr.write(b, 1)
+                    br = []
+                if t > 1:                      # already significant
+                    br.append(t & 1)
+                    continue
+                code, length = enc[r * 16 + 1]
+                bwr.write(code, length)
+                bwr.write(1 if int(zz[k]) > 0 else 0, 1)
+                for b in br:
+                    bwr.write(b, 1)
+                br = []
+                r = 0
+            if r or br:
+                code, length = enc[0x00]       # EOB, run of 1
+                bwr.write(code, length)
+                for b in br:
+                    bwr.write(b, 1)
+        bwr.flush()
+        sos([ci], 1, 63, AL, 0, bwr.buf)
+
+    return bytes(out)
+
+
 def encode_jpeg(arr: np.ndarray, quality: int = 90,
-                subsample: bool = False) -> bytes:
-    """uint8 (H, W) or (H, W, 3) -> baseline JFIF bytes.
+                subsample: bool = False,
+                progressive: bool = False) -> bytes:
+    """uint8 (H, W) or (H, W, 3) -> JFIF bytes.
 
     ``subsample=True`` uses 4:2:0 chroma (2x2 mean), exercising the
-    decoder's upsampling path; default is 4:4:4.
+    decoder's upsampling path; default is 4:4:4. ``progressive=True``
+    emits SOF2 with a libjpeg-style scan script — interleaved DC first
+    (Al=1), per-component AC first (Ss=1..63 at Al=1), DC refinement
+    (Ah=1, Al=0), per-component AC refinement — exercising every
+    Annex-G decode path; golden fixtures for decode_jpeg's progressive
+    support (the reference ingests progressive tiles transparently via
+    torchvision ``read_image``, data_loading.py:124).
     """
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     qt_l, qt_c = _quality_tables(quality)
-    dc_l_enc, _ = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
-    ac_l_enc, _ = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
-    dc_c_enc, _ = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    ac_c_enc, _ = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
 
     out = bytearray(b"\xff\xd8")                             # SOI
     out += (b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00"
@@ -359,7 +539,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
     sof += bytes([1, samp if not gray else 0x11, 0])
     if not gray:
         sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof  # SOF0
+    out += (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + struct.pack(">H", 2 + len(sof)) + sof              # SOF2/SOF0
     for cls, tid, bits, vals in (
             (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
             (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
@@ -368,11 +549,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
         payload = bytes([cls * 16 + tid]) + bytes(bits) + bytes(vals)
         out += (b"\xff\xc4" + struct.pack(">H", 2 + len(payload))
                 + payload)                                   # DHT
-    sos = bytes([ncomp, 1, 0x00])
-    if not gray:
-        sos += bytes([2, 0x11, 3, 0x11])
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos  # SOS
 
     if gray:
         planes = [arr.astype(np.float64)]
@@ -386,6 +562,21 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90,
             cb = cbp.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
             cr = crp.reshape(H // 2, 2, W // 2, 2).mean(axis=(1, 3))
         planes = [y, cb, cr]
+
+    if progressive:
+        out += _progressive_scans(planes, gray, subsample, qt_l, qt_c)
+        out += b"\xff\xd9"                                   # EOI
+        return bytes(out)
+
+    dc_l_enc, _ = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l_enc, _ = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c_enc, _ = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c_enc, _ = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    sos = bytes([ncomp, 1, 0x00])
+    if not gray:
+        sos += bytes([2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos  # SOS
 
     bwr = _BitWriter()
     if gray or not subsample:
@@ -446,11 +637,56 @@ def _idct_blocks(coefs: np.ndarray) -> np.ndarray:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 (H, W) or (H, W, 3).
+    """JFIF bytes -> uint8 (H, W) or (H, W, 3).
 
-    Raises ValueError on non-baseline variants (progressive SOF2,
-    arithmetic coding, 12-bit) — callers quarantine like corrupt PNGs.
-    """
+    Supports baseline (SOF0/1) and progressive (SOF2) Huffman streams.
+    Raises ValueError on every unsupported or corrupt input —
+    arithmetic coding, 12-bit, CMYK, truncated entropy data, missing
+    tables — so callers quarantine uniformly (r3 ADVICE: truncation
+    used to leak IndexError/EOFError/KeyError past the documented
+    contract)."""
+    try:
+        return _decode_jpeg(data)
+    except (IndexError, EOFError, KeyError, struct.error) as e:
+        raise ValueError(f"corrupt or truncated JPEG: {e!r}") from e
+
+
+def _alloc_coef(frame: dict) -> None:
+    """MCU geometry + persistent coefficient buffers on the frame.
+
+    ``bw``/``bh`` are the MCU-padded block grid (interleaved scans
+    cover it); ``nbw``/``nbh`` are the component's TRUE block grid
+    (ceil of its own sample array, T.81 A.2.2) — non-interleaved
+    progressive scans cover only that."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = -(-w // (8 * hmax))
+    frame["mcuy"] = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = frame["mcux"] * c["h"]
+        c["bh"] = frame["mcuy"] * c["v"]
+        c["nbw"] = -(-(w * c["h"]) // (8 * hmax))
+        c["nbh"] = -(-(h * c["v"]) // (8 * vmax))
+        c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+
+
+def _entropy_end(data: bytes, pos: int) -> int:
+    """Byte offset of the first real marker after ``pos`` (skips
+    stuffed 0xFF00, restart markers, and 0xFFFF fill)."""
+    i = pos
+    n = len(data)
+    while i + 1 < n:
+        if data[i] == 0xFF:
+            b = data[i + 1]
+            if b != 0x00 and b != 0xFF and not (0xD0 <= b <= 0xD7):
+                return i
+        i += 1
+    return n
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
@@ -458,6 +694,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart = 0
+    saw_scan = False
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
@@ -490,10 +727,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 _, dec = _canonical_codes(bits, vals)
                 huff[(cls, tid)] = dec
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext)
+        elif marker in (0xC0, 0xC1, 0xC2):      # SOF0/1 + SOF2
             prec = seg[0]
             if prec != 8:
-                raise ValueError("only 8-bit baseline supported")
+                raise ValueError("only 8-bit samples supported")
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             if ncomp not in (1, 3):
@@ -514,60 +751,85 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 # normalize so the MCU loop decodes 1 block per MCU
                 # instead of h*v blocks against a 1-block stream
                 comps[0]["h"] = comps[0]["v"] = 1
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            _alloc_coef(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
+                f"unsupported JPEG coding process (SOF{marker - 0xC0})")
         elif marker == 0xDD:                    # DRI
             (restart,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:                    # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                # legal baseline files MAY split components across
-                # scans (non-interleaved, Annex B) — this decoder only
-                # implements the single interleaved scan; decoding a
-                # partial scan with the full-frame MCU loop would read
-                # garbage, so refuse loudly (r3 review)
-                raise ValueError(
-                    "non-interleaved (multi-scan) baseline JPEG "
-                    "unsupported")
             scan = {}
+            order = []                          # SOS component order
+            by_id = {c["id"]: c for c in frame["comps"]}
             for i in range(ns):
                 cid, tabs = seg[1 + 2 * i], seg[2 + 2 * i]
+                if cid not in by_id:
+                    raise ValueError(f"scan component {cid} not in SOF")
                 scan[cid] = (tabs >> 4, tabs & 0xF)
-            return _decode_scan(data, pos + seglen, frame, scan,
-                                qtabs, huff, restart)
+                order.append(cid)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            a = seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            if not frame["progressive"]:
+                if ns != len(frame["comps"]):
+                    # legal baseline files MAY split components across
+                    # scans (non-interleaved, Annex B) — this decoder
+                    # only implements the single interleaved baseline
+                    # scan; decoding a partial scan with the full-frame
+                    # MCU loop would read garbage, so refuse loudly
+                    # (r3 review)
+                    raise ValueError(
+                        "non-interleaved (multi-scan) baseline JPEG "
+                        "unsupported")
+                # entropy decode follows the SOS component order, which
+                # MAY differ from SOF order (ITU T.81 B.2.3) — decoding
+                # in SOF order scrambles channels silently (r3 ADVICE)
+                _decode_scan(data, pos + seglen, frame, scan, huff,
+                             restart, order)
+                return _reconstruct(frame, qtabs)
+            _decode_prog_scan(data, pos + seglen, frame, scan, huff,
+                              restart, order, ss, se, ah, al)
+            saw_scan = True
+            pos = _entropy_end(data, pos + seglen)
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive") and saw_scan:
+        return _reconstruct(frame, qtabs)
     raise ValueError("no scan data found")
 
 
-def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
-                 qtabs: dict, huff: dict, restart: int) -> np.ndarray:
-    h, w, comps = frame["h"], frame["w"], frame["comps"]
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    for c in comps:
-        c["bw"] = mcux * c["h"]
-        c["bh"] = mcuy * c["v"]
-        c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+def _expect_rst(rdr: _BitReader) -> bool:
+    """Consume a restart marker at the current (aligned) position;
+    returns True when one was present."""
+    rdr.align()
+    m = rdr.at_marker()
+    if m is not None and 0xD0 <= m <= 0xD7:
+        rdr.pos += 2
+        return True
+    return False
 
+
+def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
+                 huff: dict, restart: int, order: list[int]) -> None:
+    """Baseline interleaved scan -> fills each component's ``zz``."""
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    scomps = [by_id[cid] for cid in order]      # SOS order, not SOF
     rdr = _BitReader(data, pos)
     preds = {c["id"]: 0 for c in comps}
     mcu = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
+    for my in range(frame["mcuy"]):
+        for mx in range(frame["mcux"]):
             if restart and mcu and mcu % restart == 0:
-                rdr.align()
-                m = rdr.at_marker()
-                if m is not None and 0xD0 <= m <= 0xD7:
-                    rdr.pos += 2
+                if _expect_rst(rdr):
                     preds = {c["id"]: 0 for c in comps}
-            for c in comps:
+            for c in scomps:
                 dc_t = huff[(0, scan[c["id"]][0])]
                 ac_t = huff[(1, scan[c["id"]][1])]
                 for dy in range(c["v"]):
@@ -596,6 +858,155 @@ def _decode_scan(data: bytes, pos: int, frame: dict, scan: dict,
                         c["zz"][bi] = zz
             mcu += 1
 
+
+# ---------------------------------------------------------------------------
+# progressive scans (ITU T.81 Annex G: spectral selection + successive
+# approximation; the DC/AC refinement logic mirrors the de-facto
+# reference behavior every interoperable decoder implements)
+# ---------------------------------------------------------------------------
+
+def _decode_prog_scan(data: bytes, pos: int, frame: dict, scan: dict,
+                      huff: dict, restart: int, order: list[int],
+                      ss: int, se: int, ah: int, al: int) -> None:
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    scomps = [by_id[cid] for cid in order]
+    rdr = _BitReader(data, pos)
+    if ss == 0:                                   # DC scan
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        preds = {cid: 0 for cid in order}
+        dc_ts = {c["id"]: (huff[(0, scan[c["id"]][0])] if ah == 0
+                           else None) for c in scomps}
+
+        def dc_unit(c, bi):
+            if ah == 0:
+                size = rdr.decode(dc_ts[c["id"]])
+                preds[c["id"]] += _extend(rdr.read_bits(size), size)
+                c["zz"][bi, 0] = preds[c["id"]] << al
+            elif rdr.read_bit():
+                c["zz"][bi, 0] |= 1 << al
+
+        if len(scomps) > 1:                       # interleaved MCU order
+            mcu = 0
+            for my in range(frame["mcuy"]):
+                for mx in range(frame["mcux"]):
+                    if restart and mcu and mcu % restart == 0:
+                        if _expect_rst(rdr):
+                            preds = {cid: 0 for cid in order}
+                    for c in scomps:
+                        for dy in range(c["v"]):
+                            for dx in range(c["h"]):
+                                dc_unit(c, (my * c["v"] + dy) * c["bw"]
+                                        + (mx * c["h"] + dx))
+                    mcu += 1
+        else:                                     # non-interleaved
+            c = scomps[0]
+            n = 0
+            for by in range(c["nbh"]):
+                for bx in range(c["nbw"]):
+                    if restart and n and n % restart == 0:
+                        if _expect_rst(rdr):
+                            preds = {cid: 0 for cid in order}
+                    dc_unit(c, by * c["bw"] + bx)
+                    n += 1
+        return
+
+    if len(scomps) != 1:                          # AC scan
+        raise ValueError("interleaved AC scan illegal in progressive")
+    c = scomps[0]
+    ac_t = huff[(1, scan[c["id"]][1])]
+    unit = _ac_first_unit if ah == 0 else _ac_refine_unit
+    eobrun = 0
+    n = 0
+    for by in range(c["nbh"]):
+        for bx in range(c["nbw"]):
+            if restart and n and n % restart == 0:
+                if _expect_rst(rdr):
+                    eobrun = 0
+            eobrun = unit(rdr, c["zz"][by * c["bw"] + bx],
+                          ac_t, ss, se, al, eobrun)
+            n += 1
+
+
+def _ac_first_unit(rdr: _BitReader, zz: np.ndarray, ac_t: dict,
+                   ss: int, se: int, al: int, eobrun: int) -> int:
+    """First AC pass for one block: values at ``<< al`` precision with
+    cross-block EOB runs; returns the remaining EOB-run count."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rdr.decode(ac_t)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16                            # ZRL
+                continue
+            eobrun = 1 << r
+            if r:
+                eobrun += rdr.read_bits(r)
+            return eobrun - 1                      # current block done
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        zz[k] = _extend(rdr.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _ac_refine_unit(rdr: _BitReader, zz: np.ndarray, ac_t: dict,
+                    ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC successive-approximation refinement for one block: newly
+    significant coefficients arrive as ±1<<al; already-significant
+    ones receive one correction bit each as the walk passes them."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k):
+        if rdr.read_bit() and not (int(zz[k]) & p1):
+            zz[k] += p1 if zz[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rdr.decode(ac_t)
+            r, s = rs >> 4, rs & 0xF
+            if s:
+                if s != 1:
+                    raise ValueError("AC refinement magnitude != 1")
+                val = p1 if rdr.read_bit() else m1
+            else:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.read_bits(r)
+                    break                          # EOB-mode remainder
+                val = 0                            # ZRL: skip 16 zeros
+            while k <= se:
+                if zz[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:                             # corrections only
+            if zz[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(frame: dict, qtabs: dict) -> np.ndarray:
+    """Dequantize + IDCT + upsample + color transform the accumulated
+    coefficient buffers (shared by the baseline and progressive paths)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for c in comps:
         q = qtabs[c["tq"]]

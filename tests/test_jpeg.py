@@ -1,7 +1,9 @@
-"""Baseline JPEG codec (operators/jpeg.py) — round-trip PSNR goldens at
-the north_star's >=40 dB lossy bar, decoder robustness (subsampling,
-odd sizes, grayscale, restarts-free streams, corrupt bytes), and the
-Spark-side pipeline integration via decode_image's magic sniff."""
+"""JPEG codec (operators/jpeg.py) — round-trip PSNR goldens at the
+north_star's >=40 dB lossy bar, progressive (SOF2) decode pinned
+bit-identical to baseline, SOS-vs-SOF component-order independence,
+decoder robustness (subsampling, odd sizes, grayscale, corrupt bytes,
+ValueError exception contract), and the Spark-side pipeline
+integration via decode_image's magic sniff."""
 
 import numpy as np
 import pytest
@@ -85,13 +87,21 @@ def test_corrupt_and_nonbaseline_raise():
     enc = bytearray(encode_jpeg(img, 90))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x89PNG not a jpeg")
-    # flip SOF0 -> SOF2 (progressive): loud refusal, not garbage pixels
+    # relabel SOF0 -> SOF2: the baseline scan header (Ss=0, Se=63) is
+    # ILLEGAL as a progressive scan — loud refusal, not garbage pixels
     i = bytes(enc).find(b"\xff\xc0")
-    prog = bytes(enc[:i + 1]) + b"\xc2" + bytes(enc[i + 2:])
+    mislabeled = bytes(enc[:i + 1]) + b"\xc2" + bytes(enc[i + 2:])
     with pytest.raises(ValueError):
-        decode_jpeg(prog)
-    with pytest.raises(Exception):
-        decode_jpeg(bytes(enc[: len(enc) // 2]))  # truncated stream
+        decode_jpeg(mislabeled)
+    # exception CONTRACT (r3 ADVICE): truncation and missing tables
+    # must surface as ValueError, not IndexError/EOFError/KeyError
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(enc[: len(enc) // 2]))  # truncated entropy
+    j = bytes(enc).find(b"\xff\xc4")              # strip first DHT
+    (dhtlen,) = __import__("struct").unpack(">H", bytes(enc[j + 2:j + 4]))
+    no_dht = bytes(enc[:j]) + bytes(enc[j + 2 + dhtlen:])
+    with pytest.raises(ValueError):
+        decode_jpeg(no_dht)
 
 
 def test_jpeg_flows_whole_image_pipeline(spark):
@@ -157,3 +167,139 @@ def test_grayscale_sampling_factors_normalized():
     assert enc[i + 10] == 1  # component id
     patched = enc[:i + 11] + b"\x22" + enc[i + 12:]
     assert np.array_equal(decode_jpeg(patched), base)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — round 4 (VERDICT r3 item 6)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,sub,gray", [
+    ((64, 64), False, False),   # 4:4:4, MCU-aligned
+    ((61, 53), False, False),   # 4:4:4, odd dims
+    ((61, 53), True, False),    # 4:2:0, odd dims (padded luma grid)
+    ((40, 33), False, True),    # grayscale
+])
+def test_progressive_roundtrip_matches_baseline(shape, sub, gray):
+    """decode(progressive) is BIT-IDENTICAL to decode(baseline) of the
+    same pixels: both scan scripts transport the same quantized
+    coefficients, so the reconstructions must agree exactly — the
+    strongest equivalence the format admits (and well past the
+    PSNR>=40dB lossy bar of BASELINE.json)."""
+    img = _tile(*shape, seed=11)
+    if gray:
+        img = img[:, :, 0]
+    base_bytes = encode_jpeg(img, 90, subsample=sub)
+    prog_bytes = encode_jpeg(img, 90, subsample=sub, progressive=True)
+    assert b"\xff\xc2" in prog_bytes[:300]       # really SOF2
+    assert b"\xff\xc2" not in base_bytes[:300]
+    base = decode_jpeg(base_bytes)
+    prog = decode_jpeg(prog_bytes)
+    assert np.array_equal(base, prog)
+    assert _psnr(img, prog) >= 28.0              # sanity vs source
+
+
+def test_progressive_has_multiple_scans():
+    """The scan script is real: DC first + per-comp AC first + DC
+    refine + per-comp AC refine = 8 SOS segments for RGB, 4 for gray."""
+    img = _tile(48, 48, seed=3)
+    rgb = encode_jpeg(img, 90, progressive=True)
+    g = encode_jpeg(img[:, :, 0], 90, progressive=True)
+
+    def n_sos(b):
+        n = i = 0
+        while True:
+            i = b.find(b"\xff\xda", i + 1)
+            if i < 0:
+                return n
+            n += 1
+    assert n_sos(rgb) == 8
+    assert n_sos(g) == 4
+
+
+def test_progressive_flows_image_pipeline(spark):
+    """Progressive tiles ride decode_stats unchanged via the magic
+    sniff — the reference's torchvision path handles them silently
+    (data_loading.py:124) and now so does the engine."""
+    from loc2vec_spark.operators.images import decode_stats
+
+    img = _tile(seed=21)
+    rows = [("prog#0", bytearray(encode_jpeg(img, 92, progressive=True))),
+            ("prog#trunc", bytearray(
+                encode_jpeg(img, 92, progressive=True)[:200]))]
+    df = spark.createDataFrame(rows, "image_id STRING, bytes BINARY")
+    stats = {r["image_id"]: r for r in decode_stats(df).collect()}
+    assert stats["prog#0"]["ok"] and stats["prog#0"]["h"] == 64
+    assert abs(stats["prog#0"]["mean_px"] - float(img.mean())) < 2.0
+    assert not stats["prog#trunc"]["ok"]         # quarantined
+
+
+def test_sos_component_order_differs_from_sof():
+    """ITU T.81 B.2.3: the interleaved entropy stream follows the SOS
+    header's component order, which may legally differ from SOF order.
+    A (Cb, Y, Cr)-scan file must decode identically to the (Y, Cb, Cr)
+    one — the r3 ADVICE repro had maxdiff 255 from decoding in SOF
+    order (scrambled channels)."""
+    import struct
+
+    from loc2vec_spark.operators.jpeg import (_AC_CHROMA_BITS,
+                                              _AC_CHROMA_VALS,
+                                              _AC_LUMA_BITS,
+                                              _AC_LUMA_VALS,
+                                              _DC_CHROMA_BITS,
+                                              _DC_CHROMA_VALS,
+                                              _DC_LUMA_BITS,
+                                              _DC_LUMA_VALS,
+                                              _BitWriter, _blockify,
+                                              _canonical_codes,
+                                              _encode_plane_blocks,
+                                              _quality_tables,
+                                              _rgb_to_ycbcr,
+                                              _write_block)
+
+    img = _tile(48, 40, seed=17)
+    normal = decode_jpeg(encode_jpeg(img, 90))
+
+    # hand-write a legal 4:4:4 file whose SOS (and entropy stream)
+    # order is component ids (2, 1, 3) = (Cb, Y, Cr)
+    h, w = img.shape[:2]
+    qt_l, qt_c = _quality_tables(90)
+    out = bytearray(b"\xff\xd8")
+    for tid, tab in ((0, qt_l), (1, qt_c)):
+        out += (b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid])
+                + bytes(int(v) for v in tab))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    sof += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])   # SOF order Y,Cb,Cr
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, tid, bits, vals in (
+            (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+            (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+            (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+            (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)):
+        payload = bytes([cls * 16 + tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+    sos = bytes([3, 2, 0x11, 1, 0x00, 3, 0x11])          # SOS order Cb,Y,Cr
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    ycc = _rgb_to_ycbcr(img)
+    planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]     # Y, Cb, Cr
+    zz = []
+    for ci, plane in enumerate(planes):
+        blocks, _, _ = _blockify(plane)
+        zz.append(_encode_plane_blocks(blocks, qt_l if ci == 0 else qt_c))
+    dc_l, _ = _canonical_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    ac_l, _ = _canonical_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+    dc_c, _ = _canonical_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c, _ = _canonical_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    bwr = _BitWriter()
+    preds = [0, 0, 0]
+    for i in range(zz[0].shape[0]):
+        for ci in (1, 0, 2):                             # Cb, Y, Cr per MCU
+            preds[ci] = _write_block(
+                bwr, zz[ci][i], preds[ci],
+                dc_l if ci == 0 else dc_c, ac_l if ci == 0 else ac_c)
+    bwr.flush()
+    out += bwr.buf + b"\xff\xd9"
+
+    swapped = decode_jpeg(bytes(out))
+    assert np.array_equal(swapped, normal)

@@ -138,14 +138,19 @@ def main() -> None:
                   "ann_ivf_trained_candidate_frac",
                   "ann_ivf_trained_np8_recall_at10",
                   "ann_ivf_trained_np8_candidate_frac",
-                  "ann_ivfpq_np8_recall_at10", "ann_ivfpq_exact_frac",
+                  "ann_ivfpq_np10_recall_at10", "ann_ivfpq_exact_frac",
                   "scale10_fixture_rows", "scale10_tile_rows_per_sec",
                   "scale10_triplet_rows_per_sec",
                   "scale10dense_triplet_rows_per_sec",
                   "knn_rows_per_sec", "scale10_knn_rows_per_sec",
                   "dedup_lsh_rows_per_sec",
                   "scale10_dedup_lsh_rows",
-                  "scale10_dedup_lsh_rows_per_sec"):
+                  "scale10_dedup_lsh_rows_per_sec",
+                  "scale50_fixture_rows", "scale50_tile_rows_per_sec",
+                  "scale50_triplet_rows_per_sec",
+                  "scale50_knn_rows_per_sec",
+                  "scale50_dedup_lsh_rows",
+                  "scale50_dedup_lsh_rows_per_sec"):
             lo.setdefault(k, extras.get(k))
             hi.setdefault(k, extras.get(k))
         for t in (lo, hi):
@@ -245,11 +250,19 @@ cluster near-dup regime at bounded scan — tests/test_ann.py):
 | {hi.get('ann_ivf_trained_np8_candidate_frac', 'n/a')} \
 | {_lift(hi, 'ann_ivf_trained_np8')} |
 | IVF-PQ (ksub=256 codebooks, codes packed in ONE BIGINT = 8 B/row, \
-ADC, nprobe=8, refine=50; measured exact contact only \
+ADC, nprobe=10, refine=80; measured exact contact only \
 {hi.get('ann_ivfpq_exact_frac', 'n/a')} of pairs) \
-| {hi.get('ann_ivfpq_np8_recall_at10', 'n/a')} \
+| {hi.get('ann_ivfpq_np10_recall_at10', 'n/a')} \
 | {hi.get('ann_ivf_trained_np8_candidate_frac', 'n/a')} \
 | — |
+
+IVF-PQ residual note (r3 verdict item 4): coarse-residual encoding
+(FAISS ``by_residual``) is implemented and is the REAL-DATA default —
+on clustered embeddings it cuts ADC distortion ~43% (tests/test_pq.py)
+— but on the driver's uniform-random embeddings it inflates the
+quantization target (unit centroids nearly orthogonal to unit points)
+and LOWERS recall, so the uniform worst-case row above runs
+``residual=False``, by measurement (operators/pq.py docstring).
 
 10x scale point (r2 verdict item 6; same extras session as above,
 local[{hi.get('_extras_cpus', 32)}]) — per-row throughput at 10x the
@@ -263,6 +276,23 @@ pruning/salting/bucketing plans hold as data grows:
 | triplet generation, density stress (10x rows in the SAME 3 disks: per-cell pair volume ~100x before the cap) | {hi.get('triplet_rows_per_sec_extras', 'n/a')} | {hi.get('scale10dense_triplet_rows_per_sec', 'n/a')} |
 | cell-blocked kNN top-5 (cap=16, 8-dim hash embeddings; 10x constant density) | {hi.get('knn_rows_per_sec', 'n/a')} | {hi.get('scale10_knn_rows_per_sec', 'n/a')} |
 | MinHash-LSH dedup (10x = near-dup-heavy replicated corpus, {hi.get('scale10_dedup_lsh_rows', 'n/a')} docs) | {hi.get('dedup_lsh_rows_per_sec', 'n/a')} | {hi.get('scale10_dedup_lsh_rows_per_sec', 'n/a')} |
+
+50x scale point (r3 verdict item 3; same extras session): sf1.0-
+equivalent volume — {hi.get('scale50_fixture_rows', 'n/a')} fixture
+rows on a 10-lon x 5-lat shift grid (150 disjoint city disks, constant
+density) and a {hi.get('scale50_dedup_lsh_rows', 'n/a')}-doc corpus
+with duplication factor HELD at 10 (per-group letter-rotation keeps
+LSH candidate pairs linear, ~5.8 pairs/row measured — not the
+C(100,2) quadratic blowup naive replication would measure). Geometric
+pipelines are single COLD runs (bench.py bench_scale50 docstring);
+cap/salt knobs unchanged from 1x/10x:
+
+| pipeline | 1x rows/sec | 10x rows/sec | 50x rows/sec |
+|---|---|---|---|
+| tile assignment | {hi.get('tile_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_tile_rows_per_sec', 'n/a')} | {hi.get('scale50_tile_rows_per_sec', 'n/a')} |
+| triplet generation, constant density (cap={lo.get('triplet_cap', 16)}) | {hi.get('triplet_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_triplet_rows_per_sec', 'n/a')} | {hi.get('scale50_triplet_rows_per_sec', 'n/a')} |
+| cell-blocked kNN top-5 | {hi.get('knn_rows_per_sec', 'n/a')} | {hi.get('scale10_knn_rows_per_sec', 'n/a')} | {hi.get('scale50_knn_rows_per_sec', 'n/a')} |
+| MinHash-LSH dedup | {hi.get('dedup_lsh_rows_per_sec', 'n/a')} | {hi.get('scale10_dedup_lsh_rows_per_sec', 'n/a')} | {hi.get('scale50_dedup_lsh_rows_per_sec', 'n/a')} |
 
 Per-query seconds:
 

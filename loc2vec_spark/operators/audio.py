@@ -7,8 +7,10 @@ however, needs none — the container format parses with stdlib ``wave``
 path: decode, per-clip stats, and fixed-dim spectral features, all
 through the same one-Arrow-crossing ``mapInPandas`` template as
 ``images.decode_stats`` (corrupt clips quarantine via ok=false, never
-abort). Compressed codecs (mp3/aac) and video remain honestly stubbed
-in ``images.decode_av``; plugging a real decoder in is a one-function
+abort). Compressed-audio SAMPLE decode (mp3/aac synthesis) remains
+honestly stubbed, but MP3 container metadata parses for real — exact
+frame walk, duration, CBR/VBR, Xing header — in :mod:`.mp3`
+(``mp3_probe``); plugging a real sample decoder in is a one-function
 swap behind this same operator surface.
 
 Schema mirror of the images input_hint: (audio_id string, bytes binary,

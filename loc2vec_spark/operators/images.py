@@ -391,12 +391,16 @@ def decode_av(images: DataFrame, *, kind: str) -> DataFrame:
     YUV4MPEG2 parses with pure numpy
     (:mod:`loc2vec_spark.operators.video`): decode, stats, features,
     frame sampling, quarantine-on-error, all through the same
-    one-Arrow-crossing template as :func:`decode_stats`. Baseline JPEG
-    images decode for real as well (:mod:`.jpeg`, via
+    one-Arrow-crossing template as :func:`decode_stats`. Baseline and
+    progressive JPEG images decode for real as well (:mod:`.jpeg`, via
     :func:`decode_image` — kind="image" is NOT stubbed; it is the
-    default image path). The remaining compressed a/v codecs
-    (mp3/aac/h264/mp4) are honest stubs: those libraries aren't in
-    this container; plugging one in is a one-function swap behind the
+    default image path), and MP4 containers demux for real with full
+    Motion-JPEG pixel decode (:mod:`.mp4`, routed via
+    ``video.decode_video``'s magic sniff). The remaining compressed
+    a/v codecs (mp3/aac/h264 bitstream decode) are honest stubs:
+    those libraries aren't in this container — containers/metadata
+    parse (``mp4.mp4_probe``, ``audio.mp3_probe``), pixels/samples
+    quarantine; plugging a codec in is a one-function swap behind the
     same operator surface.
     """
     if kind == "audio":

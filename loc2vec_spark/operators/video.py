@@ -8,9 +8,11 @@ video gets a fully executable path: decode, per-clip stats (including a
 temporal motion metric no still-image operator can produce), frame
 sampling INTO the image pipeline (sampled frames re-encode as PNG via
 the repo codec and flow straight into ``images.decode_stats`` /
-``image_features``), and fixed-dim clip features. Compressed video
-(mp4/h264) remains honestly stubbed in ``images.decode_av`` — plugging
-a real decoder in is a one-function swap behind this same surface.
+``image_features``), and fixed-dim clip features. MP4 joins the same
+surface via :func:`decode_video`'s magic sniff: ISO-BMFF demux is real
+and Motion-JPEG tracks decode for real through the repo JPEG codec
+(:mod:`.mp4`); compressed codecs (h264/hevc/...) demux + probe but
+refuse pixel decode -> quarantine, honestly.
 
 All operators use the same one-Arrow-crossing ``mapInPandas`` template
 as ``images.decode_stats``; corrupt clips quarantine via ok=false rows
@@ -108,6 +110,20 @@ def decode_y4m(data: bytes) -> tuple[float, np.ndarray]:
     return fps, np.stack(frames)
 
 
+def decode_video(data: bytes) -> tuple[float, np.ndarray]:
+    """Magic-sniffing video decode: Y4M (here) or MP4 (:mod:`.mp4`,
+    Motion-JPEG tracks) -> (fps, (n, h, w) uint8 luma frames). The
+    video analog of ``images.decode_image``; every video operator
+    below routes through this. Unknown/undecodable input raises ->
+    the caller's quarantine path."""
+    if data.startswith(_MAGIC):
+        return decode_y4m(data)
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        from .mp4 import decode_mp4
+        return decode_mp4(data)
+    raise ValueError("unknown video container (not Y4M or ISO-BMFF)")
+
+
 STATS_SCHEMA = T.StructType([
     T.StructField("video_id", T.StringType()),
     T.StructField("ok", T.BooleanType()),
@@ -134,7 +150,7 @@ def video_stats(videos: DataFrame) -> DataFrame:
             out = []
             for vid, data in zip(pdf["video_id"], pdf["bytes"]):
                 try:
-                    fps, fr = decode_y4m(bytes(data))
+                    fps, fr = decode_video(bytes(data))
                     n, h, w = fr.shape
                     motion = float(np.mean(np.abs(
                         np.diff(fr.astype(np.int16), axis=0)))) \
@@ -178,7 +194,7 @@ def frame_sample(videos: DataFrame, *, every_s: float = 1.0,
             out = []
             for vid, data in zip(pdf["video_id"], pdf["bytes"]):
                 try:
-                    fps, fr = decode_y4m(bytes(data))
+                    fps, fr = decode_video(bytes(data))
                 except Exception:
                     continue
                 step = max(1, int(round(every_s * fps)))
@@ -211,7 +227,7 @@ def video_features(videos: DataFrame) -> DataFrame:
             ids, vecs = [], []
             for vid, data in zip(pdf["video_id"], pdf["bytes"]):
                 try:
-                    fps, fr = decode_y4m(bytes(data))
+                    fps, fr = decode_video(bytes(data))
                 except Exception:
                     continue  # quarantined
                 hist, _ = np.histogram(fr, bins=8, range=(0, 256))

@@ -138,8 +138,6 @@ def main() -> None:
             with open(p, "w") as f:
                 json.dump(res, f)
 
-    probe = hw_probe((1, args.lo, args.hi, 32))
-    probe_rows = "\n".join(f"| {k} | {v} |" for k, v in probe.items())
     # interleaved paired runs: this host has a fluctuating co-tenant
     # (load ~5-7 with nothing of ours running), so single measurements
     # are unreliable; lo/hi/lo/hi with per-config best bounds the bias
@@ -162,6 +160,13 @@ def main() -> None:
         los = [r for r in runs if r["cpus"] == args.lo]
         his = [r for r in runs if r["cpus"] == args.hi]
         assert los and his, "need runs at both --lo and --hi cpus"
+        # a composed table must be ONE protocol: mixing free-running
+        # and ballast raws would pair halves measured under different
+        # clock regimes while the protocol note claims one (review r4)
+        if len({bool(r.get("ballast")) for r in runs}) > 1:
+            raise SystemExit(
+                "refusing to compose mixed free-running and --ballast "
+                "raw JSONs into one table")
         args.n = los[0]["fixture_rows"]
     else:
         los, his = [], []
@@ -176,6 +181,10 @@ def main() -> None:
                 ballast=(args.total_cores - args.hi) if args.ballast
                 else 0))
             _save("hi", i + 1, his[-1])
+    # probe runs AFTER the raw loading/guards so a refused compose
+    # fails fast instead of burning the 30 s hardware probe first
+    probe = hw_probe((1, args.lo, args.hi, 32))
+    probe_rows = "\n".join(f"| {k} | {v} |" for k, v in probe.items())
     lo, hi = best(los), best(his)
     extras_name = None
     if args.extras_json:
@@ -191,7 +200,8 @@ def main() -> None:
                   "ann_ivf_trained_candidate_frac",
                   "ann_ivf_trained_np8_recall_at10",
                   "ann_ivf_trained_np8_candidate_frac",
-                  "ann_ivfpq_np10_recall_at10", "ann_ivfpq_exact_frac",
+                  "ann_ivfpq_np10_recall_at10",
+                  "ann_ivfpq_np10_candidate_frac", "ann_ivfpq_exact_frac",
                   "scale10_fixture_rows", "scale10_tile_rows_per_sec",
                   "scale10_triplet_rows_per_sec",
                   "scale10dense_triplet_rows_per_sec",
@@ -325,7 +335,7 @@ cluster near-dup regime at bounded scan — tests/test_ann.py):
 ADC, nprobe=10, refine=80; measured exact contact only \
 {hi.get('ann_ivfpq_exact_frac', 'n/a')} of pairs) \
 | {hi.get('ann_ivfpq_np10_recall_at10', 'n/a')} \
-| {hi.get('ann_ivf_trained_np8_candidate_frac', 'n/a')} \
+| {hi.get('ann_ivfpq_np10_candidate_frac', 'n/a')} (ADC-scanned) \
 | — |
 
 IVF-PQ residual note (r3 verdict item 4): coarse-residual encoding

@@ -257,6 +257,12 @@ def bench_ann_recall(spark, sf_dir: str) -> dict:
         .select("query_id", "neighbor_id")
     n_hit_pq = brute.join(approx_pq, ["query_id", "neighbor_id"]).count()
     out["ann_ivfpq_np10_recall_at10"] = round(n_hit_pq / n_want, 3)
+    # ADC-scanned candidate fraction AT THIS nprobe — the IVF candidate
+    # set PQ scores from codes (review r4: the report table used to
+    # pair np10 recall with the np8 fraction, understating scan cost)
+    out["ann_ivfpq_np10_candidate_frac"] = round(
+        ivf_trained_candidates(emb, cents, dim=64, nprobe=nprobe,
+                               ne=ne).count() / denom_cand, 3)
     # MEASURED exact-vector contact (cells can hold < refine candidates,
     # so the analytic refine * |Q| would overstate it)
     n_exact = ivfpq_shortlist(emb, cents, books, dim=64, nprobe=nprobe,

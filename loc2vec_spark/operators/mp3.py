@@ -142,6 +142,7 @@ def _parse_mp3(data: bytes) -> dict:
     n_frames = 0
     bitrates = set()
     total_bytes = 0
+    first_len = None
     while pos < end:
         if end - pos < 4:
             raise ValueError("trailing garbage after last frame")
@@ -154,6 +155,8 @@ def _parse_mp3(data: bytes) -> dict:
             raise ValueError("truncated final frame")
         bitrates.add(hdr["bitrate"])
         total_bytes += hdr["frame_len"]
+        if first_len is None:
+            first_len = hdr["frame_len"]
         pos += hdr["frame_len"]
         n_frames += 1
     # the walk is ground truth; a Xing count excludes the tag frame
@@ -165,11 +168,17 @@ def _parse_mp3(data: bytes) -> dict:
 
     music_frames = n_frames - (1 if xing_frames is not None else 0)
     duration = music_frames * first["samples_per_frame"] / first["rate"]
+    # mean bitrate over MUSIC frames only: when a Xing/Info tag frame
+    # is present its bytes must leave the numerator alongside the
+    # duration it already leaves, or every short tagged clip overstates
+    # bitrate by n/(n-1) (review r4: 145.95 vs true 128 at n=8)
+    music_bytes = total_bytes - (first_len
+                                 if xing_frames is not None else 0)
     return {"version": first["version"], "layer": first["layer"],
             "rate": first["rate"], "channels": first["channels"],
             "n_frames": n_frames, "duration_s": duration,
             "vbr": vbr_tagged or len(bitrates) > 1,
-            "bitrate_kbps": round(total_bytes * 8 / duration / 1000.0, 3)
+            "bitrate_kbps": round(music_bytes * 8 / duration / 1000.0, 3)
             if duration > 0 else None}
 
 

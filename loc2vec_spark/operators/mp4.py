@@ -409,7 +409,11 @@ def mp4_probe(videos: DataFrame) -> DataFrame:
                     out.append((vid, True, meta["brand"], vt["codec"],
                                 vt["w"], vt["h"], vt["n_samples"],
                                 vt["fps"], round(dur, 6),
-                                round(kbps, 3) if kbps else None,
+                                # `is not None`: a measured ZERO bitrate
+                                # (all-empty samples) is a value, not
+                                # the duration<=0 unmeasurable case
+                                round(kbps, 3) if kbps is not None
+                                else None,
                                 vt["codec"] in _JPEG_CODECS))
                 except Exception:
                     out.append((vid, False) + (None,) * 9)

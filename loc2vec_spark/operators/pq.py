@@ -526,10 +526,17 @@ def read_pq_index(spark, out_dir: str
 def read_pq_meta(spark, out_dir: str) -> dict:
     """Encoding-mode metadata of a persisted index:
     ``{"residual": bool, "m": int}``. Indexes written before the meta
-    table existed (round 3) were all non-residual — absent meta reads
-    as ``residual=False``."""
+    table existed (round 3) were all non-residual — a meta table that
+    is genuinely ABSENT reads as ``residual=False``. Any other read
+    failure (corrupt footer, permissions, partial overwrite) re-raises:
+    silently defaulting there would score non-residual queries against
+    residual codes and return garbage neighbors with no error
+    (review r4)."""
+    from pyspark.errors import AnalysisException
     try:
         r = spark.read.parquet(f"{out_dir}/meta").collect()[0]
-        return {"residual": bool(r["residual"]), "m": int(r["m"])}
-    except Exception:
-        return {"residual": False, "m": 8}
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return {"residual": False, "m": 8}
+        raise
+    return {"residual": bool(r["residual"]), "m": int(r["m"])}

@@ -118,6 +118,15 @@ def zorder_by(df: DataFrame, i_col: str, j_col: str, *, bits: int = 8,
     from pyspark.sql import functions as F
 
     from .functions import morton_sql
+    # z < 4^bits, and the deterministic bucket is (z * n_files) >> 2b:
+    # the product must fit a BIGINT or rows silently route through a
+    # wrapped-negative bucket (element_at with a negative index reads
+    # from the END of the key array — wrong-but-valid partitions, no
+    # error). Refuse loudly instead (review r4).
+    if 2 * bits + max(n_files - 1, 1).bit_length() > 62:
+        raise ValueError(
+            f"bits={bits} with n_files={n_files} overflows the 63-bit "
+            f"z*n_files bucket product; lower bits or n_files")
     z = F.expr(morton_sql(i_col, j_col, bits))
     if not deterministic:
         return (df.withColumn("__z", z)

@@ -44,6 +44,9 @@ def test_id3v2_skip_and_xing():
     assert m["vbr"] is True                      # Xing tag => VBR intent
     # duration excludes the tag frame
     assert m["duration_s"] == pytest.approx(7 * 1152 / 44100)
+    # ...and so do the bitrate numerator's bytes (review r4: including
+    # the tag frame's bytes overstated mean bitrate by n/(n-1) = 145.95)
+    assert m["bitrate_kbps"] == pytest.approx(128.0, rel=0.01)
     # a LYING Xing count must fail the cross-check, not be trusted
     idx = data.index(b"Xing")
     bad = data[:idx + 8] + (42).to_bytes(4, "big") + data[idx + 12:]

@@ -97,6 +97,21 @@ def test_corrupt_containers_raise():
         M.parse_mp4(cut)
 
 
+def test_zero_media_bytes_probe_value():
+    """All-zero stsz sizes are legal: the probe must report a MEASURED
+    0.0 bitrate, not NULL (review r4: falsy-zero check)."""
+    fr = _frames(2)
+    good = M.encode_mjpeg_mp4(fr, fps=8)
+    idx = good.rindex(b"stsz")
+    bad = bytearray(good)
+    # stsz payload: verflags(4) uniform(4) count(4) then the table —
+    # zero the two table entries
+    bad[idx + 16:idx + 24] = b"\x00" * 8
+    trk = M.parse_mp4(bytes(bad))["tracks"][0]
+    assert trk["media_bytes"] == 0 and trk["n_samples"] == 2
+    assert trk["duration_s"] > 0
+
+
 def test_decode_video_sniffs_both_containers():
     fr = _frames(4, h=16, w=16)
     fps_y, y = V.decode_video(V.encode_y4m(fr, fps=5))
@@ -115,6 +130,12 @@ def _mp4_df(spark):
         data = M.encode_mjpeg_mp4(fr, fps=10, codec=codec)
         if i == 5:
             data = data[: len(data) - 40]  # corrupt: truncated moov
+        if i == 7:                         # zero-byte samples (legal)
+            b = bytearray(data)
+            idx = data.rindex(b"stsz")
+            b[idx + 16:idx + 16 + 4 * (3 + 7 % 3)] = \
+                b"\x00" * (4 * (3 + 7 % 3))
+            data = bytes(b)
         rows.append({"video_id": f"mp4_{i:03d}", "bytes": data})
     return spark.createDataFrame(pd.DataFrame(rows))
 
@@ -123,6 +144,9 @@ def test_mp4_probe_routes_by_codec(spark):
     got = {r["video_id"]: r for r in M.mp4_probe(_mp4_df(spark)).collect()}
     assert len(got) == 8
     assert got["mp4_005"]["ok"] is False          # corrupt quarantines
+    # zero media bytes is a MEASURED 0.0 bitrate, not NULL (review r4)
+    assert got["mp4_007"]["ok"] is True
+    assert got["mp4_007"]["bitrate_kbps"] == 0.0
     avc = got["mp4_003"]
     assert avc["ok"] is True and avc["codec"] == "avc1"
     assert avc["decodable"] is False              # routes to transcode

@@ -2,6 +2,8 @@
 distortion, recall floors with refine monotonicity, determinism across
 partitioning, and the zero-shuffle encode plan."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -424,3 +426,22 @@ def test_residual_persistence_records_mode(spark, trained_res,
         ne=ne, index=index_l, residual=True).collect()))
     ne.unpersist()
     assert built == loaded and len(built) > 0
+
+
+def test_read_pq_meta_absent_defaults_corrupt_raises(spark, tmp_path):
+    """Absent meta = legacy non-residual index (defaults); a CORRUPT
+    meta must re-raise, not silently default — scoring non-residual
+    queries against residual codes returns garbage neighbors with no
+    error (review r4)."""
+    from loc2vec_spark.operators.pq import read_pq_meta
+
+    legacy = str(tmp_path / "legacy_index")
+    os.makedirs(legacy)                    # index dir with NO meta table
+    assert read_pq_meta(spark, legacy) == {"residual": False, "m": 8}
+
+    broken = str(tmp_path / "broken_index")
+    os.makedirs(f"{broken}/meta")
+    with open(f"{broken}/meta/part-00000.parquet", "wb") as f:
+        f.write(b"not a parquet footer at all")
+    with pytest.raises(Exception):
+        read_pq_meta(spark, broken)

@@ -129,3 +129,15 @@ def test_morton_expression_matches_numpy(spark, grid):
 
     for r in got.itertuples():
         assert r.z == morton(r.i, r.j), (r.i, r.j)
+
+
+def test_zorder_bucket_overflow_refused(spark, grid):
+    """2*bits + log2(n_files) past 63 bits would wrap z*n_files negative
+    and silently route rows through end-of-array element_at reads
+    (review r4) — the function must refuse loudly instead."""
+    from loc2vec_spark.storage import zorder_by
+
+    with pytest.raises(ValueError, match="overflows"):
+        zorder_by(grid, "ci", "cj", bits=30, n_files=32)
+    # the documented operating envelope still works
+    assert zorder_by(grid, "ci", "cj", bits=8, n_files=16).count() > 0

@@ -647,8 +647,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     contract)."""
     try:
         return _decode_jpeg(data)
-    except (IndexError, EOFError, KeyError, struct.error) as e:
+    except (IndexError, EOFError, KeyError, struct.error,
+            ZeroDivisionError, OverflowError) as e:
+        # OverflowError: a corrupt Huffman table can hand the DC
+        # predictor a >15-bit magnitude category whose _extend value
+        # overflows the int64 coefficient buffer (found by the
+        # mutation fuzzer, tests/test_fuzz_media.py)
         raise ValueError(f"corrupt or truncated JPEG: {e!r}") from e
+
+
+# decode-bomb guard: coefficient buffers are sized from the SOF header
+# BEFORE any entropy data is validated, so a corrupt/hostile 2-byte
+# dimension field could demand a ~34 GB allocation (65535x65535 blocks
+# x 64 coefs x 8 B) and OOM an executor instead of quarantining. 2^27
+# pixels (134 MP) is far above any tile and far below memory trouble —
+# the same posture as libjpeg/Pillow decompression-bomb limits.
+MAX_PIXELS = 1 << 27
 
 
 def _alloc_coef(frame: dict) -> None:
@@ -732,6 +746,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             if prec != 8:
                 raise ValueError("only 8-bit samples supported")
             h, w = struct.unpack(">HH", seg[1:5])
+            if h == 0 or w == 0 or h * w > MAX_PIXELS:
+                raise ValueError(f"refusing {w}x{h} frame (decode cap "
+                                 f"{MAX_PIXELS} px)")
             ncomp = seg[5]
             if ncomp not in (1, 3):
                 # CMYK/YCCK (4-comp) would silently decode planes 0-2
@@ -743,6 +760,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for i in range(ncomp):
                 cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
+                if not (1 <= samp >> 4 <= 4 and 1 <= (samp & 0xF) <= 4):
+                    # T.81 caps sampling factors at 4; 0 would divide
+                    # by zero in the MCU geometry
+                    raise ValueError(f"bad sampling factors {samp:#x}")
                 comps.append({"id": cid, "h": samp >> 4,
                               "v": samp & 0xF, "tq": tq})
             if ncomp == 1:

@@ -90,8 +90,28 @@ def _paeth_row(line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
     return np.asarray(out, dtype=np.uint8)
 
 
+# decode-bomb guard, same posture as operators/jpeg.MAX_PIXELS: IHDR
+# dimensions are 32-bit and drive allocations before any pixel data is
+# validated, and a crafted IDAT can be a zlib bomb — cap pixels and
+# bound the decompression to exactly the bytes the header promises.
+MAX_PIXELS = 1 << 27
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes -> uint8 array (H, W) or (H, W, 3)."""
+    """PNG bytes -> uint8 array (H, W) or (H, W, 3).
+
+    Raises ValueError on every corrupt/unsupported input (bad
+    signature, truncated chunks, bad zlib stream, oversized frame) so
+    callers quarantine uniformly — the same exception contract as
+    ``operators.jpeg.decode_jpeg``."""
+    import zlib as _z
+    try:
+        return _decode_png(data)
+    except (_z.error, struct.error, IndexError, EOFError) as e:
+        raise ValueError(f"corrupt or truncated PNG: {e!r}") from e
+
+
+def _decode_png(data: bytes) -> np.ndarray:
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, idat = 8, None, []
@@ -111,9 +131,24 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color_type, comp, filt, interlace = ihdr
     if depth != 8 or interlace != 0 or color_type not in (0, 2):
         raise ValueError(f"unsupported PNG variant {ihdr}")
+    if h == 0 or w == 0 or h * w > MAX_PIXELS:
+        raise ValueError(f"refusing {w}x{h} frame (decode cap "
+                         f"{MAX_PIXELS} px)")
     channels = 3 if color_type == 2 else 1
     stride = w * channels
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    expect = h * (stride + 1)
+    # bounded decompression: a zlib bomb can expand ~1000:1, so never
+    # inflate past the byte count the (already-capped) header promises
+    # ask for expect+1 so an over-long stream is DETECTED (raw.size >
+    # expect) rather than silently truncated, while a bomb still can't
+    # inflate past the cap
+    raw = np.frombuffer(
+        zlib.decompressobj().decompress(b"".join(idat), expect + 1),
+        dtype=np.uint8)
+    if raw.size != expect:
+        raise ValueError(
+            f"IDAT inflates to >= {raw.size} bytes, header promises "
+            f"{expect}")
     raw = raw.reshape(h, stride + 1)
     filters, lines = raw[:, 0], raw[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)

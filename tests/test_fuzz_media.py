@@ -1,0 +1,131 @@
+"""Deterministic mutation fuzz over the media parsers' quarantine
+contract: every mutated/truncated input must either decode or raise
+ValueError — no KeyError/struct.error/ZeroDivisionError/zlib.error
+escapes (the documented contract), and no header-driven decode bomb
+(a corrupt 2-byte SOF dimension used to demand a ~34 GB coefficient
+buffer before any entropy check could fail; review r4)."""
+
+import numpy as np
+import pytest
+
+from loc2vec_spark.operators import jpeg as J
+from loc2vec_spark.operators import mp3 as A
+from loc2vec_spark.operators import mp4 as M
+from loc2vec_spark.operators import video as V
+from loc2vec_spark.png_codec import decode_png, encode_png
+
+N_MUT = 150
+
+
+def _gray(h=24, w=32, seed=3):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 7 + yy * 3) % 256).astype(np.int16)
+    return np.clip(base + rng.integers(-4, 5, base.shape),
+                   0, 255).astype(np.uint8)
+
+
+def _rgb(h=24, w=32, seed=4):
+    return np.stack([_gray(h, w, seed + i) for i in range(3)], axis=-1)
+
+
+def _mutations(data: bytes, seed: int):
+    """N_MUT seeded 1-3-byte flips + N_MUT//4 truncations."""
+    rng = np.random.default_rng(seed)
+    b = np.frombuffer(data, dtype=np.uint8)
+    for _ in range(N_MUT):
+        m = b.copy()
+        idx = rng.integers(0, len(m), int(rng.integers(1, 4)))
+        m[idx] = rng.integers(0, 256, len(idx))
+        yield m.tobytes()
+    for _ in range(N_MUT // 4):
+        yield data[: int(rng.integers(0, len(data)))]
+
+
+def _assert_contract(fn, data: bytes, seed: int):
+    for i, blob in enumerate(_mutations(data, seed)):
+        try:
+            fn(blob)
+        except ValueError:
+            pass  # the one documented quarantine signal
+        # any OTHER exception type propagates and fails the test,
+        # naming the mutation index via pytest's traceback
+
+
+@pytest.mark.parametrize("seed,make", [
+    (11, lambda: J.encode_jpeg(_gray(), quality=85)),
+    (12, lambda: J.encode_jpeg(_rgb(), quality=85, subsample=True)),
+    (13, lambda: J.encode_jpeg(_gray(), quality=85, progressive=True)),
+    (14, lambda: J.encode_jpeg(_rgb(), quality=85, progressive=True)),
+])
+def test_jpeg_fuzz_contract(seed, make):
+    _assert_contract(J.decode_jpeg, make(), seed)
+
+
+@pytest.mark.parametrize("seed,make", [
+    (21, lambda: encode_png(_gray())),
+    (22, lambda: encode_png(_rgb())),
+])
+def test_png_fuzz_contract(seed, make):
+    _assert_contract(decode_png, make(), seed)
+
+
+def test_mp4_fuzz_contract():
+    data = M.encode_mjpeg_mp4(np.stack([_gray(), _gray(seed=9)]), fps=8)
+    _assert_contract(M.parse_mp4, data, 31)
+    _assert_contract(M.decode_mp4, data, 32)
+
+
+def test_mp3_fuzz_contract():
+    _assert_contract(A.parse_mp3, A.synth_mp3_bytes(6, xing=True,
+                                                    id3v2=True), 41)
+
+
+def test_y4m_fuzz_contract():
+    data = V.encode_y4m(np.stack([_gray(16, 16), _gray(16, 16, 8)]),
+                        fps=10)
+    _assert_contract(V.decode_y4m, data, 51)
+
+
+def test_jpeg_decode_cap_refuses_fast():
+    """A mutated SOF claiming 65535x65535 must raise BEFORE allocating
+    coefficient buffers (34 GB at 8 B/coef), not OOM the executor."""
+    data = bytearray(J.encode_jpeg(_gray(), quality=85))
+    i = data.index(b"\xff\xc0")
+    data[i + 5:i + 9] = (65535).to_bytes(2, "big") * 2
+    with pytest.raises(ValueError, match="decode cap"):
+        J.decode_jpeg(bytes(data))
+    # zero sampling factors used to ZeroDivisionError out of contract
+    data = bytearray(J.encode_jpeg(_gray(), quality=85))
+    data[i + 11] = 0x00
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(data))
+
+
+def test_png_decode_cap_and_bomb_refused():
+    import struct
+    import zlib
+    data = bytearray(encode_png(_gray()))
+    i = data.index(b"IHDR")
+    data[i + 4:i + 12] = struct.pack(">II", 1 << 16, 1 << 16)
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_png(bytes(data))
+    # a stream inflating past the header's promise is corrupt, not
+    # silently truncated: hand-build a tiny PNG whose IDAT holds 10x
+    # the promised bytes
+    h = w = 4
+    good_rows = b"".join(b"\x00" + bytes(w) for _ in range(h))
+    from loc2vec_spark import png_codec as P
+    sig = bytes(data[:8])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(good_rows * 10)
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)
+                              & 0xFFFFFFFF))
+
+    png = (sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb)
+           + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="inflates"):
+        P.decode_png(png)

@@ -259,6 +259,36 @@ def test_incremental_media_stats_video(spark, tmp_path):
     assert got.filter("motion IS NULL").count() == 0
 
 
+def test_incremental_media_stats_mp4(spark, tmp_path):
+    """MP4 containers flow the SAME streaming ingestion path as Y4M via
+    decode_video's magic sniff: MJPEG clips decode to real stats, an
+    avc1 clip (valid container, codec we can't decode) quarantines."""
+    import numpy as np
+    import pandas as pd
+
+    from loc2vec_spark.operators.mp4 import encode_mjpeg_mp4
+    from loc2vec_spark.streaming import incremental_media_stats
+
+    fr = np.clip(
+        (np.mgrid[0:16, 0:16][1] * 16).astype(np.int16)[None].repeat(3, 0)
+        + np.random.default_rng(5).integers(-2, 3, (3, 16, 16)),
+        0, 255).astype(np.uint8)
+    rows = [{"video_id": f"m{i}", "bytes": encode_mjpeg_mp4(
+                fr, fps=10, codec=("avc1" if i == 1 else "jpeg")),
+             "w": 16, "h": 16, "n_frames": 3, "fps": 10.0, "fmt": "mp4"}
+            for i in range(4)]
+    src = tmp_path / "msrc"
+    src.mkdir()
+    pd.DataFrame(rows).to_parquet(src / "part0.parquet")
+    s = incremental_media_stats(
+        spark, str(src), str(tmp_path / "mout"),
+        str(tmp_path / "mckpt"), kind="video")
+    assert s["rows"] == 3 and s["quarantined"] == 1
+    got = spark.read.parquet(str(tmp_path / "mout") + "/stats/*")
+    assert got.filter("motion IS NULL").count() == 0
+    assert got.filter("fps = 10.0").count() == 3
+
+
 def test_dedup_stream_drops_redeliveries_within_watermark(spark, tmp_path):
     """Streaming exact dedup with bounded state: duplicate event_ids
     re-delivered across microbatches surface exactly once."""

@@ -661,8 +661,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 # dimension field could demand a ~34 GB allocation (65535x65535 blocks
 # x 64 coefs x 8 B) and OOM an executor instead of quarantining. 2^27
 # pixels (134 MP) is far above any tile and far below memory trouble —
-# the same posture as libjpeg/Pillow decompression-bomb limits.
-MAX_PIXELS = 1 << 27
+# the same posture as libjpeg/Pillow decompression-bomb limits. ONE
+# shared constant: the PNG decoder enforces the identical cap, and the
+# uniform quarantine contract requires they never diverge (review r4).
+from ..png_codec import MAX_PIXELS  # noqa: E402  (shared decode cap)
 
 
 def _alloc_coef(frame: dict) -> None:

@@ -104,10 +104,9 @@ def decode_png(data: bytes) -> np.ndarray:
     signature, truncated chunks, bad zlib stream, oversized frame) so
     callers quarantine uniformly — the same exception contract as
     ``operators.jpeg.decode_jpeg``."""
-    import zlib as _z
     try:
         return _decode_png(data)
-    except (_z.error, struct.error, IndexError, EOFError) as e:
+    except (zlib.error, struct.error, IndexError, EOFError) as e:
         raise ValueError(f"corrupt or truncated PNG: {e!r}") from e
 
 
@@ -138,17 +137,28 @@ def _decode_png(data: bytes) -> np.ndarray:
     stride = w * channels
     expect = h * (stride + 1)
     # bounded decompression: a zlib bomb can expand ~1000:1, so never
-    # inflate past the byte count the (already-capped) header promises
+    # inflate past the byte count the (already-capped) header promises;
     # ask for expect+1 so an over-long stream is DETECTED (raw.size >
     # expect) rather than silently truncated, while a bomb still can't
     # inflate past the cap
-    raw = np.frombuffer(
-        zlib.decompressobj().decompress(b"".join(idat), expect + 1),
-        dtype=np.uint8)
-    if raw.size != expect:
+    d = zlib.decompressobj()
+    raw = np.frombuffer(d.decompress(b"".join(idat), expect + 1),
+                        dtype=np.uint8)
+    if raw.size > expect:
         raise ValueError(
-            f"IDAT inflates to >= {raw.size} bytes, header promises "
-            f"{expect}")
+            f"IDAT inflates past the {expect} bytes the header "
+            f"promises (zlib bomb or wrong dimensions)")
+    if raw.size < expect:
+        raise ValueError(
+            f"IDAT inflates to only {raw.size} of the {expect} bytes "
+            f"the header promises (truncated stream)")
+    if not d.eof:
+        # max_length-capped decompressobj does NOT verify the zlib
+        # trailer the way one-shot zlib.decompress did: a stream whose
+        # adler32 is cut returns all bytes with eof=False and no error
+        # (review r4 — a partially-written file must quarantine, not
+        # decode as ok=true)
+        raise ValueError("incomplete zlib stream (missing trailer)")
     raw = raw.reshape(h, stride + 1)
     filters, lines = raw[:, 0], raw[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)

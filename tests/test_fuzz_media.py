@@ -102,6 +102,29 @@ def test_jpeg_decode_cap_refuses_fast():
         J.decode_jpeg(bytes(data))
 
 
+def test_png_truncated_trailer_quarantines():
+    """A complete deflate stream with the 4-byte adler32 trailer cut
+    (partially-written file) must quarantine: the max_length-capped
+    decompressobj returns every byte with eof=False and no error, where
+    one-shot zlib.decompress used to raise (review r4 regression)."""
+    import struct
+    import zlib
+    data = encode_png(_gray())
+    i = data.index(b"IDAT")
+    (length,) = struct.unpack(">I", data[i - 4:i])
+    payload = data[i + 4:i + 4 + length]
+    cut = payload[:-4]  # drop adler32
+
+    def chunk(tag, p):
+        return (struct.pack(">I", len(p)) + tag + p
+                + struct.pack(">I", zlib.crc32(tag + p) & 0xFFFFFFFF))
+
+    mangled = (data[:i - 4] + chunk(b"IDAT", cut)
+               + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="trailer|truncated"):
+        decode_png(mangled)
+
+
 def test_png_decode_cap_and_bomb_refused():
     import struct
     import zlib

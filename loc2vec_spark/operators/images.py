@@ -399,9 +399,9 @@ def decode_av(images: DataFrame, *, kind: str) -> DataFrame:
     ``video.decode_video``'s magic sniff). The remaining compressed
     a/v codecs (mp3/aac/h264 bitstream decode) are honest stubs:
     those libraries aren't in this container — containers/metadata
-    parse (``mp4.mp4_probe``, ``audio.mp3_probe``), pixels/samples
-    quarantine; plugging a codec in is a one-function swap behind the
-    same operator surface.
+    parse for real (``mp4.mp4_probe``, ``mp3.mp3_probe``,
+    ``aac.aac_probe``), pixels/samples quarantine; plugging a codec in
+    is a one-function swap behind the same operator surface.
     """
     if kind == "audio":
         from .audio import audio_stats

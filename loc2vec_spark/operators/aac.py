@@ -44,11 +44,14 @@ def _parse_adts_header(b: bytes) -> dict:
     ridx = (b[2] >> 2) & 0xF
     if ridx >= len(_RATES):
         raise ValueError(f"reserved sampling-frequency index {ridx}")
-    channels = ((b[2] & 1) << 2) | ((b[3] >> 6) & 3)
-    if channels == 0:
+    chan_cfg = ((b[2] & 1) << 2) | ((b[3] >> 6) & 3)
+    if chan_cfg == 0:
         # channel config 0 (PCE-defined) needs the raw payload parsed —
         # codec territory; refuse rather than report a wrong count
         raise ValueError("PCE-defined channel configuration unsupported")
+    # 13818-7 table: configs 1-6 are 1:1 channel counts; config 7 is
+    # the 7.1 layout = EIGHT channels (review r4)
+    channels = 8 if chan_cfg == 7 else chan_cfg
     flen = ((b[3] & 0x03) << 11) | (b[4] << 3) | ((b[5] >> 5) & 0x07)
     if flen < (9 if crc else 7):
         raise ValueError(f"ADTS frame length {flen} shorter than header")
@@ -69,21 +72,37 @@ def parse_adts(data: bytes) -> dict:
 
 
 def _parse_adts(data: bytes) -> dict:
-    if len(data) < 7:
+    # HLS elementary-audio segments routinely lead with an ID3v2 tag
+    # (timed-metadata PRIV frame) and files may carry ID3 tags like
+    # MP3s do — skip both, exactly as the sibling walker does
+    # (review r4)
+    from .mp3 import _skip_id3v2
+    pos = _skip_id3v2(data)
+    end = len(data)
+    if end - pos >= 128 and data[end - 128:end - 125] == b"TAG":
+        end -= 128  # ID3v1
+    if end - pos < 7:
         raise ValueError("no ADTS frames")
-    first = _parse_adts_header(data[:9])
-    pos = 0
+    first = None
     n_frames = 0
     n_blocks = 0
     total_bytes = 0
-    while pos < len(data):
-        if len(data) - pos < 7:
+    while pos < end:
+        if end - pos < 7:
             raise ValueError("trailing garbage after last frame")
         hdr = _parse_adts_header(data[pos:pos + 9])
-        if (hdr["rate"] != first["rate"]
-                or hdr["channels"] != first["channels"]):
-            raise ValueError("rate/channels changed mid-stream")
-        if pos + hdr["frame_len"] > len(data):
+        if first is None:
+            first = hdr
+        elif (hdr["rate"] != first["rate"]
+                or hdr["channels"] != first["channels"]
+                or hdr["profile"] != first["profile"]
+                or hdr["mpeg2"] != first["mpeg2"]):
+            # same strictness as mp3's version/layer/rate pin: a
+            # spliced/corrupt stream must quarantine, not report the
+            # first frame's fields as the stream's (review r4)
+            raise ValueError(
+                "rate/channels/profile changed mid-stream")
+        if pos + hdr["frame_len"] > end:
             raise ValueError("truncated final frame")
         n_frames += 1
         n_blocks += hdr["blocks"]

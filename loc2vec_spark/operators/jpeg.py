@@ -662,9 +662,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 # x 64 coefs x 8 B) and OOM an executor instead of quarantining. 2^27
 # pixels (134 MP) is far above any tile and far below memory trouble —
 # the same posture as libjpeg/Pillow decompression-bomb limits. ONE
-# shared constant: the PNG decoder enforces the identical cap, and the
-# uniform quarantine contract requires they never diverge (review r4).
-from ..png_codec import MAX_PIXELS  # noqa: E402  (shared decode cap)
+# shared constant, referenced through the module object so a runtime
+# adjustment of png_codec.MAX_PIXELS moves BOTH caps (review r4: a
+# by-value import would silently diverge under monkeypatch/config).
+from .. import png_codec as _png  # noqa: E402  (shared decode cap)
 
 
 def _alloc_coef(frame: dict) -> None:
@@ -748,9 +749,9 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
             if prec != 8:
                 raise ValueError("only 8-bit samples supported")
             h, w = struct.unpack(">HH", seg[1:5])
-            if h == 0 or w == 0 or h * w > MAX_PIXELS:
+            if h == 0 or w == 0 or h * w > _png.MAX_PIXELS:
                 raise ValueError(f"refusing {w}x{h} frame (decode cap "
-                                 f"{MAX_PIXELS} px)")
+                                 f"{_png.MAX_PIXELS} px)")
             ncomp = seg[5]
             if ncomp not in (1, 3):
                 # CMYK/YCCK (4-comp) would silently decode planes 0-2

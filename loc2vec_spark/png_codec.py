@@ -90,10 +90,11 @@ def _paeth_row(line: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
     return np.asarray(out, dtype=np.uint8)
 
 
-# decode-bomb guard, same posture as operators/jpeg.MAX_PIXELS: IHDR
-# dimensions are 32-bit and drive allocations before any pixel data is
-# validated, and a crafted IDAT can be a zlib bomb — cap pixels and
-# bound the decompression to exactly the bytes the header promises.
+# decode-bomb guard — THE shared cap (the JPEG decoder references it
+# through this module, so one edit moves both): IHDR dimensions are
+# 32-bit and drive allocations before any pixel data is validated, and
+# a crafted IDAT can be a zlib bomb — cap pixels and bound the
+# decompression to exactly the bytes the header promises.
 MAX_PIXELS = 1 << 27
 
 
@@ -159,6 +160,10 @@ def _decode_png(data: bytes) -> np.ndarray:
         # (review r4 — a partially-written file must quarantine, not
         # decode as ok=true)
         raise ValueError("incomplete zlib stream (missing trailer)")
+    if d.unused_data or d.unconsumed_tail:
+        # bytes after a complete stream inside IDAT = corrupt/spliced
+        # container, same posture as the over-inflation check
+        raise ValueError("trailing bytes after the zlib stream")
     raw = raw.reshape(h, stride + 1)
     filters, lines = raw[:, 0], raw[:, 1:]
     out = np.zeros((h, stride), dtype=np.uint8)

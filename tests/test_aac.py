@@ -63,8 +63,24 @@ def test_aac_probe_distributed(spark):
     assert ok["n_frames"] == 4 and ok["profile"] == "LC"
 
 
-def test_adts_fuzz_contract():
-    import sys
-    sys.path.insert(0, "/root/repo/tests")
-    from test_fuzz_media import _assert_contract
-    _assert_contract(A.parse_adts, A.synth_adts_bytes(6), 61)
+def test_adts_channel_config_7_is_eight_channels():
+    """13818-7: channel configuration 7 = the 7.1 layout = 8 channels
+    (1-6 map 1:1; only 7 differs — review r4)."""
+    m = A.parse_adts(A.synth_adts_bytes(2, channels=7))
+    assert m["channels"] == 8
+
+
+def test_adts_id3_tags_skipped():
+    """HLS .aac segments lead with ID3v2 timed-metadata; files may end
+    with ID3v1 — both must skip, as in the MP3 walker (review r4)."""
+    body = A.synth_adts_bytes(4)
+    id3v2 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 30]) + b"\x00" * 30
+    m = A.parse_adts(id3v2 + body + b"TAG" + b"\x00" * 125)
+    assert m["n_frames"] == 4
+
+
+def test_adts_midstream_profile_change_quarantines():
+    spliced = (A.synth_adts_bytes(2, profile=1)
+               + A.synth_adts_bytes(2, profile=0))
+    with pytest.raises(ValueError, match="changed mid-stream"):
+        A.parse_adts(spliced)

@@ -81,6 +81,11 @@ def test_mp3_fuzz_contract():
                                                     id3v2=True), 41)
 
 
+def test_adts_fuzz_contract():
+    from loc2vec_spark.operators import aac
+    _assert_contract(aac.parse_adts, aac.synth_adts_bytes(6), 61)
+
+
 def test_y4m_fuzz_contract():
     data = V.encode_y4m(np.stack([_gray(16, 16), _gray(16, 16, 8)]),
                         fps=10)

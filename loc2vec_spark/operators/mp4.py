@@ -180,9 +180,15 @@ def _child(data: bytes, start: int, end: int, fourcc: bytes):
     return None
 
 
-def _u32s(data: bytes, pos: int, n: int) -> list[int]:
-    if pos + 4 * n > len(data):
-        raise ValueError("table overruns file")
+def _u32s(data: bytes, pos: int, n: int, end: int | None = None
+          ) -> list[int]:
+    """Read n big-endian u32s, bounded by the ENCLOSING BOX end when
+    the caller supplies one — a declared table that spills past its own
+    box payload into sibling boxes or mdat must quarantine, not parse
+    neighbor bytes as confidently-wrong entries (ADVICE r4)."""
+    limit = len(data) if end is None else min(end, len(data))
+    if pos + 4 * n > limit:
+        raise ValueError("table overruns its box")
     return list(struct.unpack(f">{n}I", data[pos:pos + 4 * n]))
 
 
@@ -219,7 +225,7 @@ def _parse_mp4(data: bytes) -> dict:
         mts = struct.unpack(">I", data[mvhd[0] + 20:mvhd[0] + 24])[0]
         mdur = struct.unpack(">Q", data[mvhd[0] + 24:mvhd[0] + 32])[0]
     else:
-        mts, mdur = _u32s(data, mvhd[0] + 12, 2)
+        mts, mdur = _u32s(data, mvhd[0] + 12, 2, mvhd[1])
     if mts == 0:
         raise ValueError("mvhd timescale 0")
     out = {"brand": brand, "timescale": mts,
@@ -241,7 +247,7 @@ def _parse_mp4(data: bytes) -> dict:
             tts = struct.unpack(">I", data[mdhd[0] + 20:mdhd[0] + 24])[0]
             tdur = struct.unpack(">Q", data[mdhd[0] + 24:mdhd[0] + 32])[0]
         else:
-            tts, tdur = _u32s(data, mdhd[0] + 12, 2)
+            tts, tdur = _u32s(data, mdhd[0] + 12, 2, mdhd[1])
         if tts == 0:
             raise ValueError("mdhd timescale 0")
         minf = _child(data, mdia[0], mdia[1], b"minf")
@@ -264,31 +270,44 @@ def _parse_mp4(data: bytes) -> dict:
         if stts is None:
             raise ValueError("track missing stts")
         n_ent = struct.unpack(">I", data[stts[0] + 4:stts[0] + 8])[0]
-        pairs = _u32s(data, stts[0] + 8, 2 * n_ent)
+        pairs = _u32s(data, stts[0] + 8, 2 * n_ent, stts[1])
         counts, deltas = pairs[0::2], pairs[1::2]
         n_samples = sum(counts)
+        # Decode-bomb cap BEFORE any n_samples-sized allocation: the
+        # stts counts are attacker/corruption-controlled 32-bit sums
+        # and the uniform-stsz path below materializes a list of that
+        # length (a 1.3 KB crafted file can demand ~34 GB). Every real
+        # sample occupies >=1 byte of this file, so n_samples beyond
+        # len(data) is structurally impossible -> quarantine (ADVICE
+        # r4; same class as png_codec.MAX_PIXELS).
+        if n_samples > len(data):
+            raise ValueError(
+                f"stts declares {n_samples} samples in a "
+                f"{len(data)}-byte file")
         total_ticks = sum(c * d for c, d in zip(counts, deltas))
         fps = (tts * n_samples / total_ticks) if total_ticks else 0.0
 
         stsz = _child(data, sb, se, b"stsz")
         if stsz is None:
             raise ValueError("track missing stsz")
-        uniform, n_sz = _u32s(data, stsz[0] + 4, 2)
+        uniform, n_sz = _u32s(data, stsz[0] + 4, 2, stsz[1])
         if n_sz != n_samples:
             raise ValueError(
                 f"stsz count {n_sz} != stts count {n_samples}")
         sizes = ([uniform] * n_samples if uniform
-                 else _u32s(data, stsz[0] + 12, n_samples))
+                 else _u32s(data, stsz[0] + 12, n_samples, stsz[1]))
 
         co = _child(data, sb, se, b"stco")
         if co is not None:
             n_ch = struct.unpack(">I", data[co[0] + 4:co[0] + 8])[0]
-            chunk_offs = _u32s(data, co[0] + 8, n_ch)
+            chunk_offs = _u32s(data, co[0] + 8, n_ch, co[1])
         else:
             co = _child(data, sb, se, b"co64")
             if co is None:
                 raise ValueError("track missing stco/co64")
             n_ch = struct.unpack(">I", data[co[0] + 4:co[0] + 8])[0]
+            if co[0] + 8 + 8 * n_ch > co[1]:
+                raise ValueError("co64 table overruns its box")
             chunk_offs = list(struct.unpack(
                 f">{n_ch}Q", data[co[0] + 8:co[0] + 8 + 8 * n_ch]))
 
@@ -296,14 +315,30 @@ def _parse_mp4(data: bytes) -> dict:
         if stsc is None:
             raise ValueError("track missing stsc")
         n_sc = struct.unpack(">I", data[stsc[0] + 4:stsc[0] + 8])[0]
-        sc = _u32s(data, stsc[0] + 8, 3 * n_sc)
+        sc = _u32s(data, stsc[0] + 8, 3 * n_sc, stsc[1])
         # expand sample-to-chunk runs: entry i applies from its
-        # first_chunk until the next entry's first_chunk (1-based)
+        # first_chunk until the next entry's first_chunk (1-based).
+        # Each entry's first_chunk is validated in (prev_first, n_ch+1]
+        # BEFORE expansion — `last` is a raw 32-bit field, so a 2-entry
+        # stsc whose second first_chunk is ~4e9 would otherwise
+        # allocate billions of list slots before the post-hoc coverage
+        # check could fire (ADVICE r4); this also rejects
+        # non-increasing runs explicitly.
         per_chunk = []
+        prev_first = 0
         for i in range(n_sc):
             first = sc[3 * i]
             spc = sc[3 * i + 1]
+            if not prev_first < first <= n_ch + 1:
+                raise ValueError(
+                    f"stsc first_chunk {first} not in "
+                    f"({prev_first}, {n_ch + 1}]")
+            prev_first = first
             last = sc[3 * (i + 1)] if i + 1 < n_sc else n_ch + 1
+            if not first < last <= n_ch + 1:
+                raise ValueError(
+                    f"stsc run [{first}, {last}) out of order or past "
+                    f"chunk count {n_ch}")
             per_chunk.extend([spc] * (last - first))
         if len(per_chunk) != n_ch:
             raise ValueError("stsc does not cover every chunk")

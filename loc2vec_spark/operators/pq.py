@@ -531,12 +531,16 @@ def read_pq_meta(spark, out_dir: str) -> dict:
     failure (corrupt footer, permissions, partial overwrite) re-raises:
     silently defaulting there would score non-residual queries against
     residual codes and return garbage neighbors with no error
-    (review r4)."""
-    from pyspark.errors import AnalysisException
-    try:
-        r = spark.read.parquet(f"{out_dir}/meta").collect()[0]
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
-            return {"residual": False, "m": 8}
-        raise
+    (review r4). Absence is probed through the Hadoop FS API rather
+    than by substring-matching Spark's AnalysisException text — the
+    error string is version-dependent ("PATH_NOT_FOUND" vs "Path does
+    not exist"), so a runtime upgrade would have broken the legacy
+    default path (ADVICE r4)."""
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/meta")
+    fs = path.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return {"residual": False, "m": 8}
+    r = spark.read.parquet(f"{out_dir}/meta").collect()[0]
     return {"residual": bool(r["residual"]), "m": int(r["m"])}

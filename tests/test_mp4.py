@@ -97,6 +97,51 @@ def test_corrupt_containers_raise():
         M.parse_mp4(cut)
 
 
+def test_stts_sample_count_bomb_quarantines():
+    """Decode-bomb cap (ADVICE r4): an stts count sum near 2^31 with a
+    matching uniform stsz must raise BEFORE materializing the
+    n_samples-long size list (~34 GB at the 32-bit limit). n_samples
+    beyond len(data) is structurally impossible (every sample occupies
+    >=1 byte), so the cap costs no legal file."""
+    good = M.encode_mjpeg_mp4(_frames(2), fps=8)
+    bad = bytearray(good)
+    sidx = good.rindex(b"stts")  # fourcc; count field of entry 0
+    bad[sidx + 12:sidx + 16] = struct.pack(">I", 0x7FFFFFFF)
+    zidx = good.rindex(b"stsz")  # uniform=1 so the fast path triggers
+    bad[zidx + 8:zidx + 12] = struct.pack(">I", 1)
+    bad[zidx + 12:zidx + 16] = struct.pack(">I", 0x7FFFFFFF)
+    with pytest.raises(ValueError, match="samples in a"):
+        M.parse_mp4(bytes(bad))
+
+
+def test_stsc_first_chunk_bomb_quarantines():
+    """stsc run expansion is bounded by validated first_chunk fields
+    (ADVICE r4): a raw ~4e9 first_chunk must raise before
+    `[spc] * (last - first)` allocates billions of slots."""
+    good = M.encode_mjpeg_mp4(_frames(2), fps=8)
+    bad = bytearray(good)
+    cidx = good.rindex(b"stsc")  # entry 0 first_chunk at fourcc+12
+    bad[cidx + 12:cidx + 16] = struct.pack(">I", 0xF0000000)
+    with pytest.raises(ValueError, match="first_chunk"):
+        M.parse_mp4(bytes(bad))
+    # non-increasing (first_chunk=0) rejected explicitly too
+    bad[cidx + 12:cidx + 16] = struct.pack(">I", 0)
+    with pytest.raises(ValueError, match="first_chunk"):
+        M.parse_mp4(bytes(bad))
+
+
+def test_table_bounded_by_own_box():
+    """A declared table that spills past its own box payload must
+    quarantine, not silently parse sibling-box bytes as entries
+    (ADVICE r4): bump the stsc entry count without growing the box."""
+    good = M.encode_mjpeg_mp4(_frames(2), fps=8)
+    bad = bytearray(good)
+    cidx = good.rindex(b"stsc")  # entry_count at fourcc+8
+    bad[cidx + 8:cidx + 12] = struct.pack(">I", 4)
+    with pytest.raises(ValueError, match="overruns its box"):
+        M.parse_mp4(bytes(bad))
+
+
 def test_zero_media_bytes_probe_value():
     """All-zero stsz sizes are legal: the probe must report a MEASURED
     0.0 bitrate, not NULL (review r4: falsy-zero check)."""

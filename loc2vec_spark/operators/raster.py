@@ -131,6 +131,50 @@ def rasterize_tiles(spark: SparkSession, features: DataFrame, *,
     return features.groupBy("cell").applyInPandas(assemble, RASTER_SCHEMA)
 
 
+CHECKSUM_SCHEMA = T.StructType([
+    T.StructField("cell", T.LongType()),
+    T.StructField("channel", T.StringType()),
+    T.StructField("pixel_checksum", T.LongType()),
+    T.StructField("set_pixels", T.LongType()),
+])
+
+
+def tile_checksums(tiles: DataFrame) -> DataFrame:
+    """(cell, channel, png, ...) -> (cell, channel, pixel_checksum,
+    set_pixels): decode each tile PNG and reduce its SET pixels to an
+    order-free exact integer pair, giving the raster stage a
+    SQL-comparable face (VERDICT r4 item 1).
+
+    pixel id = image_row * w + col; checksum = sum over set pixels of
+    (pid + 1) * (pid + 7919) — exact in int64 up to megapixel tiles, and
+    sensitive to every pixel's position. Because the input pixels come
+    from decode_png over the REAL encoded tile bytes, a hash match
+    verifies the rasterizer, the PNG codec round-trip, and the grid
+    math against an independent SQL derivation of the pixel set."""
+    from ..png_codec import decode_png
+
+    def gen(batches):
+        for pdf in batches:
+            cks, cnt = [], []
+            for png in pdf["png"]:
+                img = decode_png(bytes(png))
+                if img.ndim == 3:
+                    img = img[:, :, 0]
+                h, w = img.shape
+                pid = (np.arange(h, dtype=np.int64)[:, None] * w
+                       + np.arange(w, dtype=np.int64)[None, :])
+                mask = img > 0
+                cks.append(int(((pid + 1) * (pid + 7919))[mask].sum()))
+                cnt.append(int(mask.sum()))
+            yield pd.DataFrame({
+                "cell": pdf["cell"].astype("int64"),
+                "channel": pdf["channel"],
+                "pixel_checksum": pd.Series(cks, dtype="int64"),
+                "set_pixels": pd.Series(cnt, dtype="int64")})
+
+    return tiles.mapInPandas(gen, CHECKSUM_SCHEMA)
+
+
 def tile_pyramid(tiles: DataFrame, *, res: int, parent_res: int,
                  px: int = 64) -> DataFrame:
     """Roll tiles up one or more levels: 2^d x 2^d child tiles -> one

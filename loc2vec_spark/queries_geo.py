@@ -85,16 +85,123 @@ def _features_df(spark, res: int):
 
 
 def _raster_fn(spark, sf_dir):
-    from .operators.raster import rasterize_tiles
+    from .operators.raster import rasterize_tiles, tile_checksums
     tiles = rasterize_tiles(spark, _features_df(spark, res=5), px=16)
-    return tiles.select("cell", "channel", "nnz")
+    return tile_checksums(tiles)
 
 
 def _pyramid_fn(spark, sf_dir):
-    from .operators.raster import rasterize_tiles, tile_pyramid
+    from .operators.raster import (rasterize_tiles, tile_checksums,
+                                   tile_pyramid)
     tiles = rasterize_tiles(spark, _features_df(spark, res=5), px=16)
     up = tile_pyramid(tiles, res=5, parent_res=4, px=16)
-    return up.select("cell", "channel", "nnz")
+    return tile_checksums(up)
+
+
+# ---------------------------------------------------------------------------
+# Raster oracle (VERDICT r4 item 1): for axis-aligned rectangle features
+# the even-odd scanline fill is SQL-expressible — a grid row r is set iff
+# its center latitude falls in [miny, maxy) (the two vertical edges'
+# crossing condition), and its set columns are the ceil/floor pixel-center
+# window of [minx, maxx]. The CTEs below mirror the numpy expressions of
+# operators/raster.py TERM BY TERM in IEEE double (same literals, same
+# operation order; cell spans 11.25/5.625 deg are exact dyadic rationals
+# at res 5, so no rounding divergence is possible), then reduce the
+# DISTINCT pixel set per (cell, channel) to the same order-free
+# (pid+1)*(pid+7919) checksum tile_checksums computes from the DECODED
+# tile bytes. A hash match therefore verifies rasterizer + PNG codec
+# round-trip + grid math against an independent SQL derivation.
+# Zero-pixel tiles (bbox overlap without a set pixel) are enumerated via
+# the bbox-overlap relation and LEFT JOIN, matching the engine's
+# nnz=0 tile rows.
+# ---------------------------------------------------------------------------
+
+from . import cells as _cells  # noqa: E402
+
+_RI0, _RJ0 = _cells.ij_sql("miny", "minx", 5)
+_RI1, _RJ1 = _cells.ij_sql("maxy", "maxx", 5)
+
+# shared prefix: bbox->cell assignment + per-(cell,box) set-pixel relation
+_RASTER_PIX = f"""
+k4 AS (SELECT 0 AS k UNION ALL SELECT 1 UNION ALL SELECT 2
+       UNION ALL SELECT 3),
+r16 AS (SELECT a.k * 4 + b.k AS v FROM k4 a CROSS JOIN k4 b),
+s32 AS (SELECT r.v * 2 + h.k AS v FROM r16 r
+        CROSS JOIN (SELECT 0 AS k UNION ALL SELECT 1) h),
+bx AS (SELECT n_nationkey AS layer_id,
+              ({_BLON}) - 1.0E0 AS minx, ({_BLAT}) - 1.0E0 AS miny,
+              ({_BLON}) + 1.0E0 AS maxx, ({_BLAT}) + 1.0E0 AS maxy
+       FROM nation),
+rng AS (SELECT layer_id, minx, miny, maxx, maxy,
+               {_RI0} AS i0, {_RJ0} AS j0, {_RI1} AS i1, {_RJ1} AS j1
+        FROM bx),
+cb AS (SELECT r.layer_id, r.minx, r.miny, r.maxx, r.maxy,
+              ii.v AS ci, jj.v AS cj,
+              CAST(ii.v AS DOUBLE) * 360.0E0 / 32 - 180.0E0 AS cminlon,
+              CAST(jj.v AS DOUBLE) * 180.0E0 / 32 - 90.0E0 AS cminlat
+       FROM rng r JOIN s32 ii ON ii.v BETWEEN r.i0 AND r.i1
+                  JOIN s32 jj ON jj.v BETWEEN r.j0 AND r.j1),
+hits AS (SELECT cb.ci, cb.cj, 15 - rr.v AS img_row, cc.v AS col
+         FROM cb
+         JOIN r16 rr
+           ON cb.cminlat + (CAST(rr.v AS DOUBLE) + 0.5E0) * 5.625E0 / 16
+              >= cb.miny
+          AND cb.cminlat + (CAST(rr.v AS DOUBLE) + 0.5E0) * 5.625E0 / 16
+              < cb.maxy
+         JOIN r16 cc
+           ON cc.v BETWEEN
+              GREATEST(0, CAST(CEIL((cb.minx - cb.cminlon) / 11.25E0
+                                    * 16 - 0.5E0) AS BIGINT))
+              AND LEAST(15, CAST(FLOOR((cb.maxx - cb.cminlon) / 11.25E0
+                                       * 16 - 0.5E0) AS BIGINT))),
+pixset AS (SELECT DISTINCT ci, cj, img_row, col FROM hits)
+"""
+
+_RASTER_ORACLE = f"""
+WITH {_RASTER_PIX.strip()},
+grp AS (SELECT DISTINCT ci, cj FROM cb),
+sums AS (SELECT ci, cj,
+                CAST(SUM((img_row * 16 + col + 1)
+                         * (img_row * 16 + col + 7919)) AS BIGINT) AS ck,
+                COUNT(*) AS npx
+         FROM pixset GROUP BY ci, cj)
+SELECT CAST({5 << 58} AS BIGINT) + CAST(g.cj AS BIGINT) * {1 << 29}
+       + g.ci AS cell,
+       'box' AS channel,
+       CAST(COALESCE(s.ck, 0) AS BIGINT) AS pixel_checksum,
+       CAST(COALESCE(s.npx, 0) AS BIGINT) AS set_pixels
+FROM grp g LEFT JOIN sums s ON s.ci = g.ci AND s.cj = g.cj
+"""
+
+# pyramid: child pixel (img_row, col) max-pools to (img_row//2, col//2)
+# and lands in the parent plane at offset ((1 - cj%2)*8, (ci%2)*8) —
+# the exact placement arithmetic of operators/raster.py tile_pyramid.
+_PYRAMID_ORACLE = f"""
+WITH {_RASTER_PIX.strip()},
+pool AS (SELECT DISTINCT
+           CAST(FLOOR(CAST(ci AS DOUBLE) / 2.0E0) AS BIGINT) AS pi,
+           CAST(FLOOR(CAST(cj AS DOUBLE) / 2.0E0) AS BIGINT) AS pj,
+           (1 - cj % 2) * 8
+             + CAST(FLOOR(CAST(img_row AS DOUBLE) / 2.0E0)
+                    AS BIGINT) AS prow,
+           (ci % 2) * 8
+             + CAST(FLOOR(CAST(col AS DOUBLE) / 2.0E0) AS BIGINT) AS pcol
+         FROM pixset),
+pgrp AS (SELECT DISTINCT
+           CAST(FLOOR(CAST(ci AS DOUBLE) / 2.0E0) AS BIGINT) AS pi,
+           CAST(FLOOR(CAST(cj AS DOUBLE) / 2.0E0) AS BIGINT) AS pj
+         FROM cb),
+psums AS (SELECT pi, pj,
+                 CAST(SUM((prow * 16 + pcol + 1)
+                          * (prow * 16 + pcol + 7919)) AS BIGINT) AS ck,
+                 COUNT(*) AS npx
+          FROM pool GROUP BY pi, pj)
+SELECT CAST({4 << 58} AS BIGINT) + g.pj * {1 << 29} + g.pi AS cell,
+       'box' AS channel,
+       CAST(COALESCE(s.ck, 0) AS BIGINT) AS pixel_checksum,
+       CAST(COALESCE(s.npx, 0) AS BIGINT) AS set_pixels
+FROM pgrp g LEFT JOIN psums s ON s.pi = g.pi AND s.pj = g.pj
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -483,14 +590,16 @@ def register_raster() -> None:
             "first-touch microsecond timing — three grouped MINs + two "
             "user-key equi-joins, strictly-after stage semantics"))
     _reg("raster_assembly",
-         Q(tables=("nation",), fn=_raster_fn, duck_sql=None,
+         Q(tables=("nation",), fn=_raster_fn, duck_sql=_RASTER_ORACLE,
            doc="raster<->vector: per-cell scanline rasterization via "
-               "applyInPandas (rows-only check; pixel goldens in "
-               "test_raster)"))
+               "applyInPandas, hash-checked since r5 — decoded-PNG "
+               "pixel-set checksums vs an independent SQL scanline "
+               "derivation (pixel goldens remain in test_raster)"))
     _reg("pyramid_rollup",
-         Q(tables=("nation",), fn=_pyramid_fn, duck_sql=None,
+         Q(tables=("nation",), fn=_pyramid_fn, duck_sql=_PYRAMID_ORACLE,
            doc="raster pyramid: res-5 tiles max-pooled into res-4 "
-               "parents (rows-only; geometry goldens in test_pyramid)"))
+               "parents, hash-checked since r5 via the same decoded-"
+               "pixel checksum face (geometry goldens in test_pyramid)"))
 
 
 # Completion hook for the queries_geo-first import path: queries.py's

@@ -149,6 +149,21 @@ ROTATED_OUT_R4: tuple[str, ...] = (
     "w4_batch_bucket", "w5_lag_lead", "f1_string",
 )
 
+ROTATED_OUT_R5: tuple[str, ...] = (
+    # driver-green in CORRECTNESS_r04 (and mirror-green every round via
+    # tools/check_oracles.py); their slots go to the round-5 queries
+    "focal_stats", "geom_stats", "traj_stats", "w6_ranks", "a9_cube",
+)
+
+ROTATED_IN_R5: tuple[str, ...] = (
+    # never hash-checked by the driver before round 5: the two raster
+    # faces gained DuckDB oracles this round (decoded-pixel checksums —
+    # their r01 appearance was the weaker rows-only check), the crawl
+    # front door (WARC + HTML) and the GROUPING SETS face are new
+    "raster_assembly", "pyramid_rollup", "html_text_extract",
+    "warc_records", "a13_grouping_sets",
+)
+
 DRIVER_WINDOW: tuple[str, ...] = (
     # --- 26 pinned §2 flagship queries, relative order unchanged ---
     "tile_assign", "tile_rollup", "kring_expand",
@@ -159,14 +174,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "f2_json_date", "f3_f7_distances", "f9_array_var",
     "events_tumbling", "a6_cov", "a8_cosine_mean", "events_sessionize",
     "pip_exact",
-    # --- round-4 rotation-ins: the last 24 never-driver-checked ---
+    # --- round-4 rotation-ins still in the window (driver-green r4) ---
     "events_funnel", "pip_cellcover", "ann_ivf", "dedup_embedding_ivf",
     "events_sliding", "quadkey_assign", "zorder_locality",
-    "focal_stats", "morans_i", "geom_stats", "traj_stats",
+    "morans_i",
     "profile_stats", "dist_drift", "text_pii_scrub", "text_repetition",
     "decontaminate", "leakfree_split", "mix_sources", "doc_rarity",
-    "dedup_spanfrac", "w6_ranks", "a9_cube", "a10_multidistinct",
+    "dedup_spanfrac", "a10_multidistinct",
     "a11_percentiles",
+    # --- round-5 rotation-ins ---
+    *ROTATED_IN_R5,
 )
 
 
@@ -500,6 +517,13 @@ WHERE pick = 1
 """, doc="W2: seeded random pick within top-k (triplet_mining.py:147; "
          "reference unseeded random -> engine pins seed)")
 
+# NOTE: this face (and the single-row global aggregates) trips Spark's
+# "No Partition Defined for Window operation" WARN when the oracle
+# harness evaluates related whole-table windows — EXPECTED at oracle
+# scale (sf0.01): global-sort semantics are exactly what is under test.
+# Production paths never use an unpartitioned window (PLANS.md asserts
+# every hot-path window is partitioned; the global sort itself compiles
+# to TakeOrderedAndProject here, not a window).
 _shared("w3_global_sort", ("lineitem",), """
 SELECT l_orderkey, l_linenumber, l_extendedprice
 FROM lineitem
@@ -939,6 +963,17 @@ FROM documents GROUP BY CUBE(lang, source)
 """, doc="A-extra: CUBE aggregate (SURVEY.md §2.4 note — grouping-set "
          "family next to tile_rollup's ROLLUP)")
 
+    _shared("a13_grouping_sets", ("documents",), """
+SELECT lang, source, GROUPING(lang) AS g_lang, GROUPING(source) AS g_src,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source), (lang, source), ())
+""", doc="A-extra: explicit GROUPING SETS + GROUPING() markers "
+         "(VERDICT r4 item 7 — completes the grouping-set family: "
+         "ROLLUP in tile_rollup, CUBE in a9_cube); identical SQL both "
+         "engines, pure Catalyst Expand, no Python")
+
     _shared("a10_multidistinct", ("lineitem",), """
 SELECT l_returnflag,
        COUNT(DISTINCT l_partkey) AS n_parts,
@@ -1055,11 +1090,17 @@ FROM cpts
     if hasattr(queries_corpus, "register_corpus_extras"):
         queries_corpus.register_corpus_extras()
 
-    # raster/pyramid last: rows-only checks (no SQL oracle — pixel
-    # goldens live in pytest), so they spend window slots least
-    # productively. hasattr guard: when queries_geo itself is the first
-    # import, it is still mid-initialization here (its own bottom call
-    # finishes the job — see queries_geo's tail); calling through a
+    # round-5 crawl front door (WARC container + HTML extraction) —
+    # fully oracle-checked; same mid-initialization guard
+    from . import queries_web
+    if hasattr(queries_web, "register_web_extras"):
+        queries_web.register_web_extras()
+
+    # raster/pyramid last by historical position (oracle-checked since
+    # r5 via the decoded-pixel checksum faces; window placement itself
+    # is declarative). hasattr guard: when queries_geo itself is the
+    # first import, it is still mid-initialization here (its own bottom
+    # call finishes the job — see queries_geo's tail); calling through a
     # partial module would AttributeError (review r2)
     if hasattr(queries_geo, "register_raster"):
         queries_geo.register_raster()

@@ -28,7 +28,7 @@ _PROBE = ("import loc2vec_spark.{first}; "
           "print('\\n'.join(q.QUERIES))")
 
 _ENTRY_POINTS = ["queries", "queries_text", "queries_ml",
-                 "queries_corpus", "queries_geo"]
+                 "queries_corpus", "queries_geo", "queries_web"]
 
 
 def _order(first: str) -> list[str]:
@@ -64,22 +64,30 @@ def _green(path: pathlib.Path) -> set[str]:
 
 
 def test_rotation_accounting() -> None:
-    """Round-4 rotation bookkeeping: every rotated-out query carries
-    prior driver-green evidence (r3 for the 13 round-3 ins, r2 AND r3
-    for the 11 pinned-slot retirements); every rotation-in was never in
-    any prior CORRECTNESS window; no name is both pinned and rotated."""
+    """Rotation bookkeeping across rounds: every rotated-out query
+    carries driver-green evidence from the round(s) it sat in the
+    window; every rotation-in was never hash-green in any prior window;
+    no pinned query is ever rotated out; every non-pinned window slot
+    that is NOT a round-5 in is a round-4 in that went green in r4."""
     from loc2vec_spark import queries as q
     r2 = _green(_REPO / "CORRECTNESS_r02.json")
     r3 = _green(_REPO / "CORRECTNESS_r03.json")
+    r4 = _green(_REPO / "CORRECTNESS_r04.json")
+    # r4 bookkeeping (unchanged invariants)
     out_r4 = set(q.ROTATED_OUT_R4)
     assert len(out_r4) == 24
     assert out_r4 <= r2 | r3          # all have driver-green evidence
     assert set(q.ROTATED_OUT_R4[13:]) <= r2 & r3  # retirements twice-green
+    # r5 bookkeeping
+    out_r5 = set(q.ROTATED_OUT_R5)
+    ins_r5 = set(q.ROTATED_IN_R5)
+    assert out_r5 <= r4               # rotated out only after going green
+    assert not ins_r5 & (r2 | r3 | r4)  # ins never hash-green before
     pinned = set(q.DRIVER_WINDOW[:26])
-    ins = set(q.DRIVER_WINDOW[26:])
-    assert len(ins) == 24
-    assert not ins & (r2 | r3 | set(q.ROTATED_OUT_R3) | out_r4)
-    assert not pinned & (out_r4 | set(q.ROTATED_OUT_R3))
+    assert not pinned & (out_r4 | out_r5 | set(q.ROTATED_OUT_R3))
+    survivors = set(q.DRIVER_WINDOW[26:]) - ins_r5
+    assert survivors <= r4            # r4 ins that stayed, all green r4
+    assert not survivors & (out_r5 | out_r4 | set(q.ROTATED_OUT_R3))
 
 
 def test_every_query_has_driver_window_placement() -> None:

@@ -153,15 +153,17 @@ ROTATED_OUT_R5: tuple[str, ...] = (
     # driver-green in CORRECTNESS_r04 (and mirror-green every round via
     # tools/check_oracles.py); their slots go to the round-5 queries
     "focal_stats", "geom_stats", "traj_stats", "w6_ranks", "a9_cube",
+    "a10_multidistinct", "a11_percentiles",
 )
 
 ROTATED_IN_R5: tuple[str, ...] = (
     # never hash-checked by the driver before round 5: the two raster
     # faces gained DuckDB oracles this round (decoded-pixel checksums —
-    # their r01 appearance was the weaker rows-only check), the crawl
-    # front door (WARC + HTML) and the GROUPING SETS face are new
+    # their r01 appearance was the weaker rows-only check); the crawl
+    # front door (WARC + HTML), the GROUPING SETS face, and the AV
+    # near-dup pair are new
     "raster_assembly", "pyramid_rollup", "html_text_extract",
-    "warc_records", "a13_grouping_sets",
+    "warc_records", "a13_grouping_sets", "dedup_video", "dedup_audio",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -180,8 +182,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "morans_i",
     "profile_stats", "dist_drift", "text_pii_scrub", "text_repetition",
     "decontaminate", "leakfree_split", "mix_sources", "doc_rarity",
-    "dedup_spanfrac", "a10_multidistinct",
-    "a11_percentiles",
+    "dedup_spanfrac",
     # --- round-5 rotation-ins ---
     *ROTATED_IN_R5,
 )

@@ -313,6 +313,101 @@ FROM r GROUP BY l_returnflag
 """
 
 
+# ===========================================================================
+# dedup_video / dedup_audio — AV near-dup over REAL media bytes
+# (VERDICT r4 item 3); planted fixtures + guarantees documented in
+# operators/avdedup.py
+# ===========================================================================
+
+_AV_CAP = 2000  # bounded clip count at any sf (deterministic runtime)
+
+
+def _dedup_video_fn(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from .operators import avdedup
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "video_id": pdf["vec_id"].astype(str),
+                "bytes": [avdedup.neardup_video_bytes(int(v))
+                          for v in pdf["vec_id"]]})
+
+    clips = (spark.table("embeddings").select("vec_id")
+             .filter(f"vec_id < {_AV_CAP}")
+             .mapInPandas(gen, "video_id string, bytes binary"))
+    pairs = avdedup.dedup_video_pairs(clips, every_s=1.0, max_frames=8)
+    ia = F.col("vid_a").cast("bigint")
+    ib = F.col("vid_b").cast("bigint")
+    # canonical numeric orientation (operator pairs are oriented by the
+    # generic string id)
+    return pairs.select(F.least(ia, ib).alias("vid_a"),
+                        F.greatest(ia, ib).alias("vid_b"),
+                        "matched_frames")
+
+
+_DEDUP_VIDEO_ORACLE = f"""
+WITH v AS (SELECT vec_id FROM embeddings WHERE vec_id < {_AV_CAP})
+SELECT a.vec_id AS vid_a, b.vec_id AS vid_b,
+       CAST(4 AS BIGINT) AS matched_frames
+FROM v a JOIN v b
+  ON CAST(FLOOR(a.vec_id / 4.0E0) AS BIGINT)
+     = CAST(FLOOR(b.vec_id / 4.0E0) AS BIGINT)
+ AND a.vec_id < b.vec_id
+"""
+
+
+def _dedup_audio_fn(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from .operators import avdedup
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "audio_id": pdf["vec_id"].astype(str),
+                "bytes": [avdedup.neardup_audio_bytes(int(v))
+                          for v in pdf["vec_id"]]})
+
+    clips = (spark.table("embeddings").select("vec_id")
+             .filter(f"vec_id < {_AV_CAP}")
+             .mapInPandas(gen, "audio_id string, bytes binary"))
+    pairs = avdedup.dedup_audio_pairs(clips, min_matches=6)
+    ia = F.col("aid_a").cast("bigint")
+    ib = F.col("aid_b").cast("bigint")
+    return pairs.select(F.least(ia, ib).alias("aid_a"),
+                        F.greatest(ia, ib).alias("aid_b"),
+                        "n_matches")
+
+
+# The oracle REBUILDS the planted landmark relation in SQL (identical
+# arithmetic to avdedup.neardup_audio_bin) and runs the same equi-join +
+# count + threshold, so the prediction is exact even for incidental
+# cross-group landmark collisions — no probabilistic assumptions.
+_DEDUP_AUDIO_ORACLE = f"""
+WITH v AS (SELECT vec_id AS aid,
+                  CAST(FLOOR(vec_id / 4.0E0) AS BIGINT) AS g
+           FROM embeddings WHERE vec_id < {_AV_CAP}),
+t7 AS (SELECT 0 AS t UNION ALL SELECT 1 UNION ALL SELECT 2
+       UNION ALL SELECT 3 UNION ALL SELECT 4 UNION ALL SELECT 5
+       UNION ALL SELECT 6),
+peaks AS (SELECT aid, t,
+                 5 + (((g * 101) % 199
+                       + t * (1 + (g * 57) % 99)) % 199) AS b
+          FROM v CROSS JOIN t7),
+lm AS (SELECT p1.aid,
+              (p1.b * 256 + p2.b) * 4 + (p2.t - p1.t) AS lh
+       FROM peaks p1 JOIN peaks p2
+         ON p2.aid = p1.aid AND p2.t - p1.t BETWEEN 1 AND 2)
+SELECT a.aid AS aid_a, b.aid AS aid_b,
+       COUNT(*) AS n_matches
+FROM lm a JOIN lm b ON a.lh = b.lh AND a.aid < b.aid
+GROUP BY a.aid, b.aid
+HAVING COUNT(*) >= 6
+"""
+
+
 def register_ml_extras() -> None:
     # idempotent (register_ann_ivf pattern): under the queries-first
     # path the bottom completion hook fires while _register_extras is
@@ -364,6 +459,23 @@ def register_ml_extras() -> None:
                 "int64 moment sums (cents-scaled), doubles only in the "
                 "final closed form — the engine's regr_slope/REGR_R2 "
                 "analog without cross-row float folds")
+    _reg("dedup_video", Q(
+        tables=("embeddings",), fn=_dedup_video_fn,
+        duck_sql=_DEDUP_VIDEO_ORACLE,
+        doc="video near-dup: sampled-frame ahash sequences through the "
+            "REAL Y4M+PNG decode chain, banded-Hamming LSH per aligned "
+            "frame (equi-join candidates, bit_count exact filter) — "
+            "planted SECDED-coded frame patterns make the oracle's "
+            "group prediction exact by construction (min distance 4 "
+            "per 16-bit field => cross-group hamming >= 14)"))
+    _reg("dedup_audio", Q(
+        tables=("embeddings",), fn=_dedup_audio_fn,
+        duck_sql=_DEDUP_AUDIO_ORACLE,
+        doc="audio near-dup: spectral-peak constellation fingerprints "
+            "from REAL WAV decode + rfft (landmark-hash equi-join + "
+            "match-count threshold); the oracle rebuilds the planted "
+            "landmark relation in SQL and runs the same join "
+            "arithmetic, so every collision is predicted exactly"))
 
 
 # Completion hook for the queries_ml-first import path (mirrors

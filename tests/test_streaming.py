@@ -354,3 +354,98 @@ def test_events_sliding_double_counts_each_event(spark):
     starts = [r.win_start_epoch for r in out.select("win_start_epoch")
               .distinct().collect()]
     assert all(s % 300 == 0 for s in starts)
+
+
+# ---------------------------------------------------------------------------
+# join_streams — watermarked stream-stream interval join
+# ---------------------------------------------------------------------------
+
+def _jt(day, minute):
+    from datetime import datetime, timedelta
+    return datetime(2026, 3, 1 + day, 9, 0) + timedelta(minutes=minute)
+
+
+def _join_fixture():
+    """(views, clicks, click_late_ok, click_too_late) row lists.
+
+    Views at minute 0 per (day, user); clicks at +3min (join: within
+    the 10-minute delay) and +12min (no join). Day 1 sits 24h after
+    day 0 — far past the 30-minute watermark — so the straggler run
+    must evict day-0 state. The late-but-ok click (id 290) carries a
+    day-1 timestamp newer than the restored watermark; the too-late
+    click (id 291) carries a day-0 timestamp and must be DROPPED."""
+    views, clicks = [], []
+    for day in (0, 1):
+        for u in range(3):
+            views.append((100 + day * 10 + u, _jt(day, 0), u,
+                          "view", float(u), None))
+            clicks.append((200 + day * 10 + u, _jt(day, 3), u,
+                           "click", 10.0 + u, None))
+            clicks.append((220 + day * 10 + u, _jt(day, 12), u,
+                           "click", 20.0 + u, None))
+    late_ok = (290, _jt(1, 5), 0, "click", 90.0, None)
+    too_late = (291, _jt(0, 4), 1, "click", 91.0, None)
+    return views, clicks, late_ok, too_late
+
+
+def test_join_streams_batch_equals_stream_resumes_and_evicts(
+        spark, tmp_path, capsys):
+    import pandas as pd
+    views, clicks, late_ok, too_late = _join_fixture()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def mkdf(rows):
+        return spark.createDataFrame(pd.DataFrame(rows, columns=cols),
+                                     streaming.EVENTS_SCHEMA)
+
+    # batch face: identical expression on static frames; truth EXCLUDES
+    # the too-late click (the watermark-drop contract)
+    batch = streaming.join_streams(mkdf(clicks + [late_ok]), mkdf(views))
+    expected = {(r["event_id"], r["r_event_id"]) for r in batch.collect()}
+    assert expected == {(200 + d * 10 + u, 100 + d * 10 + u)
+                       for d in (0, 1) for u in range(3)} | {(290, 110)}
+
+    vsrc, csrc, ck = (str(tmp_path / d) for d in ("v", "c", "ck"))
+    mkdf(views).coalesce(1).write.parquet(vsrc)
+    mkdf(clicks).coalesce(1).write.parquet(csrc)
+    out = []
+
+    def run():
+        vs = spark.readStream.schema(streaming.EVENTS_SCHEMA).parquet(vsrc)
+        cs = spark.readStream.schema(streaming.EVENTS_SCHEMA).parquet(csrc)
+        q = (streaming.join_streams(cs, vs)
+             .writeStream.outputMode("append")
+             .foreachBatch(lambda bdf, bid: out.extend(bdf.collect()))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return q
+
+    q1 = run()  # run 1: both days in one batch, watermark -> day1-30min
+    n_run1 = len(out)
+    assert {(r["event_id"], r["r_event_id"]) for r in out} \
+        == expected - {(290, 110)}
+
+    # run 2 resumes from the checkpoint (restored watermark) and sees
+    # only the straggler file
+    mkdf([late_ok, too_late]).coalesce(1).write.mode("append").parquet(csrc)
+    q2 = run()
+    got = {(r["event_id"], r["r_event_id"]) for r in out}
+    assert got == expected          # 290 joined, 291 dropped
+    assert len(out) == n_run1 + 1
+
+    # bounded state: run 1's watermark-advance follow-up batch evicts
+    # the day-0 rows (availableNow runs it before terminating), and the
+    # straggler batch's state never holds both days' rows
+    p1 = [p for p in q1.recentProgress if p["stateOperators"]]
+    assert any(p["stateOperators"][0]["numRowsRemoved"] > 0 for p in p1)
+    p2 = [p for p in q2.recentProgress if p["stateOperators"]]
+    assert p2
+    n_total = len(views) + len(clicks) + 2
+    assert 0 < p2[-1]["stateOperators"][0]["numRowsTotal"] < n_total
+
+    # physical plan: the watermarked symmetric hash join, not a batch
+    # join fallback
+    capsys.readouterr()
+    q2.explain()
+    assert "StreamingSymmetricHashJoin" in capsys.readouterr().out

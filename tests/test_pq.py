@@ -445,3 +445,39 @@ def test_read_pq_meta_absent_defaults_corrupt_raises(spark, tmp_path):
         f.write(b"not a parquet footer at all")
     with pytest.raises(Exception):
         read_pq_meta(spark, broken)
+
+
+def test_clustered_regime_bench_floor(spark):
+    """Pins the BENCH/BASELINE.md clustered-regime row (r5): residual
+    IVF-PQ with a selective coarse quantizer (one cell per planted
+    cluster, nprobe/k = 1/8) must hold high recall while ADC-scanning
+    only ~nprobe/k of the corpus — the operating point that survives a
+    100-TB scale-up. Reduced-size mirror of bench.bench_ann_clustered
+    (same noise, same nprobe/k ratio)."""
+    from loc2vec_spark.operators.ann import (ivf_trained_candidates,
+                                             train_codebook)
+    from loc2vec_spark.operators.pq import (ivfpq_shortlist,
+                                            normalized_frame)
+    X = _clustered(32, 20, noise=0.08, seed=7)   # 640 rows
+    emb = _as_view(spark, X)
+    cents = train_codebook(emb, dim=DIM, k_cells=32, iters=3)
+    books = train_pq(emb, dim=DIM, m=M, ksub=KSUB, iters=3, cents=cents)
+    ne = normalized_frame(emb, DIM)
+    qidx = [i for i in range(len(X)) if i % 25 == 0]
+    exact = _exact_top10(X.astype(np.float64), qidx)
+    got = {}
+    for r in ivfpq_search(emb, cents, books, dim=DIM, nprobe=4,
+                          refine=30, ne=ne, residual=True).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = (sum(len(exact[q] & got.get(q, set())) for q in qidx)
+              / (10 * len(qidx)))
+    denom = len(qidx) * (len(X) - 1)
+    scan = ivf_trained_candidates(emb, cents, dim=DIM, nprobe=4,
+                                  ne=ne).count() / denom
+    exact_frac = ivfpq_shortlist(emb, cents, books, dim=DIM, nprobe=4,
+                                 refine=30, ne=ne,
+                                 residual=True).count() / denom
+    ne.unpersist()
+    assert recall >= 0.85, recall
+    assert scan <= 0.30, scan
+    assert exact_frac <= 0.06, exact_frac

@@ -148,7 +148,7 @@ def main() -> None:
             # best composition (they ride every lite session now)
             for k in ("tile_rows_per_sec", "triplet_rows_per_sec",
                       "triplet_jobcap_rows_per_sec", "knn_rows_per_sec",
-                      "dedup_lsh_rows_per_sec"):
+                      "dedup_lsh10_rows_per_sec"):
                 if k in out and k in r:
                     out[k] = max(out[k], r[k])
             if r["value"] < out["value"]:
@@ -196,7 +196,7 @@ def main() -> None:
     # backfills identical extras-session values into both halves (an
     # efficiency computed from those would be meaningless)
     _RATE_KEYS = ("triplet_jobcap_rows_per_sec", "knn_rows_per_sec",
-                  "dedup_lsh_rows_per_sec")
+                  "dedup_lsh10_rows_per_sec")
     campaign_rate_keys = [k for k in _RATE_KEYS
                           if lo.get(k) and hi.get(k)]
     extras_name = None
@@ -267,7 +267,9 @@ def main() -> None:
             f"uncapped triplet rows/sec (job cap "
             f"{lo.get('triplet_jobcap', 1024)})",
         "knn_rows_per_sec": "cell-blocked kNN top-5 rows/sec",
-        "dedup_lsh_rows_per_sec": "MinHash-LSH dedup rows/sec",
+        "dedup_lsh10_rows_per_sec":
+            f"MinHash-LSH dedup rows/sec "
+            f"({lo.get('dedup_lsh10_rows', 'n/a')}-doc near-dup corpus)",
     }
     extra_eff_rows = ""
     for key in campaign_rate_keys:

@@ -222,7 +222,7 @@ def main() -> None:
                   "scale10_fixture_rows", "scale10_tile_rows_per_sec",
                   "scale10_triplet_rows_per_sec",
                   "scale10dense_triplet_rows_per_sec",
-                  "knn_rows_per_sec", "scale10_knn_rows_per_sec",
+                  "scale10_knn_rows_per_sec",
                   "dedup_lsh_rows_per_sec",
                   "scale10_dedup_lsh_rows",
                   "scale10_dedup_lsh_rows_per_sec",
@@ -233,13 +233,18 @@ def main() -> None:
                   "scale50_dedup_lsh_rows_per_sec"):
             lo.setdefault(k, extras.get(k))
             hi.setdefault(k, extras.get(k))
+        # *_extras aliases hold the extras SESSION's own values even
+        # when the campaign raws carry the same key (since r5 they all
+        # do), so the 10x/50x per-row tables and the honesty-run
+        # narrative always pair numbers from ONE session — the campaign
+        # key would be a different session, cpu count and fixture size
+        # (review r5: kNN/jobcap were silently cross-paired after
+        # bench_round_rates put them in every raw)
         for t in (lo, hi):
-            t.setdefault("triplet_jobcap_rows_per_sec",
-                         extras.get("triplet_jobcap_rows_per_sec"))
-            t.setdefault("triplet_rows_per_sec_extras",
-                         extras.get("triplet_rows_per_sec"))
-            t.setdefault("tile_rows_per_sec_extras",
-                         extras.get("tile_rows_per_sec"))
+            for k in ("triplet_rows_per_sec", "tile_rows_per_sec",
+                      "knn_rows_per_sec", "triplet_jobcap_rows_per_sec",
+                      "triplet_jobcap_rows"):
+                t[f"{k}_extras"] = extras.get(k)
             t.setdefault("_extras_cpus", extras.get("cpus"))
     ratio = args.hi // args.lo
 
@@ -339,8 +344,10 @@ triplet throughput runs at res {13} with per-cell candidate cap
 `percell_cap` skew-control downsampling). The uncapped honesty run —
 same pipeline at the job-default cap {hi.get('triplet_jobcap', 1024)}
 (`jobs/run_mining.py --cap`), join_salt=32 — measures
-{hi.get('triplet_jobcap_rows_per_sec', 'n/a')} rows/sec on
-{hi.get('triplet_jobcap_rows', 'n/a')} rows. {session_note}The fixture's 3 urban disks make
+{hi.get('triplet_jobcap_rows_per_sec_extras', 'n/a')} rows/sec on
+{hi.get('triplet_jobcap_rows_extras', 'n/a')} rows in the extras
+session (the campaign rounds re-measure it per-round at the campaign
+fixture size — efficiency table above). {session_note}The fixture's 3 urban disks make
 uncapped candidate volume quadratic, which is exactly why the capped
 path is the 100-TB design (and why join-output-skew salting exists:
 unsalted, the same run is ~26x slower in 2 straggler tasks — see
@@ -403,7 +410,7 @@ pruning/salting/bucketing plans hold as data grows:
 | tile assignment | {hi.get('tile_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_tile_rows_per_sec', 'n/a')} |
 | triplet generation, constant density (cap={lo.get('triplet_cap', 16)}; 10x = 30 disjoint city disks — the 100-TB growth model) | {hi.get('triplet_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_triplet_rows_per_sec', 'n/a')} |
 | triplet generation, density stress (10x rows in the SAME 3 disks: per-cell pair volume ~100x before the cap) | {hi.get('triplet_rows_per_sec_extras', 'n/a')} | {hi.get('scale10dense_triplet_rows_per_sec', 'n/a')} |
-| cell-blocked kNN top-5 (cap=16, 8-dim hash embeddings; 10x constant density) | {hi.get('knn_rows_per_sec', 'n/a')} | {hi.get('scale10_knn_rows_per_sec', 'n/a')} |
+| cell-blocked kNN top-5 (cap=16, 8-dim hash embeddings; 10x constant density) | {hi.get('knn_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_knn_rows_per_sec', 'n/a')} |
 | MinHash-LSH dedup (10x = near-dup-heavy replicated corpus, {hi.get('scale10_dedup_lsh_rows', 'n/a')} docs) | {hi.get('dedup_lsh_rows_per_sec', 'n/a')} | {hi.get('scale10_dedup_lsh_rows_per_sec', 'n/a')} |
 
 50x scale point (r3 verdict item 3; same extras session): sf1.0-
@@ -420,7 +427,7 @@ cap/salt knobs unchanged from 1x/10x:
 |---|---|---|---|
 | tile assignment | {hi.get('tile_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_tile_rows_per_sec', 'n/a')} | {hi.get('scale50_tile_rows_per_sec', 'n/a')} |
 | triplet generation, constant density (cap={lo.get('triplet_cap', 16)}) | {hi.get('triplet_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_triplet_rows_per_sec', 'n/a')} | {hi.get('scale50_triplet_rows_per_sec', 'n/a')} |
-| cell-blocked kNN top-5 | {hi.get('knn_rows_per_sec', 'n/a')} | {hi.get('scale10_knn_rows_per_sec', 'n/a')} | {hi.get('scale50_knn_rows_per_sec', 'n/a')} |
+| cell-blocked kNN top-5 | {hi.get('knn_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_knn_rows_per_sec', 'n/a')} | {hi.get('scale50_knn_rows_per_sec', 'n/a')} |
 | MinHash-LSH dedup | {hi.get('dedup_lsh_rows_per_sec', 'n/a')} | {hi.get('scale10_dedup_lsh_rows_per_sec', 'n/a')} | {hi.get('scale50_dedup_lsh_rows_per_sec', 'n/a')} |
 
 Per-query seconds:

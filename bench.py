@@ -96,7 +96,7 @@ def ensure_fixture(n: int) -> str:
     return marker
 
 
-def bench_flagship(spark, n_images: int, lite: bool = False) -> dict:
+def bench_flagship(spark, n_images: int) -> dict:
     """Tile assignment + spatial-triplet generation over the images
     table. Since round 5 the uncapped (job-cap) honesty run is measured
     in EVERY session — including the lite scaling-campaign sessions —
@@ -208,7 +208,6 @@ def bench_round_rates(spark, n_images: int, sf_dir: str) -> dict:
     # bench_scale_point's 10x half (bounded intra-group pairs).
     from loc2vec_spark.queries_text import lsh_pairs_df
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    dp10 = spark.sparkContext.defaultParallelism
     big = docs.crossJoin(F.broadcast(
         spark.range(10).select(F.col("id").alias("_r")))) \
         .withColumn("doc_id", F.col("doc_id") * 10 + F.col("_r")) \
@@ -216,7 +215,7 @@ def bench_round_rates(spark, n_images: int, sf_dir: str) -> dict:
                     .otherwise(F.concat_ws(" ", F.col("text"),
                                            F.concat(F.lit("rep"),
                                                     F.col("_r"))))) \
-        .drop("_r").repartition(dp10).cache()
+        .drop("_r").repartition(dp).cache()
     n_big = big.count()
     big.createOrReplaceTempView("documents")
     t_lsh = timed_warm(lsh_pairs_df(spark), reps=1)
@@ -655,13 +654,13 @@ def main() -> None:
         times[name] = round(timed_warm(qreg.run_spark(spark, sf_dir, name)),
                             3)
 
-    # LITE mode (BENCH/run_scaling.py): the scaling measurement needs
-    # only the flagship throughputs at two parallelism levels; the
-    # per-round disclosure extras (uncapped honesty run, ANN recall,
-    # full-suite breadth pass) would just stretch each timed session
+    # LITE mode (BENCH/run_scaling.py): scaling-campaign sessions carry
+    # the flagship + per-round rates (tile/triplet/jobcap/kNN/LSH) but
+    # skip the ANN-recall and full-suite breadth extras, which would
+    # just stretch each timed session without adding a scaling signal
     lite = os.environ.get("SPARK_GRAFT_BENCH_LITE") == "1"
 
-    flag = bench_flagship(spark, n_images, lite=lite)
+    flag = bench_flagship(spark, n_images)
     times["tile_assign_fixture"] = flag["tile_assign_fixture_sec"]
     times["triplets_fixture"] = flag["triplets_fixture_sec"]
     # kNN + LSH-dedup ride every session (campaign disclosure, r5)
@@ -698,10 +697,9 @@ def main() -> None:
         "tile_rows_per_sec": flag["tile_rows_per_sec"],
         "triplet_rows_per_sec": flag["triplet_rows_per_sec"],
         "triplet_cap": flag["triplet_cap"],
-        # lite mode omits the honesty-run / ANN / suite extras
-        **{k: flag[k] for k in ("triplet_jobcap", "triplet_jobcap_rows",
-                                "triplet_jobcap_rows_per_sec")
-           if k in flag},
+        "triplet_jobcap": flag["triplet_jobcap"],
+        "triplet_jobcap_rows": flag["triplet_jobcap_rows"],
+        "triplet_jobcap_rows_per_sec": flag["triplet_jobcap_rows_per_sec"],
         **rates,
         **ann,
         "full_suite_sec": suite_sec,

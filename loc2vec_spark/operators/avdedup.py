@@ -52,9 +52,11 @@ def video_phash_sequences(videos: DataFrame, *, every_s: float = 1.0,
                     "b0", "b1", "b2", "b3"))
 
 
-def dedup_video_pairs(videos: DataFrame, *, every_s: float = 1.0,
+def dedup_video_pairs(videos: DataFrame | None = None, *,
+                      every_s: float = 1.0,
                       max_frames: int = 8, max_hamming: int = 3,
-                      min_frames: int = 3) -> DataFrame:
+                      min_frames: int = 3,
+                      sequences: DataFrame | None = None) -> DataFrame:
     """Near-duplicate clip pairs: (vid_a, vid_b, matched_frames).
 
     A frame pair matches when the aligned (same frame_no) hashes are
@@ -70,9 +72,21 @@ def dedup_video_pairs(videos: DataFrame, *, every_s: float = 1.0,
     count. No cross product anywhere; skew on a hot (band, value)
     bucket means that many true near-dups share a frame look, the same
     bounded-by-duplication argument as dedup_minhash_lsh.
+
+    Lifecycle: the hash-sequence table feeds BOTH self-join sides, and
+    Spark does not reuse the exchange across them (measured: the decode
+    chain runs twice uncached), so when this function computes it, it
+    caches it — and that cache lives until session end because a lazy
+    return leaves no unpersist point (review r5). Callers who need
+    deterministic release pass ``sequences=`` (built via
+    :func:`video_phash_sequences`, persisted however they choose) and
+    own its lifecycle; ownership follows construction.
     """
-    seq = video_phash_sequences(
-        videos, every_s=every_s, max_frames=max_frames).cache()
+    if sequences is not None:
+        seq = sequences
+    else:
+        seq = video_phash_sequences(
+            videos, every_s=every_s, max_frames=max_frames).cache()
     bands = seq.select(
         "video_id", "frame_no", "phash",
         F.posexplode(F.array("b0", "b1", "b2", "b3"))
@@ -248,15 +262,25 @@ def audio_fingerprints(audio: DataFrame, *, frame_len: int = 512,
         "bytes IS NOT NULL").mapInPandas(gen, FINGERPRINT_SCHEMA)
 
 
-def dedup_audio_pairs(audio: DataFrame, *, frame_len: int = 512,
-                      fanout: int = 2, min_matches: int = 6) -> DataFrame:
+def dedup_audio_pairs(audio: DataFrame | None = None, *,
+                      frame_len: int = 512,
+                      fanout: int = 2, min_matches: int = 6,
+                      fingerprints: DataFrame | None = None) -> DataFrame:
     """Near-duplicate clip pairs: (aid_a, aid_b, n_matches) where
     ``n_matches`` counts landmark-hash collisions between the two clips
     (equi-join on ``lh``) and pairs below ``min_matches`` are dropped —
     isolated constellation coincidences between unrelated clips stay
-    far below any real duplicate's match count."""
-    fp = audio_fingerprints(
-        audio, frame_len=frame_len, fanout=fanout).cache()
+    far below any real duplicate's match count.
+
+    Lifecycle: same contract as :func:`dedup_video_pairs` — an
+    internally-computed fingerprint table is cached for the self-join
+    and lives until session end; pass ``fingerprints=`` (from
+    :func:`audio_fingerprints`) to own persistence and release."""
+    if fingerprints is not None:
+        fp = fingerprints
+    else:
+        fp = audio_fingerprints(
+            audio, frame_len=frame_len, fanout=fanout).cache()
     a, b = fp.alias("a"), fp.alias("b")
     return (a.join(b, [F.col("a.lh") == F.col("b.lh"),
                        F.col("a.audio_id") < F.col("b.audio_id")])

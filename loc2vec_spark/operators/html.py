@@ -47,17 +47,31 @@ class _Extractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self._drop = 0
-        self._in_title = False
+        self._in_title = False       # inside any <title> element
+        self._capture_title = False  # ... and it is THE document title
+        self._title_done = False
         self._title: list[str] = []
         self._chunks: list[str] = []
 
     def handle_starttag(self, tag, attrs):
         if tag in _VOID_TAGS:
             return
+        if self._in_title:
+            # a real <title> contains no child elements: any start tag
+            # while capturing means the title was unclosed tag soup —
+            # stop here rather than swallow the rest of the document
+            # into the title (and delete it from the text)
+            if self._capture_title:
+                self._title_done = True
+            self._in_title = self._capture_title = False
         if tag in DROP_TAGS:
             self._drop += 1
         elif tag == "title":
             self._in_title = True
+            # the DOCUMENT title is the first <title> outside any
+            # dropped subtree; later ones (<svg><title> icon labels,
+            # duplicate titles in body soup) are chrome, not content
+            self._capture_title = self._drop == 0 and not self._title_done
 
     def handle_endtag(self, tag):
         if tag in DROP_TAGS:
@@ -67,11 +81,15 @@ class _Extractor(HTMLParser):
             # dropping content that was outside any DROP subtree
             self._drop = max(0, self._drop - 1)
         elif tag == "title":
-            self._in_title = False
+            if self._capture_title:
+                self._title_done = True
+            self._in_title = self._capture_title = False
 
     def handle_data(self, data):
         if self._in_title:
-            self._title.append(data)
+            # non-document titles contribute to neither field
+            if self._capture_title:
+                self._title.append(data)
         elif self._drop == 0 and not data.isspace():
             self._chunks.append(data)
 

@@ -69,6 +69,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.utils import AnalysisException
 from pyspark.sql.window import Window
 
 from .kmeans import assign_arrow_vec, seed_hash_col
@@ -535,12 +536,29 @@ def read_pq_meta(spark, out_dir: str) -> dict:
     than by substring-matching Spark's AnalysisException text — the
     error string is version-dependent ("PATH_NOT_FOUND" vs "Path does
     not exist"), so a runtime upgrade would have broken the legacy
-    default path (ADVICE r4)."""
-    jvm = spark.sparkContext._jvm
-    path = jvm.org.apache.hadoop.fs.Path(f"{out_dir}/meta")
-    fs = path.getFileSystem(
-        spark.sparkContext._jsc.hadoopConfiguration())
-    if not fs.exists(path):
-        return {"residual": False, "m": 8}
-    r = spark.read.parquet(f"{out_dir}/meta").collect()[0]
+    default path (ADVICE r4). Spark Connect sessions have no
+    ``sparkContext._jvm`` gateway at all, so when the probe is
+    unavailable the classification falls back to the read itself,
+    matching the STRUCTURED error class first and the legacy text only
+    after it (review r5)."""
+    _LEGACY = {"residual": False, "m": 8}
+    meta = f"{out_dir}/meta"
+    try:
+        sc = spark.sparkContext
+        path = sc._jvm.org.apache.hadoop.fs.Path(meta)
+        fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+        exists = bool(fs.exists(path))
+    except Exception:
+        exists = None  # no JVM gateway (Spark Connect) — probe below
+    if exists is False:
+        return _LEGACY
+    try:
+        r = spark.read.parquet(meta).collect()[0]
+    except AnalysisException as e:
+        if exists is None:
+            cls = getattr(e, "getErrorClass", lambda: None)()
+            if cls == "PATH_NOT_FOUND" or (
+                    cls is None and "Path does not exist" in str(e)):
+                return _LEGACY
+        raise
     return {"residual": bool(r["residual"]), "m": int(r["m"])}

@@ -238,8 +238,8 @@ WARC_SCHEMA = T.StructType([
 ])
 
 
-def read_warc(spark: SparkSession, path: str
-              ) -> tuple[DataFrame, DataFrame]:
+def read_warc(spark: SparkSession, path: str, *,
+              persist: bool = False) -> tuple[DataFrame, DataFrame]:
     """WARC archive glob -> ``(good, quarantine)`` DataFrames.
 
     good: (path, uri, warc_date, status, content_type, body) — one row
@@ -248,6 +248,16 @@ def read_warc(spark: SparkSession, path: str
     that preceded it (parse_warc_safe). Same contract as
     ``sources.read_documents``: a bad shard of 10^12 must neither kill
     the job nor vanish silently.
+
+    Lifecycle: by default nothing is cached — each returned frame
+    re-walks the archives when consumed, so consuming BOTH costs two
+    decompress passes but pins zero storage (at the operating point of
+    ~1 GB/archive x 10^5-10^6 archives, caching the parsed bodies would
+    park the whole decompressed corpus in executor storage for the
+    session, which is the wrong default; review r5). ``persist=True``
+    restores the single-walk split for small/interactive reads — the
+    caller owns release (``spark.catalog.clearCache()`` or unpersisting
+    either returned frame's common ancestor at session end).
     """
     files = spark.read.format("binaryFile").load(path) \
         .select("path", "content")
@@ -265,7 +275,9 @@ def read_warc(spark: SparkSession, path: str
             yield pd.DataFrame(
                 rows, columns=[f.name for f in WARC_SCHEMA.fields])
 
-    parsed = files.mapInPandas(walk, WARC_SCHEMA).cache()
+    parsed = files.mapInPandas(walk, WARC_SCHEMA)
+    if persist:
+        parsed = parsed.cache()
     good = parsed.filter(F.col("err").isNull()).drop("err")
     quarantine = parsed.filter(F.col("err").isNotNull()) \
         .select("path", "err")

@@ -127,3 +127,32 @@ def test_audio_level_jitter_still_matches(spark):
         columns=["audio_id", "bytes"]))
     got = AV.dedup_audio_pairs(clips).toPandas()
     assert len(got) == 1 and got["n_matches"][0] == 11
+
+
+def test_caller_owned_fingerprints_lifecycle(spark):
+    """``sequences=`` / ``fingerprints=`` move cache ownership to the
+    caller: the operator uses the provided frame as-is (no internal
+    cache entry is created), results are identical, and the caller can
+    unpersist deterministically (review r5)."""
+    vrows = [(str(v), AV.neardup_video_bytes(v)) for v in range(4)]
+    clips = spark.createDataFrame(
+        pd.DataFrame(vrows, columns=["video_id", "bytes"]))
+    seq = AV.video_phash_sequences(clips).persist()
+    try:
+        owned = AV.dedup_video_pairs(sequences=seq).toPandas()
+        internal = AV.dedup_video_pairs(clips).toPandas()
+        key = ["vid_a", "vid_b"]
+        assert sorted(map(tuple, owned[key].values.tolist())) == \
+            sorted(map(tuple, internal[key].values.tolist()))
+    finally:
+        seq.unpersist()
+
+    arows = [(str(v), AV.neardup_audio_bytes(v)) for v in range(4)]
+    aclips = spark.createDataFrame(
+        pd.DataFrame(arows, columns=["audio_id", "bytes"]))
+    fp = AV.audio_fingerprints(aclips).persist()
+    try:
+        owned = AV.dedup_audio_pairs(fingerprints=fp).toPandas()
+        assert len(owned) == 6  # C(4,2) within the planted group
+    finally:
+        fp.unpersist()

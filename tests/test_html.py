@@ -37,6 +37,33 @@ def test_entities_decoded():
     assert text == "fish & chips <now>"
 
 
+def test_title_in_dropped_subtree_ignored():
+    # the ubiquitous <svg><title> icon label inside chrome must not
+    # pollute the document title (and its text stays out of the body)
+    title, text = html_extract(
+        "<title>Real Title</title>"
+        "<header><svg><title>Menu icon</title></svg>Site</header>"
+        "<p>Body text</p>")
+    assert title == "Real Title"
+    assert text == "Body text"
+
+
+def test_first_title_wins():
+    title, text = html_extract(
+        "<title>Doc</title><p>a</p><title>later soup</title><p>b</p>")
+    assert title == "Doc"
+    assert text == "a b"
+
+
+def test_unclosed_title_does_not_swallow_document():
+    # tag soup: an unclosed <title> must stop capturing at the first
+    # start tag instead of deleting the whole page text into the title
+    title, text = html_extract(
+        "<title>Oops<p>all the body text</p> more")
+    assert title == "Oops"
+    assert text == "all the body text more"
+
+
 def test_comments_and_truncation_never_raise():
     _, text = html_extract("<p>ok</p><!-- hidden --><p>trunc")
     assert text == "ok trunc"

@@ -447,6 +447,30 @@ def test_read_pq_meta_absent_defaults_corrupt_raises(spark, tmp_path):
         read_pq_meta(spark, broken)
 
 
+def test_read_pq_meta_without_jvm_gateway(spark, tmp_path, monkeypatch):
+    """Spark Connect has no ``sparkContext._jvm``: the legacy default
+    must still come back for an absent meta (classified by the
+    AnalysisException error class, not the FS probe), and a present
+    meta must still read (review r5)."""
+    from unittest import mock
+
+    from loc2vec_spark.operators import pq
+
+    legacy = str(tmp_path / "legacy_index")
+    os.makedirs(legacy)
+    present = str(tmp_path / "ok_index")
+    spark.createDataFrame([(True, 4)], "residual boolean, m int") \
+        .write.parquet(f"{present}/meta")
+
+    with mock.patch.object(
+            type(spark), "sparkContext",
+            property(mock.Mock(side_effect=RuntimeError("no gateway")))):
+        assert pq.read_pq_meta(spark, legacy) == \
+            {"residual": False, "m": 8}
+        assert pq.read_pq_meta(spark, present) == \
+            {"residual": True, "m": 4}
+
+
 def test_clustered_regime_bench_floor(spark):
     """Pins the BENCH/BASELINE.md clustered-regime row (r5): residual
     IVF-PQ with a selective coarse quantizer (one cell per planted

@@ -199,18 +199,24 @@ def bench_round_rates(spark, n_images: int, sf_dir: str) -> dict:
         res=BENCH_RES, dim=8, k=5, cap=BENCH_CAP), reps=1)
     k1.unpersist()
 
-    # LSH-dedup on the 10x near-dup-replicated corpus (~50k docs at
-    # sf0.1), NOT the raw 5k-doc table: the 1x job finishes in well
-    # under a second at local[16], so its "rate" is fixed scheduling
-    # overhead and an efficiency computed from it measures nothing
-    # (round-1 campaign measured 0.39 and the job profile showed it
-    # overhead-bound). Same replication construction as
-    # bench_scale_point's 10x half (bounded intra-group pairs).
+    # LSH-dedup on a near-dup-replicated corpus, NOT the raw 5k-doc
+    # table: the 1x job finishes in well under a second at local[16],
+    # so its "rate" is fixed scheduling overhead and an efficiency
+    # computed from it measures nothing (round-1 campaign measured 0.39
+    # and the job profile showed it overhead-bound). Same replication
+    # construction as bench_scale_point's 10x half (bounded intra-group
+    # pairs). SPARK_GRAFT_BENCH_LSH_REPL (default 10 = the ~50k-doc
+    # corpus the per-round driver artifacts have carried since r4)
+    # scales the corpus for scaling-campaign sessions, where even 50k
+    # docs is a sub-second job at local[16] and the efficiency would
+    # again measure overhead (r5 supplemental campaign runs 50x); the
+    # emitted dedup_lsh10_rows field always discloses the actual size.
     from loc2vec_spark.queries_text import lsh_pairs_df
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    repl = int(os.environ.get("SPARK_GRAFT_BENCH_LSH_REPL", "10"))
     big = docs.crossJoin(F.broadcast(
-        spark.range(10).select(F.col("id").alias("_r")))) \
-        .withColumn("doc_id", F.col("doc_id") * 10 + F.col("_r")) \
+        spark.range(repl).select(F.col("id").alias("_r")))) \
+        .withColumn("doc_id", F.col("doc_id") * repl + F.col("_r")) \
         .withColumn("text", F.when(F.col("_r") == 0, F.col("text"))
                     .otherwise(F.concat_ws(" ", F.col("text"),
                                            F.concat(F.lit("rep"),

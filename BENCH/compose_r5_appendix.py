@@ -28,8 +28,10 @@ KEYS = [("tile_rows_per_sec", "tile"),
 def load(prefix, tag):
     out = {}
     for p in glob.glob(os.path.join(RAW, f"{prefix}_{tag}*.json")):
-        i = int(re.search(rf"{tag}(\d+)", os.path.basename(p)).group(1))
-        out[i] = json.load(open(p))
+        m = re.search(rf"{tag}(\d+)", os.path.basename(p))
+        if m is None:  # stray file matching the glob but not the
+            continue   # <prefix>_<tag><round>.json naming — skip it
+        out[int(m.group(1))] = json.load(open(p))
     return out
 
 

@@ -145,12 +145,15 @@ def main() -> None:
         out = dict(runs[0])
         for r in runs[1:]:
             # r5: the jobcap/kNN/LSH-dedup rates join the per-config
-            # best composition (they ride every lite session now)
+            # best composition (they ride every lite session now);
+            # max over the runs that CARRY the key, so mixing pre-r5
+            # and r5 raws composes the same set regardless of file
+            # order (review r5: `k in out` made it depend on runs[0])
             for k in ("tile_rows_per_sec", "triplet_rows_per_sec",
                       "triplet_jobcap_rows_per_sec", "knn_rows_per_sec",
                       "dedup_lsh10_rows_per_sec"):
-                if k in out and k in r:
-                    out[k] = max(out[k], r[k])
+                if k in r:
+                    out[k] = max(out[k], r[k]) if k in out else r[k]
             if r["value"] < out["value"]:
                 out["value"], out["queries"] = r["value"], r["queries"]
         return out
@@ -222,6 +225,7 @@ def main() -> None:
                   "scale10_fixture_rows", "scale10_tile_rows_per_sec",
                   "scale10_triplet_rows_per_sec",
                   "scale10dense_triplet_rows_per_sec",
+                  "scale1_knn_rows_per_sec",
                   "scale10_knn_rows_per_sec",
                   "dedup_lsh_rows_per_sec",
                   "scale10_dedup_lsh_rows",
@@ -244,7 +248,10 @@ def main() -> None:
             for k in ("triplet_rows_per_sec", "tile_rows_per_sec",
                       "knn_rows_per_sec", "triplet_jobcap_rows_per_sec",
                       "triplet_jobcap_rows"):
-                t[f"{k}_extras"] = extras.get(k)
+                # present-but-None would render the literal 'None' in
+                # the report (the .get default only covers ABSENT keys)
+                if extras.get(k) is not None:
+                    t[f"{k}_extras"] = extras[k]
             t.setdefault("_extras_cpus", extras.get("cpus"))
     ratio = args.hi // args.lo
 
@@ -410,7 +417,7 @@ pruning/salting/bucketing plans hold as data grows:
 | tile assignment | {hi.get('tile_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_tile_rows_per_sec', 'n/a')} |
 | triplet generation, constant density (cap={lo.get('triplet_cap', 16)}; 10x = 30 disjoint city disks — the 100-TB growth model) | {hi.get('triplet_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_triplet_rows_per_sec', 'n/a')} |
 | triplet generation, density stress (10x rows in the SAME 3 disks: per-cell pair volume ~100x before the cap) | {hi.get('triplet_rows_per_sec_extras', 'n/a')} | {hi.get('scale10dense_triplet_rows_per_sec', 'n/a')} |
-| cell-blocked kNN top-5 (cap=16, 8-dim hash embeddings; 10x constant density) | {hi.get('knn_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_knn_rows_per_sec', 'n/a')} |
+| cell-blocked kNN top-5 (cap=16, 8-dim hash embeddings; 10x constant density) | {hi.get('scale1_knn_rows_per_sec', 'n/a')} | {hi.get('scale10_knn_rows_per_sec', 'n/a')} |
 | MinHash-LSH dedup (10x = near-dup-heavy replicated corpus, {hi.get('scale10_dedup_lsh_rows', 'n/a')} docs) | {hi.get('dedup_lsh_rows_per_sec', 'n/a')} | {hi.get('scale10_dedup_lsh_rows_per_sec', 'n/a')} |
 
 50x scale point (r3 verdict item 3; same extras session): sf1.0-
@@ -427,7 +434,7 @@ cap/salt knobs unchanged from 1x/10x:
 |---|---|---|---|
 | tile assignment | {hi.get('tile_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_tile_rows_per_sec', 'n/a')} | {hi.get('scale50_tile_rows_per_sec', 'n/a')} |
 | triplet generation, constant density (cap={lo.get('triplet_cap', 16)}) | {hi.get('triplet_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_triplet_rows_per_sec', 'n/a')} | {hi.get('scale50_triplet_rows_per_sec', 'n/a')} |
-| cell-blocked kNN top-5 | {hi.get('knn_rows_per_sec_extras', 'n/a')} | {hi.get('scale10_knn_rows_per_sec', 'n/a')} | {hi.get('scale50_knn_rows_per_sec', 'n/a')} |
+| cell-blocked kNN top-5 | {hi.get('scale1_knn_rows_per_sec', 'n/a')} | {hi.get('scale10_knn_rows_per_sec', 'n/a')} | {hi.get('scale50_knn_rows_per_sec', 'n/a')} |
 | MinHash-LSH dedup | {hi.get('dedup_lsh_rows_per_sec', 'n/a')} | {hi.get('scale10_dedup_lsh_rows_per_sec', 'n/a')} | {hi.get('scale50_dedup_lsh_rows_per_sec', 'n/a')} |
 
 Per-query seconds:

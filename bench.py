@@ -177,6 +177,35 @@ def bench_flagship(spark, n_images: int) -> dict:
     }
 
 
+
+def _time_knn(cells_df, dp_mult: int, dp: int) -> float:
+    """Warm kNN-top-5 seconds over a prepared (image_id, cell) frame —
+    the ONE measurement code path shared by bench_round_rates and both
+    halves of bench_scale_point (review r5: three near-verbatim copies
+    could silently diverge)."""
+    k = _hash_emb(cells_df).repartition(dp_mult * dp).cache()
+    k.count()
+    t = timed_warm(triplets.knn_topk(
+        k, id_col="image_id", emb_col="emb", cell_col="cell",
+        res=BENCH_RES, dim=8, k=5, cap=BENCH_CAP), reps=1)
+    k.unpersist()
+    return t
+
+
+def _neardup_corpus(spark, docs, repl: int, dp: int):
+    """Replicated near-dup corpus: repl copies per doc, replicas
+    near-dup via a tiny suffix, ids strided by repl (no collisions).
+    Cached; caller must unpersist and restore the documents view."""
+    return docs.crossJoin(F.broadcast(
+        spark.range(repl).select(F.col("id").alias("_r")))) \
+        .withColumn("doc_id", F.col("doc_id") * repl + F.col("_r")) \
+        .withColumn("text", F.when(F.col("_r") == 0, F.col("text"))
+                    .otherwise(F.concat_ws(" ", F.col("text"),
+                                           F.concat(F.lit("rep"),
+                                                    F.col("_r"))))) \
+        .drop("_r").repartition(dp).cache()
+
+
 def bench_round_rates(spark, n_images: int, sf_dir: str) -> dict:
     """Per-session kNN + MinHash-LSH-dedup rates (VERDICT r4 item 4).
 
@@ -190,14 +219,8 @@ def bench_round_rates(spark, n_images: int, sf_dir: str) -> dict:
     img1 = spark.read.parquet(ensure_fixture(n_images))
     pts1 = geo.with_cells(geo.with_latlon(img1),
                           resolutions=(BENCH_RES,))
-    k1 = _hash_emb(pts1.select(
-        "image_id", F.col(f"cell_r{BENCH_RES}").alias("cell"))) \
-        .repartition(2 * dp).cache()
-    k1.count()
-    t_knn = timed_warm(triplets.knn_topk(
-        k1, id_col="image_id", emb_col="emb", cell_col="cell",
-        res=BENCH_RES, dim=8, k=5, cap=BENCH_CAP), reps=1)
-    k1.unpersist()
+    t_knn = _time_knn(pts1.select(
+        "image_id", F.col(f"cell_r{BENCH_RES}").alias("cell")), 2, dp)
 
     # LSH-dedup on a near-dup-replicated corpus, NOT the raw 5k-doc
     # table: the 1x job finishes in well under a second at local[16],
@@ -214,14 +237,7 @@ def bench_round_rates(spark, n_images: int, sf_dir: str) -> dict:
     from loc2vec_spark.queries_text import lsh_pairs_df
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     repl = int(os.environ.get("SPARK_GRAFT_BENCH_LSH_REPL", "10"))
-    big = docs.crossJoin(F.broadcast(
-        spark.range(repl).select(F.col("id").alias("_r")))) \
-        .withColumn("doc_id", F.col("doc_id") * repl + F.col("_r")) \
-        .withColumn("text", F.when(F.col("_r") == 0, F.col("text"))
-                    .otherwise(F.concat_ws(" ", F.col("text"),
-                                           F.concat(F.lit("rep"),
-                                                    F.col("_r"))))) \
-        .drop("_r").repartition(dp).cache()
+    big = _neardup_corpus(spark, docs, repl, dp)
     n_big = big.count()
     big.createOrReplaceTempView("documents")
     t_lsh = timed_warm(lsh_pairs_df(spark), reps=1)
@@ -461,26 +477,20 @@ def bench_scale_point(spark, n_images: int, sf_dir: str) -> dict:
 
     # cell-blocked kNN (J5, the flagship's other half): same 1x vs
     # constant-density-10x protocol, id-hash embedding (_hash_emb)
-    k1 = _hash_emb(geo.with_cells(pts1, resolutions=(BENCH_RES,))
-                   .select("image_id",
-                           F.col(f"cell_r{BENCH_RES}").alias("cell"))) \
-        .repartition(2 * dp).cache()
-    k1.count()
-    t_knn1 = timed_warm(triplets.knn_topk(
-        k1, id_col="image_id", emb_col="emb", cell_col="cell",
-        res=BENCH_RES, dim=8, k=5, cap=BENCH_CAP), reps=1)
-    k1.unpersist()
-    out["knn_rows_per_sec"] = round(n_images / t_knn1, 1)
-    k10 = _hash_emb(geo.with_cells(shifted, resolutions=(BENCH_RES,),
-                                   lat_col="lat", lon_col="lon")
-                    .select("image_id",
-                            F.col(f"cell_r{BENCH_RES}").alias("cell"))) \
-        .repartition(4 * dp).cache()
-    k10.count()
-    t_knn10 = timed_warm(triplets.knn_topk(
-        k10, id_col="image_id", emb_col="emb", cell_col="cell",
-        res=BENCH_RES, dim=8, k=5, cap=BENCH_CAP), reps=1)
-    k10.unpersist()
+    t_knn1 = _time_knn(geo.with_cells(pts1, resolutions=(BENCH_RES,))
+                       .select("image_id",
+                               F.col(f"cell_r{BENCH_RES}").alias("cell")),
+                       2, dp)
+    # scale1_*, NOT knn_rows_per_sec: main() merges this dict after
+    # bench_round_rates' and the shared name silently shadowed the
+    # per-round-rates measurement in full sessions (review r5); the
+    # scale tables pair this 1x value with the same-session 10x/50x
+    out["scale1_knn_rows_per_sec"] = round(n_images / t_knn1, 1)
+    t_knn10 = _time_knn(geo.with_cells(shifted, resolutions=(BENCH_RES,),
+                                       lat_col="lat", lon_col="lon")
+                        .select("image_id",
+                                F.col(f"cell_r{BENCH_RES}").alias("cell")),
+                        4, dp)
     out["scale10_knn_rows_per_sec"] = round(n10 / t_knn10, 1)
 
     # dedup_minhash_lsh: 1x baseline and 10x, same session (the 1x
@@ -490,14 +500,7 @@ def bench_scale_point(spark, n_images: int, sf_dir: str) -> dict:
     docs.createOrReplaceTempView("documents")
     n1 = docs.count()
     t1 = timed_warm(lsh_pairs_df(spark), reps=1)
-    big = docs.crossJoin(F.broadcast(
-        spark.range(10).select(F.col("id").alias("_r")))) \
-        .withColumn("doc_id", F.col("doc_id") * 10 + F.col("_r")) \
-        .withColumn("text", F.when(F.col("_r") == 0, F.col("text"))
-                    .otherwise(F.concat_ws(" ", F.col("text"),
-                                           F.concat(F.lit("rep"),
-                                                    F.col("_r"))))) \
-        .drop("_r").repartition(dp).cache()
+    big = _neardup_corpus(spark, docs, 10, dp)
     n_big = big.count()
     big.createOrReplaceTempView("documents")
     t10 = timed_warm(lsh_pairs_df(spark), reps=1)

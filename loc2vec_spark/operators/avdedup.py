@@ -84,6 +84,8 @@ def dedup_video_pairs(videos: DataFrame | None = None, *,
     """
     if sequences is not None:
         seq = sequences
+    elif videos is None:
+        raise ValueError("pass videos= or a precomputed sequences=")
     else:
         seq = video_phash_sequences(
             videos, every_s=every_s, max_frames=max_frames).cache()
@@ -278,6 +280,8 @@ def dedup_audio_pairs(audio: DataFrame | None = None, *,
     :func:`audio_fingerprints`) to own persistence and release."""
     if fingerprints is not None:
         fp = fingerprints
+    elif audio is None:
+        raise ValueError("pass audio= or precomputed fingerprints=")
     else:
         fp = audio_fingerprints(
             audio, frame_len=frame_len, fanout=fanout).cache()

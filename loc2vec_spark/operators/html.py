@@ -53,17 +53,20 @@ class _Extractor(HTMLParser):
         self._title: list[str] = []
         self._chunks: list[str] = []
 
+    def _end_title_capture(self) -> None:
+        # a real <title> contains no markup at all: ANY tag event while
+        # capturing (start, end, or void) means the title was unclosed
+        # tag soup — stop here rather than swallow the rest of the
+        # document into the title (and delete it from the text)
+        if self._capture_title:
+            self._title_done = True
+        self._in_title = self._capture_title = False
+
     def handle_starttag(self, tag, attrs):
+        if self._in_title:
+            self._end_title_capture()
         if tag in _VOID_TAGS:
             return
-        if self._in_title:
-            # a real <title> contains no child elements: any start tag
-            # while capturing means the title was unclosed tag soup —
-            # stop here rather than swallow the rest of the document
-            # into the title (and delete it from the text)
-            if self._capture_title:
-                self._title_done = True
-            self._in_title = self._capture_title = False
         if tag in DROP_TAGS:
             self._drop += 1
         elif tag == "title":
@@ -74,16 +77,16 @@ class _Extractor(HTMLParser):
             self._capture_title = self._drop == 0 and not self._title_done
 
     def handle_endtag(self, tag):
+        if self._in_title:
+            # </title> is the normal close; any OTHER end tag is the
+            # unclosed-title soup case again (e.g. <title>Oops</head>)
+            self._end_title_capture()
         if tag in DROP_TAGS:
             # max() guards stray close tags in malformed HTML: the
             # parser is forgiving by contract (crawl payloads are never
             # well-formed), so depth must never go negative and start
             # dropping content that was outside any DROP subtree
             self._drop = max(0, self._drop - 1)
-        elif tag == "title":
-            if self._capture_title:
-                self._title_done = True
-            self._in_title = self._capture_title = False
 
     def handle_data(self, data):
         if self._in_title:

@@ -556,7 +556,13 @@ def read_pq_meta(spark, out_dir: str) -> dict:
         r = spark.read.parquet(meta).collect()[0]
     except AnalysisException as e:
         if exists is None:
-            cls = getattr(e, "getErrorClass", lambda: None)()
+            # getCondition is the current accessor; getErrorClass is
+            # its deprecated pre-4.0 name (kept as fallback for older
+            # runtimes); raw text is the last resort for runtimes with
+            # neither
+            get = (getattr(e, "getCondition", None)
+                   or getattr(e, "getErrorClass", None))
+            cls = get() if get else None
             if cls == "PATH_NOT_FOUND" or (
                     cls is None and "Path does not exist" in str(e)):
                 return _LEGACY

@@ -57,11 +57,20 @@ def test_first_title_wins():
 
 def test_unclosed_title_does_not_swallow_document():
     # tag soup: an unclosed <title> must stop capturing at the first
-    # start tag instead of deleting the whole page text into the title
+    # tag event of ANY kind — start, void, or end — instead of
+    # deleting the whole page text into the title
     title, text = html_extract(
         "<title>Oops<p>all the body text</p> more")
     assert title == "Oops"
     assert text == "all the body text more"
+    title, text = html_extract(
+        "<title>Oops<br>all the body text<br>more text")
+    assert title == "Oops"
+    assert text == "all the body text more text"
+    title, text = html_extract(
+        "<title>Oops</head>body line one<hr>body line two")
+    assert title == "Oops"
+    assert text == "body line one body line two"
 
 
 def test_comments_and_truncation_never_raise():

@@ -209,6 +209,13 @@ def main() -> None:
             extras = json.loads(
                 [ln for ln in f.read().strip().splitlines()
                  if ln.startswith("{")][-1])
+        # pre-rename extras files carry the scale-point 1x kNN under
+        # knn_rows_per_sec (the shadowed name bench.py used before the
+        # scale1_* rename) — map it forward so historical reports
+        # re-compose with their own 1x value instead of 'n/a'
+        if ("scale1_knn_rows_per_sec" not in extras
+                and extras.get("knn_rows_per_sec") is not None):
+            extras["scale1_knn_rows_per_sec"] = extras["knn_rows_per_sec"]
         for k in ("triplet_cap", "triplet_jobcap", "triplet_jobcap_rows",
                   "ann_recall_at10", "ann_candidate_frac",
                   "ann_ivf_recall_at10", "ann_ivf_candidate_frac",
@@ -235,8 +242,12 @@ def main() -> None:
                   "scale50_knn_rows_per_sec",
                   "scale50_dedup_lsh_rows",
                   "scale50_dedup_lsh_rows_per_sec"):
-            lo.setdefault(k, extras.get(k))
-            hi.setdefault(k, extras.get(k))
+            # skip absent keys: setdefault(None) would defeat the
+            # template's .get(..., 'n/a') default and render the
+            # literal 'None' (review r5, same class as *_extras)
+            if extras.get(k) is not None:
+                lo.setdefault(k, extras[k])
+                hi.setdefault(k, extras[k])
         # *_extras aliases hold the extras SESSION's own values even
         # when the campaign raws carry the same key (since r5 they all
         # do), so the 10x/50x per-row tables and the honesty-run

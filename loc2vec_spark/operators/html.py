@@ -57,8 +57,11 @@ class _Extractor(HTMLParser):
         # a real <title> contains no markup at all: ANY tag event while
         # capturing (start, end, or void) means the title was unclosed
         # tag soup — stop here rather than swallow the rest of the
-        # document into the title (and delete it from the text)
-        if self._capture_title:
+        # document into the title (and delete it from the text).
+        # The document-title slot is consumed only when some text was
+        # actually captured: an empty/immediately-terminated <title/>
+        # must not discard the page's real title (review r5)
+        if self._capture_title and any(s.strip() for s in self._title):
             self._title_done = True
         self._in_title = self._capture_title = False
 

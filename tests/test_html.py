@@ -55,6 +55,17 @@ def test_first_title_wins():
     assert text == "a b"
 
 
+def test_empty_title_does_not_consume_the_slot():
+    # an empty or immediately-terminated first <title> must not
+    # discard the page's real title (first NON-EMPTY title wins)
+    assert html_extract(
+        "<title></title><title>Real</title><p>x</p>") == ("Real", "x")
+    assert html_extract(
+        "<title></head><title>Real</title>body")[0] == "Real"
+    assert html_extract(
+        "<title> </title><title>Real</title><p>x</p>") == ("Real", "x")
+
+
 def test_unclosed_title_does_not_swallow_document():
     # tag soup: an unclosed <title> must stop capturing at the first
     # tag event of ANY kind — start, void, or end — instead of

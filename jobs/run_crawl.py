@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Crawl-archive ingestion job — the corpus pipeline's front door
+(spark-submit).
+
+    spark-submit --py-files loc2vec_spark.zip jobs/run_crawl.py \
+        --warc '<glob of .warc / .warc.gz archives>' --out <dir> \
+        [--min-chars 1] [--keep-session]
+
+Turns raw WARC crawl archives into the ``documents``-table shape that
+every downstream operator and ``jobs/run_corpus.py`` consume:
+
+WARC archives (binaryFile glob, file-parallel)
+  -> operators.warc.read_warc     container walk + dead-letter split
+     (corrupt archives salvage their clean prefix and land one row in
+     out/quarantine_archives — a bad shard of 10^5-10^6 archives must
+     neither kill the job nor vanish silently)
+  -> keep HTTP 200 text/html responses (skipped statuses/types counted)
+  -> operators.html.html_extract  boilerplate strip (Arrow-batched
+     pandas UDF: script/style/nav/chrome subtrees dropped, first
+     non-empty document title captured, entities decoded, whitespace
+     collapsed — never raises on tag soup)
+  -> documents rows: doc_id = xxhash64(uri) (deterministic, re-crawl
+     stable), source = registered host, lang = NULL (language ID is an
+     annotation operator, run_corpus's text_langid stage), n_chars
+  -> lineage-manifested resumable write (out/documents), bucketed by
+     doc_id hash exactly like run_corpus's output
+
+Reference anchor: the S1 directory-as-table scan
+(``/root/reference/src/data_loading.py:142-149``) generalized to the
+crawl-archive container per SURVEY.md §2.10. Every stage is an
+oracle-checked operator face (warc_records, html_text_extract);
+this job is their composition. Prints one JSON stats line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from loc2vec_spark import lineage  # noqa: E402
+from loc2vec_spark.session import get_spark  # noqa: E402
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warc", required=True,
+                    help="glob of .warc/.warc.gz archives")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--min-chars", type=int, default=1,
+                    help="drop pages whose extracted text is shorter "
+                         "(boilerplate-only pages extract to empty)")
+    ap.add_argument("--keep-session", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name="loc2vec_crawl")
+    from loc2vec_spark.packaging import ensure_workers_can_import
+    ensure_workers_can_import(spark)
+
+    from loc2vec_spark.operators.html import html_extract_udf
+    from loc2vec_spark.operators.warc import read_warc
+
+    stats = {}
+    good, quarantine = read_warc(spark, args.warc)
+
+    # dead-letter sink first (S7-style): the archive-level quarantine
+    # is tiny (one row per corrupt archive) and must survive even if
+    # the extraction stage below fails
+    qpath = os.path.join(args.out, "quarantine_archives")
+    quarantine.write.mode("overwrite").parquet(qpath)
+    stats["quarantined_archives"] = spark.read.parquet(qpath).count()
+
+    # funnel counts in ONE aggregation over an uncached walk — caching
+    # the records frame would pin every decompressed body for the
+    # count phase (read_warc's docstring: recompute beats pinning at
+    # the 10^5-10^6-archive operating point), so the job pays two
+    # walks total (this count + the extraction) and pins nothing raw.
+    # The funnel is the job's operational contract: every dropped row
+    # is counted under a reason, nothing vanishes silently.
+    is_html = (F.col("status") == 200) & F.coalesce(
+        F.lower(F.col("content_type")).startswith("text/html"),
+        F.lit(False))
+    funnel = {bool(r["is_html"]): r["n"] for r in
+              good.groupBy(is_html.alias("is_html"))
+                  .agg(F.count("*").alias("n")).collect()}
+    stats["records_walked"] = sum(funnel.values())
+    stats["skipped_non_html"] = funnel.get(False, 0)
+
+    pages = good.filter(is_html).withColumn(
+        "ex", html_extract_udf()(F.col("body").cast("string")))
+    docs = pages.select(
+        F.xxhash64("uri").alias("doc_id"),
+        F.col("ex.text").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.regexp_extract("uri", r"^[a-z]+://([^/]+)", 1).alias("source"),
+        F.length("ex.text").cast("bigint").alias("n_chars"),
+        F.col("ex.title").alias("title"),
+        "uri", "warc_date")
+    kept = docs.filter(F.col("n_chars") >= args.min_chars).cache()
+    stats["documents"] = kept.count()
+    stats["dropped_short"] = (stats["records_walked"]
+                              - stats["skipped_non_html"]
+                              - stats["documents"])
+
+    # resumable bucketed write, same layout contract as run_corpus
+    out_df = kept.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(16)))
+    index = lineage.write_resumable(out_df,
+                                    os.path.join(args.out, "documents"),
+                                    cell_col="bucket", id_col="doc_id")
+    stats["written_docs"] = sum(r["rows"] for r in index.values())
+    stats["partitions"] = len(index)
+    kept.unpersist()
+
+    print(json.dumps(stats))
+    if not args.keep_session:
+        spark.stop()
+    return stats
+
+
+if __name__ == "__main__":
+    main()

@@ -264,3 +264,80 @@ def test_run_mining_with_augmentation(spark, images_dir, tmp_path):
     # every decodable source tile embeds once raw + once augmented
     assert len(aug_ids) == len(base_ids)
     assert {i.split("#")[0] for i in aug_ids} == set(base_ids)
+
+
+def test_run_crawl_end_to_end(spark, tmp_path):
+    """WARC archives -> container walk + dead-letter split -> HTML
+    boilerplate strip -> documents-shape lineage write; composition of
+    the warc_records + html_text_extract oracle-checked operators."""
+    import json
+
+    from loc2vec_spark.operators.warc import build_warc
+
+    # three archives: two clean (one plain, one gzip-member), one
+    # corrupt mid-stream (salvages its first record, quarantines)
+    def recs(base, n=5):
+        return [{
+            "uri": f"http://site{base}.test/page/{i}",
+            "date": "2026-02-01T00:00:00Z",
+            "status": 404 if (base, i) == (0, 3) else 200,
+            "content_type": ("application/json"
+                             if (base, i) == (1, 4)
+                             else "text/html; charset=utf-8"),
+            "body": (f"<html><head><title>P{base}-{i}</title>"
+                     f"<script>x</script></head><body><nav>m</nav>"
+                     f"<p>content {base} {i}</p></body></html>"
+                     ).encode(),
+        } for i in range(n)]
+
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    (wdir / "a.warc").write_bytes(build_warc(recs(0), gzip_members=False))
+    (wdir / "b.warc.gz").write_bytes(build_warc(recs(1),
+                                                gzip_members=True))
+    clean = build_warc(recs(2, n=2), gzip_members=False)
+    (wdir / "c.warc").write_bytes(clean[:len(clean) // 2 + 40])
+
+    out = str(tmp_path / "crawl_out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "crawlmod", os.path.join(repo, "jobs", "run_crawl.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stats = mod.main(["--warc", str(wdir / "*"), "--out", out,
+                      "--keep-session"])
+
+    assert stats["quarantined_archives"] == 1     # c.warc, truncated
+    # 10 clean records + c.warc's salvaged prefix (>= 1 record)
+    assert stats["records_walked"] >= 11
+    assert stats["skipped_non_html"] == 2         # the 404 + the json
+    assert stats["documents"] == stats["records_walked"] - 2
+    assert stats["written_docs"] == stats["documents"]
+
+    docs = spark.read.parquet(os.path.join(out, "documents"))
+    assert docs.count() == stats["documents"]
+    row = docs.filter("uri = 'http://site0.test/page/1'").collect()[0]
+    assert row["title"] == "P0-1"
+    assert row["text"] == "content 0 1"            # chrome stripped
+    assert row["source"] == "site0.test"
+    assert row["n_chars"] == len("content 0 1")
+    assert row["lang"] is None
+    # doc_id is re-crawl stable (pure function of the uri)
+    from pyspark.sql import functions as F
+    expect = spark.range(1).select(
+        F.xxhash64(F.lit("http://site0.test/page/1"))).collect()[0][0]
+    assert row["doc_id"] == expect
+
+    # the output IS documents-shaped: run_corpus's first stages accept it
+    docs.createOrReplaceTempView("documents")
+    from loc2vec_spark.queries import QUERIES
+    assert spark.sql(QUERIES["text_quality"].spark_sql).count() \
+        == stats["documents"]
+
+    # resume: a re-run commits nothing new
+    stats2 = mod.main(["--warc", str(wdir / "*"), "--out", out,
+                       "--keep-session"])
+    assert stats2["written_docs"] == 0
+    assert spark.read.parquet(os.path.join(out, "documents")).count() \
+        == stats["documents"]

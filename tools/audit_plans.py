@@ -458,6 +458,107 @@ def main() -> None:
          "Exchange SinglePartition" not in ppq),
     ])
 
+    # round-5 batch: crawl front door, GROUPING SETS, AV near-dup,
+    # raster checksum faces
+    hx = qreg.run_spark(spark, SF, "html_text_extract")
+    phx = plan_of(hx)
+    shx = summarize(phx)
+    audit("html_text_extract (crawl boilerplate strip)", hx, [
+        ("exactly one Arrow crossing — the batched html.parser strip "
+         "(scalar pandas UDF)", phx.count("ArrowEvalPython") == 1),
+        ("embarrassingly parallel: zero shuffles, zero joins",
+         shx["exchanges"] == 0
+         and shx["bhj"] + shx["smj"] + shx["bnlj"] == 0),
+        ("scan pruned to the page-build inputs (n_chars dropped)",
+         all("n_chars" not in sch for sch in shx["schemas"])),
+    ])
+
+    wr = qreg.run_spark(spark, SF, "warc_records")
+    pwr = plan_of(wr)
+    swr = summarize(pwr)
+    audit("warc_records (WARC write+walk round-trip)", wr, [
+        ("exactly one Arrow crossing — the per-batch .warc.gz "
+         "write + walk (mapInPandas)", pwr.count("MapInPandas") == 1),
+        ("file-parallel: zero shuffles, zero joins",
+         swr["exchanges"] == 0
+         and swr["bhj"] + swr["smj"] + swr["bnlj"] == 0),
+        ("scan pruned to (doc_id, text)",
+         swr["schemas"] == ["struct<doc_id:bigint,text:string>"]),
+    ])
+
+    gs = qreg.run_spark(spark, SF, "a13_grouping_sets")
+    pgs = plan_of(gs)
+    sgs = summarize(pgs)
+    audit("a13_grouping_sets (multi-granularity aggregate)", gs, [
+        ("all grouping sets ride ONE Expand over one scan — not one "
+         "scan+aggregate per set", "Expand" in pgs
+         and sgs["ops"].get("FileScan", 0) == 1),
+        ("single shuffle with map-side partial aggregation",
+         sgs["exchanges"] == 1
+         and sgs["ops"].get("HashAggregate", 0) >= 2),
+        ("pure Catalyst", sgs["python"] == 0),
+    ])
+
+    dv = qreg.run_spark(spark, SF, "dedup_video")
+    pdv = plan_of(dv)
+    sdv = summarize(pdv)
+    audit("dedup_video (aligned-frame banded-Hamming LSH)", dv, [
+        ("candidate pairs ride the (frame_no, band, value) hash "
+         "equi-join — no cartesian/nested-loop anywhere",
+         sdv["bnlj"] == 0 and "CartesianProduct" not in pdv
+         and sdv["bhj"] + sdv["smj"] >= 1),
+        ("exact Hamming filter stays JVM-side (bit_count codegen)",
+         "bit_count" in pdv),
+        ("frame-hash sequence table computed once (decode chain), "
+         "read from cache by BOTH self-join sides",
+         pdv.count("InMemoryTableScan") >= 2),
+        ("matched-frame count is a grouped partial+final aggregate",
+         sdv["ops"].get("HashAggregate", 0) >= 2),
+    ])
+
+    da = qreg.run_spark(spark, SF, "dedup_audio")
+    pda = plan_of(da)
+    sda = summarize(pda)
+    audit("dedup_audio (landmark-constellation fingerprints)", da, [
+        ("candidate pairs ride the landmark-hash equi-join — no "
+         "cartesian/nested-loop anywhere",
+         sda["bnlj"] == 0 and "CartesianProduct" not in pda
+         and sda["bhj"] + sda["smj"] >= 1),
+        ("fingerprint table computed once (one Arrow crossing per "
+         "clip batch), read from cache by BOTH self-join sides",
+         pda.count("InMemoryTableScan") >= 2),
+        ("match counting is a grouped partial+final aggregate",
+         sda["ops"].get("HashAggregate", 0) >= 2),
+    ])
+
+    ra = qreg.run_spark(spark, SF, "raster_assembly")
+    pra = plan_of(ra)
+    sra = summarize(pra)
+    audit("raster_assembly (per-cell scanline rasterization)", ra, [
+        ("exactly one shuffle — the groupBy(cell) exchange feeding "
+         "the per-cell cogroup", sra["exchanges"] == 1),
+        ("one rasterize crossing (applyInPandas per cell) + one "
+         "checksum-decode crossing (mapInPandas), never per-row",
+         pra.count("FlatMapGroupsInPandas") == 1
+         and pra.count("MapInPandas") == 1),
+        ("no joins — assembly is grouped, not paired",
+         sra["bhj"] + sra["smj"] + sra["bnlj"] == 0),
+    ])
+
+    py = qreg.run_spark(spark, SF, "pyramid_rollup")
+    ppy = plan_of(py)
+    spy = summarize(ppy)
+    audit("pyramid_rollup (res-5 -> res-4 max-pool)", py, [
+        ("exactly two shuffles — child-tile grouping + parent-cell "
+         "grouping", spy["exchanges"] == 2),
+        ("two grouped crossings (rasterize + pool), one decode "
+         "crossing; no per-row Python",
+         ppy.count("FlatMapGroupsInPandas") == 2
+         and ppy.count("MapInPandas") == 1),
+        ("no joins — quadrant placement is arithmetic inside the "
+         "parent cogroup", spy["bhj"] + spy["smj"] + spy["bnlj"] == 0),
+    ])
+
     hdr = ("# PLANS.md — physical-plan audit (generated by "
            "tools/audit_plans.py)\n\n"
            "Every section asserts the plan properties the engine promises "

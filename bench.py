@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -86,13 +87,23 @@ def _hash_emb(df, dim: int = 8):
 
 
 def ensure_fixture(n: int) -> str:
-    """Deterministic images table (input_hint shape), cached as parquet."""
+    """Deterministic images table (input_hint shape), cached as parquet.
+
+    The cache entry is only valid once fully written: a bench session
+    killed mid-write must not leave a partial directory that poisons
+    every later run with UNABLE_TO_INFER_SCHEMA. So the fixture is
+    built under a ``.tmp`` sibling and atomically renamed into place;
+    any leftover ``.tmp`` from a killed run is discarded."""
     out = os.path.join(_REPO, ".bench_cache", f"images_{n}")
     marker = os.path.join(out, "images.parquet")
     if not os.path.exists(marker):
         from loc2vec_spark.fixtures import write_fixtures
-        write_fixtures(out, n_images=n, with_channels=False,
+        tmp = out + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_fixtures(tmp, n_images=n, with_channels=False,
                        bytes_sample_mod=max(1, n // 200))
+        shutil.rmtree(out, ignore_errors=True)
+        os.rename(tmp, out)
     return marker
 
 

@@ -147,6 +147,57 @@ def kring_array(cells, k: int = 1):
     return np.where(valid, out, np.int64(-1))
 
 
+def compact_cells(cells, min_res: int = 0):
+    """H3 ``compact_cells`` analog: replace every complete 4-sibling
+    group with its parent, recursing on the produced parents down to
+    ``min_res``. Vectorized; input is a same-resolution cell set
+    (duplicates tolerated). Returns a sorted int64 array of mixed-res
+    cells that cover exactly the input set (disjointly) — the canonical
+    minimal multi-resolution cover, e.g. for compact polygon covers or
+    coverage manifests. Round-trip law (property-tested):
+    ``uncompact_cells(compact_cells(s), res) == unique(s)``."""
+    cells = np.unique(np.asarray(cells, dtype=np.int64))
+    if cells.size == 0:
+        return cells
+    res = int(cells[0] >> RES_SHIFT)
+    if not np.all(cells >> RES_SHIFT == res):
+        raise ValueError("compact_cells expects a same-resolution set")
+    out, cur = [], cells
+    while res > min_res and cur.size:
+        parents = cell_to_parent(cur, res - 1)
+        uniq, counts = np.unique(parents, return_counts=True)
+        full = uniq[counts == 4]
+        if full.size == 0:
+            break
+        covered = np.isin(parents, full)
+        out.append(cur[~covered])
+        cur, res = full, res - 1
+    out.append(cur)
+    return np.sort(np.concatenate(out))
+
+
+def uncompact_cells(cells, res: int):
+    """Inverse of :func:`compact_cells`: expand every cell to all of its
+    resolution-``res`` descendants. Vectorized per source resolution."""
+    cells = np.asarray(cells, dtype=np.int64)
+    if cells.size == 0:
+        return cells
+    outs = []
+    for r in np.unique(cells >> RES_SHIFT):
+        d = res - int(r)
+        if d < 0:
+            raise ValueError("target res must be >= every cell's res")
+        sub = cells[cells >> RES_SHIFT == r]
+        i, j = cell_ij(sub)
+        k = np.arange(1 << d, dtype=np.int64)
+        ci = (i[:, None] << d) + k[None, :]          # (m, 2^d)
+        cj = (j[:, None] << d) + k[None, :]
+        outs.append(ij_to_cell(
+            np.repeat(ci, 1 << d, axis=1),           # (m, 4^d) grid
+            np.tile(cj, (1, 1 << d)), res).ravel())
+    return np.sort(np.concatenate(outs))
+
+
 # ---------------------------------------------------------------------------
 # portable SQL face — identical text evaluates in Spark SQL and DuckDB.
 # Only uses: floor, least, greatest, CAST, %, *, +, - (common to both).

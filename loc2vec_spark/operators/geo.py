@@ -154,3 +154,66 @@ def derived_latlon_sql(id_expr: str) -> tuple[str, str]:
     lon = (f"(CASE WHEN (({id_expr}) % 5) < 4 THEN {urban_lon} "
            f"ELSE ({h2} / 1000000.0E0) * 360.0E0 - 180.0E0 END)")
     return lat, lon
+
+
+# ---------------------------------------------------------------------------
+# multi-resolution cell-set compaction (H3 compact_cells analog)
+# ---------------------------------------------------------------------------
+
+def compact_cells_df(df: DataFrame, cell_col: str = "cell",
+                     min_res: int = 0) -> DataFrame:
+    """Distributed H3-``compact_cells`` analog: collapse every complete
+    4-sibling group of occupied cells into its parent, recursing on the
+    produced parents down to ``min_res``.
+
+    Input: any DataFrame with a same-resolution cell column (duplicates
+    fine — the operator works on the DISTINCT occupied-cell surface).
+    Output: ``(cell BIGINT, res INT, n_leaves BIGINT)`` — a disjoint
+    mixed-resolution cover of exactly the input cell set, ``n_leaves``
+    the number of input-resolution cells each output cell covers.
+
+    Scale shape: the loop runs on the aggregated DISTINCT surface
+    (#occupied-cells rows, orders below the input at 100 TB); each level
+    is ONE groupBy on the shrinking parent key + one left_anti equi-join,
+    and every level's full-parent set is persisted (it is read twice:
+    the anti-join and the next level's input). No driver-side cell data
+    beyond the single input-resolution scalar.
+
+    Mirrors :func:`loc2vec_spark.cells.compact_cells` (the numpy face —
+    parity property-tested in test_geo) and the shared-SQL oracle face
+    ``cells_compact`` in queries_geo.py."""
+    from .. import cells as C
+
+    cur = df.select(F.col(cell_col).cast("long").alias("cell")).distinct()
+    res_row = cur.agg(
+        F.min(F.shiftright("cell", C.RES_SHIFT)).alias("lo"),
+        F.max(F.shiftright("cell", C.RES_SHIFT)).alias("hi")).first()
+    if res_row["lo"] is None:
+        base = df.sparkSession
+        return base.createDataFrame(
+            [], "cell long, res int, n_leaves long")
+    if res_row["lo"] != res_row["hi"]:
+        raise ValueError("compact_cells_df expects a same-resolution set")
+    res0 = res = int(res_row["hi"])
+    if min_res > res:
+        raise ValueError("min_res must be <= the input resolution")
+
+    def tag(d: DataFrame, r: int) -> DataFrame:
+        return d.select("cell", F.lit(r).cast("int").alias("res"),
+                        F.lit(4 ** (res0 - r)).cast("long")
+                         .alias("n_leaves"))
+
+    out = None
+    while res > min_res:
+        par = cur.withColumn(
+            "parent", F.expr(C.parent_sql("cell", res, res - 1)))
+        full = (par.groupBy("parent").count()
+                .filter(F.col("count") == 4)
+                .select(F.col("parent").alias("cell"))).persist()
+        rem = (par.join(full.select(F.col("cell").alias("parent")),
+                        "parent", "left_anti").select("cell"))
+        out = tag(rem, res) if out is None else \
+            out.unionByName(tag(rem, res))
+        cur, res = full, res - 1
+    final = tag(cur, res)
+    return final if out is None else out.unionByName(final)

@@ -154,6 +154,10 @@ ROTATED_OUT_R5: tuple[str, ...] = (
     # tools/check_oracles.py); their slots go to the round-5 queries
     "focal_stats", "geom_stats", "traj_stats", "w6_ranks", "a9_cube",
     "a10_multidistinct", "a11_percentiles",
+    # late-r5 additions' slots — both r4-green, their op families keep
+    # window coverage (F12 cell math via tile_assign/kring_expand/
+    # zorder_locality; data-quality via profile_stats)
+    "quadkey_assign", "dist_drift",
 )
 
 ROTATED_IN_R5: tuple[str, ...] = (
@@ -164,6 +168,8 @@ ROTATED_IN_R5: tuple[str, ...] = (
     # near-dup pair are new
     "raster_assembly", "pyramid_rollup", "html_text_extract",
     "warc_records", "a13_grouping_sets", "dedup_video", "dedup_audio",
+    # late-r5: H3 compact_cells analog + SemDeDup policy verdicts
+    "cells_compact", "semdedup",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -178,9 +184,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pip_exact",
     # --- round-4 rotation-ins still in the window (driver-green r4) ---
     "events_funnel", "pip_cellcover", "ann_ivf", "dedup_embedding_ivf",
-    "events_sliding", "quadkey_assign", "zorder_locality",
+    "events_sliding", "zorder_locality",
     "morans_i",
-    "profile_stats", "dist_drift", "text_pii_scrub", "text_repetition",
+    "profile_stats", "text_pii_scrub", "text_repetition",
     "decontaminate", "leakfree_split", "mix_sources", "doc_rarity",
     "dedup_spanfrac",
     # --- round-5 rotation-ins ---

@@ -438,6 +438,56 @@ FROM f CROSS JOIN tot
 """
 
 
+# ---------------------------------------------------------------------------
+# cells_compact: H3 compact_cells analog over the occupied-cell set —
+# every complete 4-sibling group collapses into its parent, recursing
+# two levels (res 14 -> 12; at sf0.01 both levels are non-vacuous:
+# 25 full res-13 parents, 2 full res-12 grandparents). The relation is
+# pure integer arithmetic (FLOOR-halving parents, COUNT(*)=4 groups,
+# LEFT-JOIN-IS-NULL anti joins), identical text in both engines.
+# Operator faces: cells.compact_cells (numpy, arbitrary depth) and
+# operators/geo.compact_cells_df (distributed groupBy + left_anti loop
+# over the DISTINCT occupied surface) — all three parity-tested in
+# test_geo. Scale shape: compaction runs on the aggregated cell surface
+# (#occupied-cells rows), one shrinking groupBy + anti-join per level.
+# ---------------------------------------------------------------------------
+
+_CMP_RES = 14
+_CI14, _CJ14 = _cells.ij_sql("lat", "lon", _CMP_RES)
+
+
+def _half(e: str) -> str:
+    return f"CAST(FLOOR({e} / 2.0E0) AS BIGINT)"
+
+
+def _cell_out(res: int) -> str:
+    return (f"CAST({res << 58} AS BIGINT) + cj * {1 << 29} + ci AS cell, "
+            f"{res} AS res")
+
+
+_COMPACT_SQL = f"""
+WITH {{pts}},
+c AS (SELECT DISTINCT {_CI14} AS ci, {_CJ14} AS cj FROM pts),
+g1 AS (SELECT {_half('ci')} AS ci, {_half('cj')} AS cj, COUNT(*) AS nch
+       FROM c GROUP BY 1, 2),
+f1 AS (SELECT ci, cj FROM g1 WHERE nch = 4),
+r0 AS (SELECT a.ci, a.cj FROM c a
+       LEFT JOIN f1 ON f1.ci = {_half('a.ci')} AND f1.cj = {_half('a.cj')}
+       WHERE f1.ci IS NULL),
+g2 AS (SELECT {_half('ci')} AS ci, {_half('cj')} AS cj, COUNT(*) AS nch
+       FROM f1 GROUP BY 1, 2),
+f2 AS (SELECT ci, cj FROM g2 WHERE nch = 4),
+r1 AS (SELECT a.ci, a.cj FROM f1 a
+       LEFT JOIN f2 ON f2.ci = {_half('a.ci')} AND f2.cj = {_half('a.cj')}
+       WHERE f2.ci IS NULL)
+SELECT {_cell_out(_CMP_RES)}, CAST(1 AS BIGINT) AS n_leaves FROM r0
+UNION ALL
+SELECT {_cell_out(_CMP_RES - 1)}, CAST(4 AS BIGINT) AS n_leaves FROM r1
+UNION ALL
+SELECT {_cell_out(_CMP_RES - 2)}, CAST(16 AS BIGINT) AS n_leaves FROM f2
+"""
+
+
 # pagerank_cells: PageRank (damping 0.85, 2 unrolled iterations) over
 # the occupied-cell 8-neighbor adjacency graph — the iterative-join
 # workload class (graph centrality over a spatial graph; same surface
@@ -581,6 +631,14 @@ def register_raster() -> None:
             "equi-join + groupBy per iteration, 12dp-quantized DECIMAL "
             "contribution sums keep every iteration fold-order-free "
             "and bit-identical across engines"))
+    _shared("cells_compact", ("embeddings",),
+            _COMPACT_SQL.format(pts=PTS),
+            doc="geo: H3 compact_cells analog — complete 4-sibling "
+                "groups of occupied cells collapse into parents, two "
+                "recursive levels (res 14->12); pure-integer groupBy + "
+                "anti-join per level over the DISTINCT cell surface; "
+                "operator faces cells.compact_cells / "
+                "operators/geo.compact_cells_df (parity in test_geo)")
     from .queries import _funnel_sql
     _reg("events_funnel", Q(
         tables=("events",),

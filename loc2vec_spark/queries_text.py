@@ -677,6 +677,40 @@ def _dedup_emb_ivf_fn(spark, sf_dir):
     return spark.sql("WITH " + _ivf_dedup_body(SPARK_BASE).lstrip())
 
 
+def _semdedup_body(base: int) -> str:
+    """SemDeDup (Abbas et al. 2023) verdict face: cluster the embedding
+    space with the coarse quantizer, then WITHIN each cluster mark every
+    member that has a LOWER-id member at cosine >= tau as a semantic
+    duplicate (the kept exemplar is the lowest id of each epsilon-ball).
+    Unlike dedup_embedding_ivf (nprobe-blocked near-dup PAIR list) this
+    is the corpus-pruning POLICY operator: one keep/drop verdict per
+    item. Candidates are the full within-cluster pairwise set — exactly
+    the published algorithm, whose scale knob is the centroid count
+    (k ~ N/target_cluster_size keeps cluster sizes bounded, so the
+    self-equi-join volume is sum(|cell|^2) ~ N * cluster_size, linear in
+    N at fixed cluster size — never all-pairs). MAX over bit-identical
+    fixed-order cosines is fold-order-free, so the verdict hashes."""
+    dot = dot_sql("a.embedding", "b.embedding", DIM, base)
+    return f"""
+cells AS (SELECT vec_id, cid FROM asg WHERE crank = 1),
+pr AS (SELECT y.vec_id, ({dot}) / (a.nrm * b.nrm) AS cosine
+       FROM cells x JOIN cells y
+         ON y.cid = x.cid AND x.vec_id < y.vec_id
+       JOIN ne a ON a.vec_id = x.vec_id
+       JOIN ne b ON b.vec_id = y.vec_id),
+m AS (SELECT vec_id, MAX(cosine) AS mx FROM pr GROUP BY vec_id)
+SELECT c.vec_id, c.cid,
+       CASE WHEN m.mx >= 0.3E0 THEN 1 ELSE 0 END AS is_dup,
+       ROUND(m.mx, 6) AS max_cos_lower
+FROM cells c LEFT JOIN m ON m.vec_id = c.vec_id
+"""
+
+
+def _semdedup_fn(spark, sf_dir):
+    _ivf_asg_df(spark)
+    return spark.sql("WITH " + _semdedup_body(SPARK_BASE).lstrip())
+
+
 def register_ann_ivf() -> None:
     """Self-invoked at the bottom of this module, so via queries.py's
     import ann_ivf takes the FIRST extras slot (position 51, right after
@@ -692,6 +726,15 @@ def register_ann_ivf() -> None:
                           f"quantizer (1/{_IVF_MOD}), nprobe="
                           f"{_IVF_NPROBE} cell probe, exact re-rank; "
                           "recall measured in bench vs ann_bruteforce"))
+    _reg("semdedup", Q(
+        tables=("embeddings",), fn=_semdedup_fn,
+        duck_sql="WITH " + _ivf_prelude(DUCKDB_BASE).strip() + ", "
+                 + _semdedup_body(DUCKDB_BASE).strip(),
+        doc="dedup: SemDeDup-style per-item keep/drop verdicts — "
+            "coarse-quantizer clusters, full within-cluster pairwise "
+            "cosine, drop iff a lower-id member sits at cosine >= 0.3 "
+            "(lowest id = kept exemplar); candidate volume is "
+            "N x cluster_size, bounded by the centroid-count knob"))
     _reg("dedup_embedding_ivf", Q(
         tables=("embeddings",), fn=_dedup_emb_ivf_fn,
         duck_sql="WITH " + _ivf_prelude(DUCKDB_BASE).strip() + ", "

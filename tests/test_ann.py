@@ -236,3 +236,31 @@ def test_ivf_trained_nprobe_dial_monotone(spark):
     assert stats[8][0] >= stats[2][0]          # recall monotone
     assert stats[8][1] > stats[2][1]           # scan grows
     assert stats[8][0] >= 0.5, stats           # high end is useful
+
+
+def test_semdedup_verdicts_exact_on_onehot_groups(spark):
+    """SemDeDup policy face: 50 groups of 3 exact copies of distinct
+    one-hot vectors. Within-group cosine is exactly 1, cross-group
+    exactly 0 (< tau=0.3), and exact copies always share a coarse cell,
+    so the verdict is fully determined: the lowest id of each group is
+    the kept exemplar, both higher ids drop with max_cos_lower = 1."""
+    from loc2vec_spark.queries_text import _semdedup_fn
+    n_groups, per = 50, 3
+    X = np.zeros((n_groups * per, DIM), dtype=np.float32)
+    for g in range(n_groups):
+        X[g * per:(g + 1) * per, g] = 1.0
+    _as_view(spark, X)
+    rows = {r["vec_id"]: r for r in _semdedup_fn(spark, None).collect()}
+    assert len(rows) == n_groups * per
+    for vid, r in rows.items():
+        if vid % per == 0:
+            assert r["is_dup"] == 0, vid
+            assert r["max_cos_lower"] is None or r["max_cos_lower"] < 0.3
+        else:
+            assert r["is_dup"] == 1, vid
+            assert r["max_cos_lower"] == 1.0
+    # exact copies share a cell, so each group shares one cid
+    cids = {}
+    for vid, r in rows.items():
+        cids.setdefault(vid // per, set()).add(r["cid"])
+    assert all(len(s) == 1 for s in cids.values())

@@ -238,3 +238,90 @@ def test_pagerank_cells_matches_numpy_power_iteration(spark):
         assert abs(r.pagerank - pr[(r.ci, r.cj)]) < 1e-8, (r.ci, r.cj)
     total = sum(r.pagerank for r in rows)
     assert 0.2 < total <= 1.0 + 1e-9  # dangling mass leaks, never grows
+
+
+# ---------------------------------------------------------------------------
+# compact_cells / uncompact_cells / compact_cells_df (H3 compact analog)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                min_size=1, max_size=200),
+       st.integers(4, 8), st.integers(0, 4))
+def test_compact_roundtrip_property(ij, res, min_res):
+    """uncompact(compact(s), res) == unique(s) for arbitrary cell sets,
+    and the compact cover is disjoint (leaf counts sum exactly)."""
+    i = np.array([p[0] for p in ij], dtype=np.int64) % (1 << res)
+    j = np.array([p[1] for p in ij], dtype=np.int64) % (1 << res)
+    s = cells.ij_to_cell(i, j, res)
+    comp = cells.compact_cells(s, min_res=min_res)
+    back = cells.uncompact_cells(comp, res)
+    assert np.array_equal(back, np.unique(s))
+    # disjointness: expanded leaf counts sum to the unique input size
+    d = res - (comp >> cells.RES_SHIFT)
+    assert int((np.int64(1) << (2 * d)).sum()) == np.unique(s).size
+    # every output res respects the floor
+    assert int((comp >> cells.RES_SHIFT).min()) >= min_res
+
+
+def test_compact_full_block_collapses_to_ancestor():
+    """A complete 4^d block compacts to its single res-(r-d) ancestor."""
+    res, d = 6, 3
+    k = np.arange(1 << d, dtype=np.int64)
+    ci = (5 << d) + np.repeat(k, 1 << d)
+    cj = (2 << d) + np.tile(k, 1 << d)
+    s = cells.ij_to_cell(ci, cj, res)
+    comp = cells.compact_cells(s)
+    assert comp.size == 1
+    assert comp[0] == int(cells.ij_to_cell(
+        np.array([5]), np.array([2]), res - d)[0])
+    # min_res floor stops the collapse partway
+    comp2 = cells.compact_cells(s, min_res=res - 1)
+    assert np.all(comp2 >> cells.RES_SHIFT == res - 1)
+    assert comp2.size == 4 ** (d - 1)
+
+
+def test_compact_rejects_mixed_res_and_handles_empty():
+    empty = cells.compact_cells(np.array([], dtype=np.int64))
+    assert empty.size == 0
+    assert cells.uncompact_cells(empty, 9).size == 0
+    mixed = np.array([int(cells.ij_to_cell(np.array([1]), np.array([1]), 5)[0]),
+                      int(cells.ij_to_cell(np.array([1]), np.array([1]), 6)[0])])
+    with pytest.raises(ValueError):
+        cells.compact_cells(mixed)
+    with pytest.raises(ValueError):
+        cells.uncompact_cells(np.array([int(mixed[1])]), 5)
+
+
+def test_compact_cells_df_matches_numpy(spark, images):
+    """Distributed compaction over the fixture's occupied res-12 surface
+    agrees cell-for-cell (and leaf-count-for-leaf-count) with the numpy
+    face, including duplicates in the input."""
+    df = geo.with_cells(geo.with_latlon(images), resolutions=(12,))
+    out = geo.compact_cells_df(df, "cell_r12", min_res=8).toPandas()
+    s = df.select("cell_r12").toPandas().cell_r12.to_numpy()
+    expect = cells.compact_cells(s, min_res=8)
+    got = np.sort(out.cell.to_numpy())
+    assert np.array_equal(got, expect)
+    # n_leaves/res columns agree with the id's embedded resolution
+    assert (out.res.to_numpy() ==
+            (out.cell.to_numpy() >> cells.RES_SHIFT)).all()
+    assert (out.n_leaves.to_numpy() ==
+            4 ** (12 - out.res.to_numpy())).all()
+    # distributed face round-trips too
+    back = cells.uncompact_cells(out.cell.to_numpy(), 12)
+    assert np.array_equal(back, np.unique(s))
+
+
+def test_compact_cells_df_empty_and_mixed(spark):
+    empty = spark.createDataFrame([], "cell long")
+    assert geo.compact_cells_df(empty).count() == 0
+    mixed = spark.createDataFrame(
+        [(int(cells.ij_to_cell(np.array([1]), np.array([1]), 5)[0]),),
+         (int(cells.ij_to_cell(np.array([1]), np.array([1]), 6)[0]),)],
+        "cell long")
+    with pytest.raises(ValueError):
+        geo.compact_cells_df(mixed)

@@ -281,6 +281,80 @@ def quadkey_sql(i_expr: str, j_expr: str, res: int) -> str:
     return "(" + " || ".join(parts) + ")"
 
 
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode(lat, lon, precision: int = 8):
+    """Vectorized geohash string (the third interop id next to the
+    engine's cell ids and quadkeys): standard base-32 geohash — bits
+    alternate lon-first msb-first, 5 bits per character. Longitude
+    wraps (180 -> -180), latitude clamps, matching :func:`ij_sql`'s
+    conventions. Prefix law (property-tested): truncating a geohash is
+    the geohash of the same point at lower precision."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    nbits = 5 * precision
+    nlon, nlat = (nbits + 1) // 2, nbits // 2
+    lu = (np.floor(((lon + 180.0) % 360.0) / 360.0 * (1 << nlon))
+            .astype(np.int64) % (1 << nlon))
+    la = np.clip(np.floor((lat + 90.0) / 180.0 * (1 << nlat)),
+                 0, (1 << nlat) - 1).astype(np.int64)
+    g = np.zeros(np.broadcast(lat, lon).shape, dtype=np.int64)
+    for b in range(nlon):
+        g |= ((lu >> (nlon - 1 - b)) & 1) << (nbits - 1 - 2 * b)
+    for b in range(nlat):
+        g |= ((la >> (nlat - 1 - b)) & 1) << (nbits - 2 - 2 * b)
+    out = np.full(g.shape, "", dtype=object)
+    for k in range(precision):
+        idx = (g >> (5 * (precision - 1 - k))) & 31
+        out = np.char.add(out.astype(str),
+                          np.array(list(_GEOHASH32))[idx])
+    return out.astype(str)
+
+
+def geohash_units_sql(lat_expr: str, lon_expr: str,
+                      precision: int = 8) -> tuple[str, str]:
+    """(lon_unit, lat_unit) SQL text — the quantized coordinates the
+    geohash interleaves. Meant for a CTE so downstream expressions
+    reference plain column names (the interleave reads each unit
+    ``nbits/2`` times)."""
+    nbits = 5 * precision
+    nlon, nlat = (nbits + 1) // 2, nbits // 2
+    lu = (f"(CAST(FLOOR((((({lon_expr}) + 180.0E0) % 360.0E0 + 360.0E0) "
+          f"% 360.0E0) / 360.0E0 * {1 << nlon}) AS BIGINT) % {1 << nlon})")
+    la = (f"CAST(LEAST({(1 << nlat) - 1}, GREATEST(0, "
+          f"FLOOR((({lat_expr}) + 90.0E0) / 180.0E0 * {1 << nlat}))) "
+          f"AS BIGINT)")
+    return lu, la
+
+
+def geohash_uint_sql(lu_expr: str, la_expr: str, precision: int = 8) -> str:
+    """SQL text interleaving the quantized units into the geohash's
+    5*precision-bit integer — portable bit extraction (FLOOR-divide +
+    %2 on values < 2^53, exact in IEEE double in both engines)."""
+    nbits = 5 * precision
+    nlon, nlat = (nbits + 1) // 2, nbits // 2
+    terms = []
+    for b in range(nlon):
+        terms.append(f"(CAST(FLOOR(({lu_expr}) / {1 << (nlon - 1 - b)}"
+                     f".0E0) AS BIGINT) % 2) * {1 << (nbits - 1 - 2 * b)}")
+    for b in range(nlat):
+        terms.append(f"(CAST(FLOOR(({la_expr}) / {1 << (nlat - 1 - b)}"
+                     f".0E0) AS BIGINT) % 2) * {1 << (nbits - 2 - 2 * b)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def geohash_chars_sql(g_expr: str, precision: int = 8) -> str:
+    """SQL text rendering the interleaved integer as the base-32
+    geohash string (SUBSTRING into the alphabet per 5-bit group)."""
+    parts = []
+    for k in range(precision):
+        s = 1 << (5 * (precision - 1 - k))
+        idx = f"CAST(FLOOR(({g_expr}) / {s}.0E0) AS BIGINT) % 32"
+        parts.append(f"SUBSTRING('{_GEOHASH32}', ({idx}) + 1, 1)")
+    return "(" + " || ".join(parts) + ")"
+
+
 def neighbor_sql(i_expr: str, j_expr: str, di_expr: str, dj_expr: str,
                  res: int) -> str:
     """SQL text for a neighbor cell id given grid coords + offsets.

@@ -217,3 +217,97 @@ def compact_cells_df(df: DataFrame, cell_col: str = "cell",
         cur, res = full, res - 1
     final = tag(cur, res)
     return final if out is None else out.unionByName(final)
+
+
+# ---------------------------------------------------------------------------
+# grid DBSCAN (density clustering over the occupied-cell surface)
+# ---------------------------------------------------------------------------
+
+def dbscan_points_df(df: DataFrame, id_col: str = "id",
+                     lat_col: str = "lat", lon_col: str = "lon", *,
+                     res: int = 14, minpts: int = 4,
+                     persist: bool = True) -> DataFrame:
+    """Grid-based DBSCAN: density clusters over the occupied-cell
+    surface, one verdict row per input point.
+
+    Semantics (the cell-blocked DBSCAN family, cf. GriDBSCAN/GriT —
+    here the grid IS the epsilon neighborhood, so verdicts are exact
+    for the stated definition, not an approximation of metric DBSCAN):
+
+    - a cell is DENSE iff it holds >= ``minpts`` points;
+    - clusters are connected components of the 8-neighbor adjacency
+      graph over dense cells (longitude wraps, latitude clamps —
+      :func:`loc2vec_spark.cells.ij_sql` conventions), labeled by the
+      minimum member cell id (deterministic);
+    - a point in a dense cell is ``core`` with its cell's cluster;
+    - a point in a sparse cell adjacent to >= 1 dense cell is
+      ``border`` with the MINIMUM adjacent cluster label;
+    - everything else is ``noise`` (cluster NULL).
+
+    Scale shape: the per-point stage is one groupBy on (ci, cj) — the
+    same shuffle key the tiling path uses; everything after runs on the
+    DISTINCT dense-cell surface (orders below the input at 100 TB).
+    Adjacency is a broadcast 8-offset stencil + equi-join (never a
+    distance cross join), components is the large-star/small-star
+    operator (no driver graph state), and the core/border verdicts are
+    (ci, cj) equi-joins back to the point table. Noise never enters
+    the component computation.
+
+    Returns ``(id_col, cluster BIGINT nullable, role STRING)``.
+    Mirrored by the recursive-CTE oracle face ``dbscan_cells`` in
+    queries_geo.py.
+
+    ``persist=True`` (default) caches the two multiply-read interior
+    tables — the narrow (pid, ci, cj) projection (read by the density
+    aggregate, the core join, the sparse anti-join, and the output
+    spine: 4 rescans of the RAW input otherwise) and the labeled
+    dense-cell table (read 3x). Both are MEMORY_AND_DISK and released
+    with the session (or ``spark.catalog.clearCache()``); pass
+    ``persist=False`` when the caller manages materialization."""
+    from .components import connected_components
+
+    spark = df.sparkSession
+    n = 1 << res
+    ci_sql, cj_sql = cells.ij_sql(lat_col, lon_col, res)
+    p = df.select(F.col(id_col).alias("pid"),
+                  F.expr(ci_sql).alias("ci"), F.expr(cj_sql).alias("cj"))
+    if persist:
+        p = p.persist()
+    d = (p.groupBy("ci", "cj").count()
+          .filter(F.col("count") >= minpts)
+          .select("ci", "cj",
+                  (F.col("cj") * (1 << 29) + F.col("ci")).alias("nid")))
+    offs = spark.createDataFrame(
+        [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)
+         if (di, dj) != (0, 0)], "di int, dj int")
+
+    def neighbors(src: DataFrame, keep: list) -> DataFrame:
+        return (src.crossJoin(F.broadcast(offs))
+                .select(*keep,
+                        ((F.col("ci") + F.col("di") + n) % n).alias("nci"),
+                        (F.col("cj") + F.col("dj")).alias("ncj")))
+
+    dn = d.select(F.col("ci").alias("nci"), F.col("cj").alias("ncj"),
+                  F.col("nid").alias("t"))
+    e = neighbors(d, ["nid"]).join(dn, ["nci", "ncj"]) \
+                             .select(F.col("nid").alias("s"), "t")
+    comp = connected_components(e, d.select("nid")).select(
+        F.col("node").alias("nid"), F.col("component").alias("cluster"))
+    dc = d.join(comp, "nid").select("ci", "cj", "cluster")
+    if persist:
+        dc = dc.persist()
+    core = p.join(dc, ["ci", "cj"]).select("pid", "cluster")
+    sp = p.join(dc.select("ci", "cj"), ["ci", "cj"], "left_anti")
+    bord = (neighbors(sp, ["pid"])
+            .join(dc.select(F.col("ci").alias("nci"),
+                            F.col("cj").alias("ncj"), "cluster"),
+                  ["nci", "ncj"])
+            .groupBy("pid").agg(F.min("cluster").alias("cluster")))
+    return (p.select("pid")
+            .join(core.withColumnRenamed("cluster", "_c1"), "pid", "left")
+            .join(bord.withColumnRenamed("cluster", "_c2"), "pid", "left")
+            .select(F.col("pid").alias(id_col),
+                    F.coalesce("_c1", "_c2").alias("cluster"),
+                    F.when(F.col("_c1").isNotNull(), F.lit("core"))
+                     .when(F.col("_c2").isNotNull(), F.lit("border"))
+                     .otherwise(F.lit("noise")).alias("role")))

@@ -154,10 +154,11 @@ ROTATED_OUT_R5: tuple[str, ...] = (
     # tools/check_oracles.py); their slots go to the round-5 queries
     "focal_stats", "geom_stats", "traj_stats", "w6_ranks", "a9_cube",
     "a10_multidistinct", "a11_percentiles",
-    # late-r5 additions' slots — both r4-green, their op families keep
+    # late-r5 additions' slots — all r4-green, their op families keep
     # window coverage (F12 cell math via tile_assign/kring_expand/
-    # zorder_locality; data-quality via profile_stats)
-    "quadkey_assign", "dist_drift",
+    # zorder_locality; data-quality via profile_stats; event windows
+    # via events_funnel; text quality via text_pii_scrub)
+    "quadkey_assign", "dist_drift", "events_sliding", "text_repetition",
 )
 
 ROTATED_IN_R5: tuple[str, ...] = (
@@ -168,8 +169,9 @@ ROTATED_IN_R5: tuple[str, ...] = (
     # near-dup pair are new
     "raster_assembly", "pyramid_rollup", "html_text_extract",
     "warc_records", "a13_grouping_sets", "dedup_video", "dedup_audio",
-    # late-r5: H3 compact_cells analog + SemDeDup policy verdicts
-    "cells_compact", "semdedup",
+    # late-r5: H3 compact_cells analog + SemDeDup policy verdicts +
+    # grid DBSCAN clustering + geohash interop ids
+    "cells_compact", "semdedup", "dbscan_cells", "geohash_assign",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -184,9 +186,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pip_exact",
     # --- round-4 rotation-ins still in the window (driver-green r4) ---
     "events_funnel", "pip_cellcover", "ann_ivf", "dedup_embedding_ivf",
-    "events_sliding", "zorder_locality",
+    "zorder_locality",
     "morans_i",
-    "profile_stats", "text_pii_scrub", "text_repetition",
+    "profile_stats", "text_pii_scrub",
     "decontaminate", "leakfree_split", "mix_sources", "doc_rarity",
     "dedup_spanfrac",
     # --- round-5 rotation-ins ---

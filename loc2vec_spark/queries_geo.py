@@ -488,6 +488,87 @@ SELECT {_cell_out(_CMP_RES - 2)}, CAST(16 AS BIGINT) AS n_leaves FROM f2
 """
 
 
+# ---------------------------------------------------------------------------
+# dbscan_cells: grid-based DBSCAN — density clusters over the occupied
+# cell surface with per-point core/border/noise verdicts. Spark face is
+# operators/geo.dbscan_points_df (groupBy surface + broadcast 8-offset
+# stencil equi-join adjacency + large-star/small-star components);
+# oracle recomputes the identical relation with a recursive-CTE closure
+# (min reachable dense-cell id = the cluster label, same as the
+# components operator's min-node contract). At sf0.01 res 14 / minpts 4
+# is non-degenerate: 5 clusters, 188 core / 197 border / 115 noise.
+# ---------------------------------------------------------------------------
+
+_DB_RES, _DB_MIN = 14, 4
+_DBCI, _DBCJ = _cells.ij_sql("lat", "lon", _DB_RES)
+_DBN = 1 << _DB_RES
+
+_DB_ORACLE = f"""
+WITH RECURSIVE {{pts}}, {{offs}},
+p AS (SELECT vec_id, {_DBCI} AS ci, {_DBCJ} AS cj FROM pts),
+g AS (SELECT ci, cj, COUNT(*) AS n FROM p GROUP BY ci, cj),
+d AS (SELECT ci, cj, cj * 536870912 + ci AS nid FROM g
+      WHERE n >= {_DB_MIN}),
+e AS (SELECT a.nid AS s, b.nid AS t
+      FROM d a CROSS JOIN offs
+      JOIN d b ON b.ci = ((a.ci + di + {_DBN}) % {_DBN})
+              AND b.cj = a.cj + dj
+      WHERE NOT (di = 0 AND dj = 0)),
+lbl(nid, l) AS (SELECT nid, nid FROM d
+    UNION
+    SELECT e.t, lbl.l FROM e JOIN lbl ON lbl.nid = e.s),
+comp AS (SELECT nid, MIN(l) AS cluster FROM lbl GROUP BY nid),
+dc AS (SELECT d.ci, d.cj, c.cluster FROM d JOIN comp c ON c.nid = d.nid),
+core AS (SELECT p.vec_id, dc.cluster FROM p
+         JOIN dc ON dc.ci = p.ci AND dc.cj = p.cj),
+sp AS (SELECT p.vec_id, p.ci, p.cj FROM p
+       LEFT JOIN dc ON dc.ci = p.ci AND dc.cj = p.cj
+       WHERE dc.cluster IS NULL),
+bord AS (SELECT sp.vec_id, MIN(dc.cluster) AS cluster
+         FROM sp CROSS JOIN offs
+         JOIN dc ON dc.ci = ((sp.ci + di + {_DBN}) % {_DBN})
+                AND dc.cj = sp.cj + dj
+         WHERE NOT (di = 0 AND dj = 0)
+         GROUP BY sp.vec_id)
+SELECT p.vec_id, COALESCE(co.cluster, bo.cluster) AS cluster,
+       CASE WHEN co.cluster IS NOT NULL THEN 'core'
+            WHEN bo.cluster IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM p LEFT JOIN core co ON co.vec_id = p.vec_id
+       LEFT JOIN bord bo ON bo.vec_id = p.vec_id
+"""
+
+
+def _dbscan_fn(spark, sf_dir):
+    from .operators.geo import dbscan_points_df
+    pts = spark.sql(f"WITH {PTS} SELECT vec_id, lat, lon FROM pts")
+    return dbscan_points_df(pts, id_col="vec_id",
+                            res=_DB_RES, minpts=_DB_MIN)
+
+
+# ---------------------------------------------------------------------------
+# geohash_assign: the third interop id next to cell ids and quadkeys —
+# standard base-32 geohash at precision 8 (identical SQL both engines:
+# quantize units in one CTE, interleave bits with FLOOR-divide + %2 in
+# the next, render 5-bit groups through SUBSTRING into the alphabet).
+# numpy face cells.geohash_encode parity- and known-vector-tested in
+# test_geo.
+# ---------------------------------------------------------------------------
+
+_GH_PREC = 8
+_GLU, _GLA = _cells.geohash_units_sql("lat", "lon", _GH_PREC)
+
+_GH_SQL = f"""
+WITH {{pts}},
+u AS (SELECT vec_id, {_GLU} AS lu, {_GLA} AS la FROM pts),
+b AS (SELECT vec_id,
+             {_cells.geohash_uint_sql('lu', 'la', _GH_PREC)} AS g FROM u)
+SELECT vec_id, g AS geohash_bits,
+       {_cells.geohash_chars_sql('g', _GH_PREC)} AS geohash
+FROM b
+"""
+
+
 # pagerank_cells: PageRank (damping 0.85, 2 unrolled iterations) over
 # the occupied-cell 8-neighbor adjacency graph — the iterative-join
 # workload class (graph centrality over a spatial graph; same surface
@@ -639,6 +720,22 @@ def register_raster() -> None:
                 "anti-join per level over the DISTINCT cell surface; "
                 "operator faces cells.compact_cells / "
                 "operators/geo.compact_cells_df (parity in test_geo)")
+    _reg("dbscan_cells", Q(
+        tables=("embeddings",), fn=_dbscan_fn,
+        duck_sql=_DB_ORACLE.format(pts=PTS, offs=OFFS),
+        doc="geo: grid DBSCAN — dense cells (>= minpts points) cluster "
+            "via 8-neighbor connected components (large/small-star "
+            "operator vs recursive-CTE closure oracle), per-point "
+            "core/border/noise verdicts; adjacency is a broadcast "
+            "stencil equi-join over the DISTINCT dense-cell surface, "
+            "never a distance cross join"))
+    _shared("geohash_assign", ("embeddings",),
+            _GH_SQL.format(pts=PTS),
+            doc="geo: base-32 geohash interop id at precision 8 "
+                "(lon-first bit interleave) — portable FLOOR-divide "
+                "bit math + SUBSTRING alphabet render, identical text "
+                "both engines; numpy face cells.geohash_encode "
+                "(known-vector + prefix-law tested)")
     from .queries import _funnel_sql
     _reg("events_funnel", Q(
         tables=("events",),

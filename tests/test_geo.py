@@ -325,3 +325,109 @@ def test_compact_cells_df_empty_and_mixed(spark):
         "cell long")
     with pytest.raises(ValueError):
         geo.compact_cells_df(mixed)
+
+
+# ---------------------------------------------------------------------------
+# geohash_encode / geohash *_sql faces (interop id #3)
+# ---------------------------------------------------------------------------
+
+def test_geohash_known_vectors():
+    """Canonical geohash test vectors (public reference values)."""
+    assert cells.geohash_encode([57.64911], [10.40744], 12)[0] == \
+        "u4pruydqqvj8"
+    assert cells.geohash_encode([48.669], [-4.329], 5)[0] == "gbsuv"
+    assert cells.geohash_encode([0.0], [0.0], 8)[0] == "s0000000"
+    # lon 180 wraps to -180, lat 90 clamps to the top row
+    assert cells.geohash_encode([90.0], [180.0], 6)[0] == \
+        cells.geohash_encode([89.9999999], [-180.0], 6)[0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.floats(-90, 90, allow_nan=False),
+       st.floats(-180, 180, allow_nan=False, exclude_max=True),
+       st.integers(1, 11))
+def test_geohash_prefix_law(lat, lon, prec):
+    """Truncating a geohash IS the lower-precision geohash (the nesting
+    property range scans rely on)."""
+    full = cells.geohash_encode([lat], [lon], 12)[0]
+    assert cells.geohash_encode([lat], [lon], prec)[0] == full[:prec]
+
+
+def test_geohash_sql_matches_numpy(spark):
+    """The portable SQL face (units -> interleave -> alphabet) agrees
+    with the numpy face on random coordinates, through Spark."""
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-90, 90, 300)
+    lon = rng.uniform(-180, 180, 300)
+    df = spark.createDataFrame(
+        [(float(a), float(o)) for a, o in zip(lat, lon)], "lat double, lon double")
+    lu, la = cells.geohash_units_sql("lat", "lon", 8)
+    df.createOrReplaceTempView("_gh_pts")
+    got = spark.sql(f"""
+        WITH u AS (SELECT lat, lon, {lu} AS lu, {la} AS la FROM _gh_pts),
+        b AS (SELECT lat, lon,
+                     {cells.geohash_uint_sql('lu', 'la', 8)} AS g FROM u)
+        SELECT {cells.geohash_chars_sql('g', 8)} AS gh FROM b
+    """).toPandas().gh.to_numpy()
+    assert (got == cells.geohash_encode(lat, lon, 8)).all()
+
+
+# ---------------------------------------------------------------------------
+# dbscan_points_df (grid DBSCAN)
+# ---------------------------------------------------------------------------
+
+def _cell_center(ci, cj, res):
+    n = 1 << res
+    return ((cj + 0.5) / n * 180.0 - 90.0, (ci + 0.5) / n * 360.0 - 180.0)
+
+
+def test_dbscan_planted_grid_exact():
+    """Planted structure at res 10 / minpts 4: two adjacent dense cells
+    (one cluster), one isolated dense cell (second cluster), an
+    antimeridian-wrapped dense pair (third cluster), a border point in
+    a sparse diagonal neighbor, and a far noise point. Every verdict
+    and label (min member cell id) is fully determined."""
+    from loc2vec_spark.session import get_spark
+    spark = get_spark(master="local[4]")
+    res, n = 10, 1 << 10
+    rows, pid = [], 0
+
+    def put(ci, cj, k):
+        nonlocal pid
+        lat, lon = _cell_center(ci, cj, res)
+        for _ in range(k):
+            rows.append((pid, lat, lon))
+            pid += 1
+
+    put(100, 200, 4)   # dense A1
+    put(101, 200, 4)   # dense A2 (adjacent -> cluster A)
+    put(500, 600, 4)   # dense B (isolated cluster)
+    put(0, 300, 4)     # dense W1
+    put(n - 1, 300, 4) # dense W2 (adjacent to W1 via lon wrap)
+    put(102, 201, 1)   # border: sparse, diagonal neighbor of A2
+    put(900, 100, 1)   # noise
+    df = spark.createDataFrame(rows, "pid long, lat double, lon double")
+    out = geo.dbscan_points_df(df, "pid", res=res, minpts=4).toPandas() \
+             .set_index("pid").sort_index()
+
+    def nid(ci, cj):
+        return cj * (1 << 29) + ci
+
+    a, b, w = nid(100, 200), nid(500, 600), nid(0, 300)
+    for i in range(8):
+        assert out.loc[i].role == "core" and out.loc[i].cluster == a
+    for i in range(8, 12):
+        assert out.loc[i].role == "core" and out.loc[i].cluster == b
+    for i in range(12, 20):   # wrap pair collapses to one cluster
+        assert out.loc[i].role == "core" and out.loc[i].cluster == w, i
+    assert out.loc[20].role == "border" and out.loc[20].cluster == a
+    assert out.loc[21].role == "noise" and np.isnan(out.loc[21].cluster)
+
+
+def test_dbscan_all_sparse_is_noise(spark):
+    df = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(5)],
+        "pid long, lat double, lon double")
+    out = geo.dbscan_points_df(df, "pid", res=12, minpts=2).toPandas()
+    assert (out.role == "noise").all()
+    assert out.cluster.isna().all()

@@ -559,6 +559,73 @@ def main() -> None:
          "parent cogroup", spy["bhj"] + spy["smj"] + spy["bnlj"] == 0),
     ])
 
+    cc = qreg.run_spark(spark, SF, "cells_compact")
+    pcc = plan_of(cc)
+    scc = summarize(pcc)
+    audit("cells_compact (multi-resolution cell-set compaction)", cc, [
+        ("each level's full-sibling test is a grouped partial+final "
+         "aggregate over the shrinking DISTINCT cell surface",
+         scc["ops"].get("HashAggregate", 0) >= 4),
+        ("level anti-joins broadcast the (tiny) full-parent sets — "
+         "no sort-merge, cartesian, or nested-loop anywhere",
+         scc["bhj"] >= 2 and scc["smj"] == 0 and scc["bnlj"] == 0
+         and "CartesianProduct" not in pcc),
+        ("pure Catalyst integer arithmetic (no Python crossing)",
+         scc["python"] == 0),
+    ])
+
+    sm = qreg.run_spark(spark, SF, "semdedup")
+    psm = plan_of(sm)
+    ssm = summarize(psm)
+    audit("semdedup (within-cluster keep/drop verdicts)", sm, [
+        ("candidate pairs ride the within-cluster cid equi-join — "
+         "never all-pairs (the id inequality is a post-join filter, "
+         "volume bounded by N x cluster_size)",
+         ssm["bhj"] + ssm["smj"] >= 2 and "CartesianProduct" not in psm),
+        ("the only unkeyed joins are the bounded vectors x centroids "
+         "assignment inside the cached prelude (one print per "
+         "InMemoryTableScan of asg)", ssm["bnlj"] <= 3
+         and psm.count("InMemoryTableScan") >= 2),
+        ("max-cosine verdict is a grouped partial+final aggregate; "
+         "every vector keeps a row via the left join",
+         ssm["ops"].get("HashAggregate", 0) >= 2),
+        ("cosines stay JVM-side (no Python crossing)",
+         ssm["python"] == 0),
+    ])
+
+    db = qreg.run_spark(spark, SF, "dbscan_cells")
+    pdb = plan_of(db)
+    sdb = summarize(pdb)
+    audit("dbscan_cells (grid DBSCAN, per-point verdicts)", db, [
+        ("adjacency + verdict joins are hash equi-joins on cell "
+         "coords / point id — no cartesian, no distance cross join",
+         sdb["bhj"] + sdb["smj"] >= 4 and "CartesianProduct" not in pdb),
+        ("the only nested-loop is the bounded 8-row offset stencil "
+         "broadcast", sdb["bnlj"] <= 1),
+        ("the narrow point projection and the labeled dense-cell "
+         "table are cached — the raw input is not rescanned per "
+         "verdict branch", pdb.count("InMemoryTableScan") >= 4),
+        ("density test is a grouped partial+final aggregate",
+         sdb["ops"].get("HashAggregate", 0) >= 2),
+        ("verdicts stay JVM-side (no Python crossing)",
+         sdb["python"] == 0),
+    ])
+
+    gh = qreg.run_spark(spark, SF, "geohash_assign")
+    pgh = plan_of(gh)
+    sgh = summarize(pgh)
+    audit("geohash_assign (base-32 interop ids)", gh, [
+        ("pure projection: zero shuffles, zero joins",
+         sgh["exchanges"] == 0
+         and sgh["bhj"] + sgh["smj"] + sgh["bnlj"] == 0),
+        ("single scan, columns pruned to the id input",
+         sgh["ops"].get("FileScan", 0) == 1
+         and all("embedding" not in s or "vec_id" in s
+                 for s in sgh["schemas"])),
+        ("bit interleave + alphabet render are whole-stage codegen "
+         "expressions (no Python crossing)", sgh["python"] == 0),
+    ])
+
     hdr = ("# PLANS.md — physical-plan audit (generated by "
            "tools/audit_plans.py)\n\n"
            "Every section asserts the plan properties the engine promises "

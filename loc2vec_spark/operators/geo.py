@@ -161,7 +161,8 @@ def derived_latlon_sql(id_expr: str) -> tuple[str, str]:
 # ---------------------------------------------------------------------------
 
 def compact_cells_df(df: DataFrame, cell_col: str = "cell",
-                     min_res: int = 0) -> DataFrame:
+                     min_res: int = 0, *,
+                     persist: bool = True) -> DataFrame:
     """Distributed H3-``compact_cells`` analog: collapse every complete
     4-sibling group of occupied cells into its parent, recursing on the
     produced parents down to ``min_res``.
@@ -174,10 +175,14 @@ def compact_cells_df(df: DataFrame, cell_col: str = "cell",
 
     Scale shape: the loop runs on the aggregated DISTINCT surface
     (#occupied-cells rows, orders below the input at 100 TB); each level
-    is ONE groupBy on the shrinking parent key + one left_anti equi-join,
-    and every level's full-parent set is persisted (it is read twice:
-    the anti-join and the next level's input). No driver-side cell data
-    beyond the single input-resolution scalar.
+    is ONE groupBy on the shrinking parent key + one left_anti equi-join.
+    With ``persist=True`` (default) each level's full-parent set is
+    cached and counted — the count materializes the cache before its
+    two reads (anti-join + next level) and stops the loop at the first
+    level with no complete sibling group, exactly like the numpy face;
+    the per-level caches are MEMORY_AND_DISK on the shrinking parent
+    surface and release with the session. No driver-side cell data
+    beyond the input-resolution scalar and one count per level.
 
     Mirrors :func:`loc2vec_spark.cells.compact_cells` (the numpy face —
     parity property-tested in test_geo) and the shared-SQL oracle face
@@ -209,7 +214,11 @@ def compact_cells_df(df: DataFrame, cell_col: str = "cell",
             "parent", F.expr(C.parent_sql("cell", res, res - 1)))
         full = (par.groupBy("parent").count()
                 .filter(F.col("count") == 4)
-                .select(F.col("parent").alias("cell"))).persist()
+                .select(F.col("parent").alias("cell")))
+        if persist:
+            full = full.persist()
+            if full.count() == 0:
+                break  # no complete group left — nothing above changes
         rem = (par.join(full.select(F.col("cell").alias("parent")),
                         "parent", "left_anti").select("cell"))
         out = tag(rem, res) if out is None else \
@@ -217,6 +226,76 @@ def compact_cells_df(df: DataFrame, cell_col: str = "cell",
         cur, res = full, res - 1
     final = tag(cur, res)
     return final if out is None else out.unionByName(final)
+
+
+# ---------------------------------------------------------------------------
+# radius (DWITHIN) spatial join — cell-blocked, never a distance cross join
+# ---------------------------------------------------------------------------
+
+def planar_dist2_sql(lat_a: str, lon_a: str, lat_b: str, lon_b: str) -> str:
+    """SQL text for the squared planar-degree distance with longitude
+    wrap (dlon folded into [-180, 180) by the portable double-mod) —
+    one fixed-order IEEE-double expression, identical text in Spark and
+    DuckDB so oracle hashes hold bit-for-bit. Planar degrees are the
+    engine's grid metric; a geodesic (haversine) final predicate is a
+    drop-in swap at the exact-filter stage but is kept out of oracle
+    faces (libm trig is not cross-engine ULP-stable)."""
+    dlat = f"(({lat_a}) - ({lat_b}))"
+    dlon = (f"(((({lon_a}) - ({lon_b}) + 180.0E0) % 360.0E0 + 360.0E0) "
+            f"% 360.0E0 - 180.0E0)")
+    return f"({dlat} * {dlat} + {dlon} * {dlon})"
+
+
+def dwithin_join(left: DataFrame, right: DataFrame, *, radius: float,
+                 res: int, id_left: str = "id", id_right: str = "id",
+                 lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """ST_DWithin-style radius join: every (left, right) pair within
+    ``radius`` planar degrees (squared-distance predicate from
+    :func:`planar_dist2_sql`), the range-join sibling of the
+    cell-blocked kNN join (top-k) and the PIP join (containment).
+
+    Blocking: both sides tile at ``res``; candidates are the 3x3
+    neighbor-cell equi-join (left x 9-offset broadcast stencil against
+    the right side's cell key — longitude wraps). This is COMPLETE iff
+    ``radius`` <= the cell's latitude extent 180/2^res (a pair within
+    the radius can then differ by at most one cell index per axis), so
+    the constructor enforces it. Scale shape: one shuffle per side on
+    the cell key, a bounded 9-row nested-loop stencil, an equi-join,
+    and a JVM-side exact filter — candidate volume is radius-local,
+    never |L| x |R|.
+
+    Returns ``(id_left, id_right, dist2)``; pass ``id_left=id_right``
+    named differently for a self-join and filter ``id_a < id_b``
+    downstream. Oracle face ``dwithin_join`` in queries_geo.py checks
+    it against the brute-force theta join at sf0.01."""
+    if radius > 180.0 / (1 << res):
+        raise ValueError(
+            f"radius {radius} exceeds the res-{res} cell extent "
+            f"{180.0 / (1 << res)}; 3x3 blocking would miss pairs")
+    spark = left.sparkSession
+    n = 1 << res
+    ci_sql, cj_sql = cells.ij_sql(lat_col, lon_col, res)
+
+    def prep(df: DataFrame, idc: str, side: str) -> DataFrame:
+        return df.select(F.col(idc).alias(f"id_{side}"),
+                         F.col(lat_col).alias(f"lat_{side}"),
+                         F.col(lon_col).alias(f"lon_{side}"),
+                         F.expr(ci_sql).alias(f"ci_{side}"),
+                         F.expr(cj_sql).alias(f"cj_{side}"))
+
+    la, rb = prep(left, id_left, "a"), prep(right, id_right, "b")
+    offs = spark.createDataFrame(
+        [(di, dj) for di in (-1, 0, 1) for dj in (-1, 0, 1)],
+        "di int, dj int")
+    cand = (la.crossJoin(F.broadcast(offs))
+            .select("id_a", "lat_a", "lon_a",
+                    ((F.col("ci_a") + F.col("di") + n) % n).alias("ci_b"),
+                    (F.col("cj_a") + F.col("dj")).alias("cj_b"))
+            .join(rb, ["ci_b", "cj_b"]))
+    d2 = planar_dist2_sql("lat_a", "lon_a", "lat_b", "lon_b")
+    return (cand.withColumn("dist2", F.expr(d2))
+                .filter(F.col("dist2") <= radius * radius)
+                .select("id_a", "id_b", "dist2"))
 
 
 # ---------------------------------------------------------------------------

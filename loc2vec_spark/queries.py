@@ -159,6 +159,9 @@ ROTATED_OUT_R5: tuple[str, ...] = (
     # zorder_locality; data-quality via profile_stats; event windows
     # via events_funnel; text quality via text_pii_scrub)
     "quadkey_assign", "dist_drift", "events_sliding", "text_repetition",
+    # corpus-mixing slot — r4-green; corpus family keeps decontaminate/
+    # leakfree_split/doc_rarity/dedup_spanfrac in-window
+    "mix_sources",
 )
 
 ROTATED_IN_R5: tuple[str, ...] = (
@@ -170,8 +173,9 @@ ROTATED_IN_R5: tuple[str, ...] = (
     "raster_assembly", "pyramid_rollup", "html_text_extract",
     "warc_records", "a13_grouping_sets", "dedup_video", "dedup_audio",
     # late-r5: H3 compact_cells analog + SemDeDup policy verdicts +
-    # grid DBSCAN clustering + geohash interop ids
+    # grid DBSCAN clustering + geohash interop ids + radius join
     "cells_compact", "semdedup", "dbscan_cells", "geohash_assign",
+    "dwithin_join",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -189,7 +193,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "zorder_locality",
     "morans_i",
     "profile_stats", "text_pii_scrub",
-    "decontaminate", "leakfree_split", "mix_sources", "doc_rarity",
+    "decontaminate", "leakfree_split", "doc_rarity",
     "dedup_spanfrac",
     # --- round-5 rotation-ins ---
     *ROTATED_IN_R5,

@@ -569,6 +569,40 @@ FROM b
 """
 
 
+# ---------------------------------------------------------------------------
+# dwithin_join: ST_DWithin-style radius self-join — the range sibling of
+# knn_topk (top-k) and pip_exact (containment). Spark face is the
+# cell-blocked operators/geo.dwithin_join (3x3 stencil equi-join at
+# res 14, complete because radius 0.01 <= 180/2^14); the oracle is the
+# brute-force theta join with the SAME fixed-order squared-distance
+# expression, so the hash certifies the blocking lost no pair and the
+# distance arithmetic is bit-identical. 391 pairs at sf0.01.
+# ---------------------------------------------------------------------------
+
+_DW_RES, _DW_RADIUS = 14, 0.01
+
+
+def _dwithin_fn(spark, sf_dir):
+    from .operators.geo import dwithin_join
+    pts = spark.sql(f"WITH {PTS} SELECT vec_id, lat, lon FROM pts")
+    out = dwithin_join(pts, pts, radius=_DW_RADIUS, res=_DW_RES,
+                       id_left="vec_id", id_right="vec_id")
+    return (out.filter(F.col("id_a") < F.col("id_b"))
+               .select(F.col("id_a").alias("vec_a"),
+                       F.col("id_b").alias("vec_b"), "dist2"))
+
+
+def _dwithin_oracle() -> str:
+    from .operators.geo import planar_dist2_sql
+    d2 = planar_dist2_sql("a.lat", "a.lon", "b.lat", "b.lon")
+    return f"""
+WITH {PTS}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {d2} AS dist2
+FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+WHERE {d2} <= {_DW_RADIUS * _DW_RADIUS}
+"""
+
+
 # pagerank_cells: PageRank (damping 0.85, 2 unrolled iterations) over
 # the occupied-cell 8-neighbor adjacency graph — the iterative-join
 # workload class (graph centrality over a spatial graph; same surface
@@ -729,6 +763,14 @@ def register_raster() -> None:
             "core/border/noise verdicts; adjacency is a broadcast "
             "stencil equi-join over the DISTINCT dense-cell surface, "
             "never a distance cross join"))
+    _reg("dwithin_join", Q(
+        tables=("embeddings",), fn=_dwithin_fn,
+        duck_sql=_dwithin_oracle(),
+        doc="geo: ST_DWithin radius self-join — cell-blocked 3x3 "
+            "stencil equi-join at res 14 (complete for radius <= cell "
+            "extent, enforced) vs the brute-force theta-join oracle "
+            "with the identical fixed-order squared-distance "
+            "expression; the range sibling of knn_topk/pip_exact"))
     _shared("geohash_assign", ("embeddings",),
             _GH_SQL.format(pts=PTS),
             doc="geo: base-32 geohash interop id at precision 8 "

@@ -431,3 +431,64 @@ def test_dbscan_all_sparse_is_noise(spark):
     out = geo.dbscan_points_df(df, "pid", res=12, minpts=2).toPandas()
     assert (out.role == "noise").all()
     assert out.cluster.isna().all()
+
+
+def test_compact_cells_df_early_break_and_no_persist(spark):
+    """A set with NO complete sibling group returns at input res on the
+    first level (early break), and persist=False agrees with the
+    default path."""
+    # 4 cells, all in distinct parent groups -> nothing compacts
+    ci = np.array([0, 2, 4, 6], dtype=np.int64)
+    cj = np.array([0, 2, 4, 6], dtype=np.int64)
+    s = [int(c) for c in cells.ij_to_cell(ci, cj, 9)]
+    df = spark.createDataFrame([(c,) for c in s], "cell long")
+    for persist in (True, False):
+        out = geo.compact_cells_df(df, min_res=0, persist=persist) \
+                 .toPandas().sort_values("cell")
+        assert out.cell.tolist() == sorted(s)
+        assert (out.res == 9).all() and (out.n_leaves == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# dwithin_join (radius spatial join)
+# ---------------------------------------------------------------------------
+
+def test_dwithin_blocking_complete_vs_bruteforce(spark):
+    """The 3x3 cell-blocked join finds EXACTLY the brute-force pair set
+    (same planar-degree metric) on random points, radius at the
+    blocking bound."""
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(-89, 89, 400)
+    lon = rng.uniform(-180, 180, 400)
+    # densify: half the points get a nearby twin so pairs exist
+    lat[200:] = lat[:200] + rng.uniform(-0.01, 0.01, 200)
+    lon[200:] = lon[:200] + rng.uniform(-0.01, 0.01, 200)
+    df = spark.createDataFrame(
+        [(i, float(a), float(o)) for i, (a, o) in enumerate(zip(lat, lon))],
+        "pid long, lat double, lon double")
+    r = 180.0 / (1 << 14)          # exactly the res-14 bound
+    out = geo.dwithin_join(df, df, radius=r, res=14,
+                           id_left="pid", id_right="pid")
+    got = {(a, b) for a, b in
+           out.filter(F.col("id_a") < F.col("id_b"))
+              .select("id_a", "id_b").toPandas().itertuples(index=False)}
+    dlat = lat[:, None] - lat[None, :]
+    dlon = (lon[:, None] - lon[None, :] + 180.0) % 360.0 - 180.0
+    d2 = dlat * dlat + dlon * dlon
+    ii, jj = np.where(d2 <= r * r)
+    expect = {(int(a), int(b)) for a, b in zip(ii, jj) if a < b}
+    assert got == expect and len(expect) > 50
+
+
+def test_dwithin_antimeridian_pair_and_radius_guard(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0, 179.999), (1, 10.0, -179.999), (2, 10.0, 0.0)],
+        "pid long, lat double, lon double")
+    out = geo.dwithin_join(df, df, radius=0.01, res=14,
+                           id_left="pid", id_right="pid") \
+             .filter(F.col("id_a") < F.col("id_b")).toPandas()
+    assert len(out) == 1                       # the wrapped pair only
+    assert (out.id_a[0], out.id_b[0]) == (0, 1)
+    assert abs(out.dist2[0] - 0.002**2) < 1e-12
+    with pytest.raises(ValueError):
+        geo.dwithin_join(df, df, radius=0.02, res=14)  # > cell extent

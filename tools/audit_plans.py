@@ -611,6 +611,19 @@ def main() -> None:
          sdb["python"] == 0),
     ])
 
+    dw = qreg.run_spark(spark, SF, "dwithin_join")
+    pdw = plan_of(dw)
+    sdw = summarize(pdw)
+    audit("dwithin_join (cell-blocked radius join)", dw, [
+        ("candidates ride the neighbor-cell hash equi-join — never a "
+         "distance cross join (no cartesian anywhere)",
+         sdw["bhj"] + sdw["smj"] >= 1 and "CartesianProduct" not in pdw),
+        ("the only nested-loop is the bounded 9-row offset stencil "
+         "broadcast", sdw["bnlj"] <= 1),
+        ("the exact squared-distance filter stays JVM-side",
+         sdw["python"] == 0 and "dist2" in pdw),
+    ])
+
     gh = qreg.run_spark(spark, SF, "geohash_assign")
     pgh = plan_of(gh)
     sgh = summarize(pgh)

@@ -78,12 +78,21 @@ def main(argv=None) -> None:
     # funnel counts in ONE aggregation over an uncached walk — caching
     # the records frame would pin every decompressed body for the
     # count phase (read_warc's docstring: recompute beats pinning at
-    # the 10^5-10^6-archive operating point), so the job pays two
-    # walks total (this count + the extraction) and pins nothing raw.
+    # the 10^5-10^6-archive operating point), so the job pays THREE
+    # walks total (the quarantine split above, this count, and the
+    # extraction below) and pins nothing raw; folding the funnel into
+    # the quarantine pass would save one walk at the cost of a cached
+    # full-body frame, the wrong trade at the operating point.
     # The funnel is the job's operational contract: every dropped row
-    # is counted under a reason, nothing vanishes silently.
-    is_html = (F.col("status") == 200) & F.coalesce(
-        F.lower(F.col("content_type")).startswith("text/html"),
+    # is counted under a reason, nothing vanishes silently — so the
+    # group key is NULL-coalesced: is_html is NULL (not False) for a
+    # non-response record (status NULL) with an html content type, and
+    # a raw bool(r[...]) key would collapse the NULL and False groups,
+    # silently dropping whichever count iterated first.
+    is_html = F.coalesce(
+        (F.col("status") == 200) & F.coalesce(
+            F.lower(F.col("content_type")).startswith("text/html"),
+            F.lit(False)),
         F.lit(False))
     funnel = {bool(r["is_html"]): r["n"] for r in
               good.groupBy(is_html.alias("is_html"))

@@ -312,12 +312,26 @@ def geohash_encode(lat, lon, precision: int = 8):
     return out.astype(str)
 
 
+def _geohash_sql_precision_check(precision: int) -> None:
+    """The SQL faces extract bits with FLOOR(x / 2^k) in IEEE double,
+    exact only while the interleaved integer stays under 2^53 — i.e.
+    precision <= 10 (50 bits). The numpy face has no such limit (int64
+    shifts); callers needing 11-12 chars should use it, or extend the
+    SQL face with chunked BIGINT extraction."""
+    if precision > 10:
+        raise ValueError(
+            "geohash SQL faces support precision <= 10 (the 5*p-bit "
+            "integer must stay double-exact); use geohash_encode "
+            "(numpy) for precision 11-12")
+
+
 def geohash_units_sql(lat_expr: str, lon_expr: str,
                       precision: int = 8) -> tuple[str, str]:
     """(lon_unit, lat_unit) SQL text — the quantized coordinates the
     geohash interleaves. Meant for a CTE so downstream expressions
     reference plain column names (the interleave reads each unit
     ``nbits/2`` times)."""
+    _geohash_sql_precision_check(precision)
     nbits = 5 * precision
     nlon, nlat = (nbits + 1) // 2, nbits // 2
     lu = (f"(CAST(FLOOR((((({lon_expr}) + 180.0E0) % 360.0E0 + 360.0E0) "
@@ -332,6 +346,7 @@ def geohash_uint_sql(lu_expr: str, la_expr: str, precision: int = 8) -> str:
     """SQL text interleaving the quantized units into the geohash's
     5*precision-bit integer — portable bit extraction (FLOOR-divide +
     %2 on values < 2^53, exact in IEEE double in both engines)."""
+    _geohash_sql_precision_check(precision)
     nbits = 5 * precision
     nlon, nlat = (nbits + 1) // 2, nbits // 2
     terms = []
@@ -347,6 +362,7 @@ def geohash_uint_sql(lu_expr: str, la_expr: str, precision: int = 8) -> str:
 def geohash_chars_sql(g_expr: str, precision: int = 8) -> str:
     """SQL text rendering the interleaved integer as the base-32
     geohash string (SUBSTRING into the alphabet per 5-bit group)."""
+    _geohash_sql_precision_check(precision)
     parts = []
     for k in range(precision):
         s = 1 << (5 * (precision - 1 - k))

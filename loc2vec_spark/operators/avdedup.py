@@ -234,8 +234,12 @@ def audio_fingerprints(audio: DataFrame, *, frame_len: int = 512,
 
     Per non-overlapping ``frame_len``-sample frame: dominant rfft bin
     (the spectral peak); each peak pairs with the next ``fanout`` peaks
-    into landmark hash ``(b1 * 256 + b2) * 4 + dt`` — the constellation
-    scheme, anchored at frame index ``t``."""
+    into landmark hash ``(b1 * nb + b2) * (fanout + 1) + dt`` with
+    ``nb = frame_len // 2 + 1`` (the rfft bin count, Nyquist bin
+    included — a 256-sized base would alias (b1, 256, dt) with
+    (b1 + 1, 0, dt) and a fixed *4 would alias dt >= 5 at high
+    fanout) — the constellation scheme, anchored at frame index
+    ``t``."""
     from .audio import decode_wav
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -251,11 +255,12 @@ def audio_fingerprints(audio: DataFrame, *, frame_len: int = 512,
                     continue
                 frames = x[:nf * frame_len].reshape(nf, frame_len)
                 bins = np.abs(np.fft.rfft(frames, axis=1)).argmax(axis=1)
+                nb = frame_len // 2 + 1  # rfft bins incl. Nyquist
                 for t in range(nf):
                     for dt in range(1, fanout + 1):
                         if t + dt < nf:
-                            lh = ((int(bins[t]) * 256 + int(bins[t + dt]))
-                                  * 4 + dt)
+                            lh = ((int(bins[t]) * nb + int(bins[t + dt]))
+                                  * (fanout + 1) + dt)
                             out.append((aid, t, lh))
             yield pd.DataFrame(
                 out, columns=[f.name for f in FINGERPRINT_SCHEMA])

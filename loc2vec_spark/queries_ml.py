@@ -397,7 +397,7 @@ peaks AS (SELECT aid, t,
                        + t * (1 + (g * 57) % 99)) % 199) AS b
           FROM v CROSS JOIN t7),
 lm AS (SELECT p1.aid,
-              (p1.b * 256 + p2.b) * 4 + (p2.t - p1.t) AS lh
+              (p1.b * 257 + p2.b) * 3 + (p2.t - p1.t) AS lh
        FROM peaks p1 JOIN peaks p2
          ON p2.aid = p1.aid AND p2.t - p1.t BETWEEN 1 AND 2)
 SELECT a.aid AS aid_a, b.aid AS aid_b,

@@ -89,7 +89,7 @@ def test_audio_fingerprints_match_planted_bins(spark):
     assert (fp.groupby("audio_id").size() == 11).all()
     # decode landmark of clip 0 at t=0, dt=1 against planted bins
     lh = fp[(fp.audio_id == "0") & (fp.t == 0)]["lh"].min()
-    b1, b2, dt = lh // 4 // 256, (lh // 4) % 256, lh % 4
+    b1, b2, dt = lh // 3 // 257, (lh // 3) % 257, lh % 3  # bases: fanout+1=3, rfft bins=257
     assert dt in (1, 2)
     assert b1 == AV.neardup_audio_bin(0, 0)
     assert b2 == AV.neardup_audio_bin(0, dt)

@@ -492,3 +492,15 @@ def test_dwithin_antimeridian_pair_and_radius_guard(spark):
     assert abs(out.dist2[0] - 0.002**2) < 1e-12
     with pytest.raises(ValueError):
         geo.dwithin_join(df, df, radius=0.02, res=14)  # > cell extent
+
+
+def test_geohash_sql_faces_reject_unrepresentable_precision():
+    """The SQL faces do double FLOOR-division bit extraction — exact
+    only under 2^53 (precision <= 10); 11+ must raise, the numpy face
+    still serves them (known-vector tested at 12)."""
+    for fn in (lambda p: cells.geohash_units_sql("lat", "lon", p),
+               lambda p: cells.geohash_uint_sql("lu", "la", p),
+               lambda p: cells.geohash_chars_sql("g", p)):
+        fn(10)  # boundary ok
+        with pytest.raises(ValueError):
+            fn(11)

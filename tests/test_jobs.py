@@ -341,3 +341,46 @@ def test_run_crawl_end_to_end(spark, tmp_path):
     assert stats2["written_docs"] == 0
     assert spark.read.parquet(os.path.join(out, "documents")).count() \
         == stats["documents"]
+
+
+def test_run_crawl_funnel_counts_non_response_records(spark, tmp_path):
+    """A WARC 'conversion' record with an html content type parses to
+    status=NULL + content_type='text/html' — is_html is then SQL NULL,
+    and the funnel must count it under skipped_non_html instead of
+    collapsing the NULL and False groups into one bool key (which
+    silently dropped whichever count iterated first)."""
+    from loc2vec_spark.operators.warc import build_warc
+
+    recs = [{
+        "uri": f"http://conv.test/p/{i}", "date": "2026-02-01T00:00:00Z",
+        "status": 200, "content_type": "text/html",
+        "body": f"<html><body><p>doc {i}</p></body></html>".encode(),
+    } for i in range(3)]
+    archive = bytearray(build_warc(recs, gzip_members=False))
+    # append a hand-built non-response record: WARC-Type conversion,
+    # WARC-level Content-Type text/html (the Common Crawl WET shape)
+    body = b"plain extracted text"
+    head = ("WARC/1.0\r\n"
+            "WARC-Type: conversion\r\n"
+            "WARC-Record-ID: <urn:uuid:deadbeef>\r\n"
+            "WARC-Date: 2026-02-01T00:00:00Z\r\n"
+            "WARC-Target-URI: http://conv.test/wet/0\r\n"
+            "Content-Type: text/html\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode()
+    archive += head + body + b"\r\n\r\n"
+    wdir = tmp_path / "warcs_conv"
+    wdir.mkdir()
+    (wdir / "a.warc").write_bytes(bytes(archive))
+
+    import importlib.util
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "crawlmod2", os.path.join(repo, "jobs", "run_crawl.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    stats = mod.main(["--warc", str(wdir / "*"), "--out",
+                      str(tmp_path / "crawl_conv_out"), "--keep-session"])
+    assert stats["records_walked"] == 4          # NULL group not dropped
+    assert stats["skipped_non_html"] == 1        # the conversion record
+    assert stats["documents"] == 3
+    assert stats["dropped_short"] == 0

@@ -159,9 +159,9 @@ ROTATED_OUT_R5: tuple[str, ...] = (
     # zorder_locality; data-quality via profile_stats; event windows
     # via events_funnel; text quality via text_pii_scrub)
     "quadkey_assign", "dist_drift", "events_sliding", "text_repetition",
-    # corpus-mixing slot — r4-green; corpus family keeps decontaminate/
-    # leakfree_split/doc_rarity/dedup_spanfrac in-window
-    "mix_sources",
+    # corpus slots — both r4-green; corpus family keeps decontaminate/
+    # leakfree_split/dedup_spanfrac in-window
+    "mix_sources", "doc_rarity",
 )
 
 ROTATED_IN_R5: tuple[str, ...] = (
@@ -175,7 +175,7 @@ ROTATED_IN_R5: tuple[str, ...] = (
     # late-r5: H3 compact_cells analog + SemDeDup policy verdicts +
     # grid DBSCAN clustering + geohash interop ids + radius join
     "cells_compact", "semdedup", "dbscan_cells", "geohash_assign",
-    "dwithin_join",
+    "dwithin_join", "stay_points",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -193,7 +193,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "zorder_locality",
     "morans_i",
     "profile_stats", "text_pii_scrub",
-    "decontaminate", "leakfree_split", "doc_rarity",
+    "decontaminate", "leakfree_split",
     "dedup_spanfrac",
     # --- round-5 rotation-ins ---
     *ROTATED_IN_R5,

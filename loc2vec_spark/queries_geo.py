@@ -603,6 +603,58 @@ WHERE {d2} <= {_DW_RADIUS * _DW_RADIUS}
 """
 
 
+# ---------------------------------------------------------------------------
+# stay_points: per-user dwell detection (the GeoLife stay-point family)
+# over the derived trajectory — the events sequence walks dwell blocks
+# (10 events jittering within 5 units of a block anchor) separated by
+# far jumps, and the operator finds maximal runs of small steps via the
+# gaps-and-islands trick: a break flag per step (squared step > D2 or
+# first row), running SUM OVER the ordered sequence as the segment id,
+# then a grouped aggregate with a min-length qualifier. All-integer
+# arithmetic, identical SQL both engines. Plan shape: two window passes
+# over the same (user_id, rn) sort order (Catalyst reuses the sort) +
+# one grouped aggregate — no joins, no Python.
+# ---------------------------------------------------------------------------
+
+_STAY_SQL = """
+WITH ord AS (SELECT user_id, event_id, ts,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn
+             FROM events),
+pos AS (SELECT user_id, event_id, rn,
+               ((user_id * 2654435761
+                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 40503
+                 + 17) % 100000) + (event_id * 101) % 5 AS px,
+               ((user_id * 40503
+                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 2654435761
+                 + 71) % 100000) + (event_id * 211) % 5 AS py
+        FROM ord),
+st AS (SELECT user_id, event_id, rn, px, py,
+              CASE WHEN (px - LAG(px) OVER (PARTITION BY user_id
+                                            ORDER BY rn))
+                       * (px - LAG(px) OVER (PARTITION BY user_id
+                                             ORDER BY rn))
+                       + (py - LAG(py) OVER (PARTITION BY user_id
+                                             ORDER BY rn))
+                       * (py - LAG(py) OVER (PARTITION BY user_id
+                                             ORDER BY rn)) <= 50
+                   THEN 0 ELSE 1 END AS brk
+       FROM pos),
+seg AS (SELECT user_id, event_id, px, py,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY rn
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS seg_id
+        FROM st)
+SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       MIN(event_id) AS first_event, MAX(event_id) AS last_event,
+       CAST(SUM(px) AS BIGINT) AS sum_px,
+       CAST(SUM(py) AS BIGINT) AS sum_py
+FROM seg GROUP BY user_id, seg_id
+HAVING COUNT(*) >= 5
+"""
+
+
 # pagerank_cells: PageRank (damping 0.85, 2 unrolled iterations) over
 # the occupied-cell 8-neighbor adjacency graph — the iterative-join
 # workload class (graph centrality over a spatial graph; same surface
@@ -763,6 +815,12 @@ def register_raster() -> None:
             "core/border/noise verdicts; adjacency is a broadcast "
             "stencil equi-join over the DISTINCT dense-cell surface, "
             "never a distance cross join"))
+    _shared("stay_points", ("events",), _STAY_SQL,
+            doc="geo: per-user stay-point (dwell) detection over the "
+                "derived trajectory — gaps-and-islands segmentation "
+                "(break flag per large step, running-sum segment ids) "
+                "+ min-length qualifier; all-integer, two window "
+                "passes on one sort order, no joins")
     _reg("dwithin_join", Q(
         tables=("embeddings",), fn=_dwithin_fn,
         duck_sql=_dwithin_oracle(),

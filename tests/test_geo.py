@@ -504,3 +504,44 @@ def test_geohash_sql_faces_reject_unrepresentable_precision():
         fn(10)  # boundary ok
         with pytest.raises(ValueError):
             fn(11)
+
+
+def test_stay_points_matches_numpy_replay(spark):
+    """The gaps-and-islands SQL agrees with an independent numpy replay
+    of the same dwell-block derivation on a planted 3-user event set."""
+    import datetime as dt
+
+    import pandas as pd
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u * 100 + i, u, base + dt.timedelta(seconds=60 * i + u))
+            for u in range(3) for i in range(27)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    df.createOrReplaceTempView("events")
+    from loc2vec_spark.queries import QUERIES
+    got = spark.sql(QUERIES["stay_points"].spark_sql).toPandas() \
+               .sort_values(["user_id", "seg_id"]).reset_index(drop=True)
+
+    # independent replay
+    expect = []
+    for u in range(3):
+        evs = sorted([e for e, uu, _ in rows if uu == u])
+        segs, seg_id, prev = {}, 0, None
+        for rn, e in enumerate(evs, start=1):
+            blk = (rn - 1) // 10
+            px = (u * 2654435761 + blk * 40503 + 17) % 100000 + (e * 101) % 5
+            py = (u * 40503 + blk * 2654435761 + 71) % 100000 + (e * 211) % 5
+            if prev is None or (px - prev[0]) ** 2 + (py - prev[1]) ** 2 > 50:
+                seg_id += 1
+            segs.setdefault(seg_id, []).append((e, px, py))
+            prev = (px, py)
+        for sid, pts in segs.items():
+            if len(pts) >= 5:
+                expect.append((u, sid, len(pts), min(p[0] for p in pts),
+                               max(p[0] for p in pts),
+                               sum(p[1] for p in pts),
+                               sum(p[2] for p in pts)))
+    exp = pd.DataFrame(expect, columns=list(got.columns)) \
+            .sort_values(["user_id", "seg_id"]).reset_index(drop=True)
+    assert len(exp) >= 6                      # 2 full blocks per user min
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))

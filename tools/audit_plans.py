@@ -611,6 +611,19 @@ def main() -> None:
          sdb["python"] == 0),
     ])
 
+    sy = qreg.run_spark(spark, SF, "stay_points")
+    psy = plan_of(sy)
+    ssy = summarize(psy)
+    audit("stay_points (gaps-and-islands dwell detection)", sy, [
+        ("EXACTLY ONE shuffle — the user_id exchange is reused by all "
+         "three window passes and the final grouped aggregate",
+         ssy["exchanges"] == 1),
+        ("no joins anywhere (segmentation is windows + arithmetic)",
+         ssy["bhj"] + ssy["smj"] + ssy["bnlj"] == 0),
+        ("single scan, columns pruned", ssy["ops"].get("FileScan", 0) == 1),
+        ("pure Catalyst (no Python crossing)", ssy["python"] == 0),
+    ])
+
     dw = qreg.run_spark(spark, SF, "dwithin_join")
     pdw = plan_of(dw)
     sdw = summarize(pdw)

@@ -162,6 +162,9 @@ ROTATED_OUT_R5: tuple[str, ...] = (
     # corpus slots — both r4-green; corpus family keeps decontaminate/
     # leakfree_split/dedup_spanfrac in-window
     "mix_sources", "doc_rarity",
+    # corpus decontamination slot — r4-green; family keeps
+    # leakfree_split + dedup_spanfrac in-window
+    "decontaminate",
 )
 
 ROTATED_IN_R5: tuple[str, ...] = (
@@ -175,7 +178,7 @@ ROTATED_IN_R5: tuple[str, ...] = (
     # late-r5: H3 compact_cells analog + SemDeDup policy verdicts +
     # grid DBSCAN clustering + geohash interop ids + radius join
     "cells_compact", "semdedup", "dbscan_cells", "geohash_assign",
-    "dwithin_join", "stay_points",
+    "dwithin_join", "stay_points", "od_flows",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -193,7 +196,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "zorder_locality",
     "morans_i",
     "profile_stats", "text_pii_scrub",
-    "decontaminate", "leakfree_split",
+    "leakfree_split",
     "dedup_spanfrac",
     # --- round-5 rotation-ins ---
     *ROTATED_IN_R5,

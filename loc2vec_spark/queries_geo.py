@@ -655,6 +655,41 @@ HAVING COUNT(*) >= 5
 """
 
 
+# ---------------------------------------------------------------------------
+# od_flows: origin-destination matrix composed FROM the stay-point
+# relation — each user's consecutive stays become (origin cell ->
+# destination cell) trips via LEAD over the stay order, aggregated to
+# per-(o, d) trip counts on an 8x8 coarse grid (stay centroid =
+# sum_px / n_pts, exact integer FLOOR-division to the cell). The whole
+# _STAY_SQL relation rides as a CTE, so the face also pins the
+# stay-point output as a composable building block. At sf0.01: 857
+# trips over 199 OD cells, max count 15.
+# ---------------------------------------------------------------------------
+
+_OD_CELL = 12500.0  # 8x8 grid over the 0..99999 derived plane
+
+_OD_SQL = f"""
+WITH stays AS (
+{_STAY_SQL.strip()}
+),
+sc AS (SELECT user_id, first_event,
+              CAST(FLOOR(sum_px / (n_pts * {_OD_CELL}E0)) AS BIGINT)
+                  AS cx,
+              CAST(FLOOR(sum_py / (n_pts * {_OD_CELL}E0)) AS BIGINT)
+                  AS cy
+       FROM stays),
+od AS (SELECT user_id, cx AS ox, cy AS oy,
+              LEAD(cx) OVER (PARTITION BY user_id
+                             ORDER BY first_event) AS dx,
+              LEAD(cy) OVER (PARTITION BY user_id
+                             ORDER BY first_event) AS dy
+       FROM sc)
+SELECT ox, oy, dx, dy, CAST(COUNT(*) AS BIGINT) AS n_trips
+FROM od WHERE dx IS NOT NULL
+GROUP BY ox, oy, dx, dy
+"""
+
+
 # pagerank_cells: PageRank (damping 0.85, 2 unrolled iterations) over
 # the occupied-cell 8-neighbor adjacency graph — the iterative-join
 # workload class (graph centrality over a spatial graph; same surface
@@ -815,6 +850,12 @@ def register_raster() -> None:
             "core/border/noise verdicts; adjacency is a broadcast "
             "stencil equi-join over the DISTINCT dense-cell surface, "
             "never a distance cross join"))
+    _shared("od_flows", ("events",), _OD_SQL,
+            doc="geo: origin-destination trip matrix — consecutive "
+                "stay-points per user become (origin, destination) "
+                "cell trips via LEAD over the stay order, counted on "
+                "the 8x8 coarse grid; composes the full stay_points "
+                "relation as a nested CTE (identical SQL both engines)")
     _shared("stay_points", ("events",), _STAY_SQL,
             doc="geo: per-user stay-point (dwell) detection over the "
                 "derived trajectory — gaps-and-islands segmentation "

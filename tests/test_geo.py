@@ -545,3 +545,25 @@ def test_stay_points_matches_numpy_replay(spark):
             .sort_values(["user_id", "seg_id"]).reset_index(drop=True)
     assert len(exp) >= 6                      # 2 full blocks per user min
     pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_od_flows_trip_conservation(spark):
+    """OD flows compose the stay relation: total trips == total stays
+    minus one per user with stays (each consecutive-stay pair is one
+    trip), and every OD cell is on the 8x8 grid."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u * 1000 + i, u, base + dt.timedelta(seconds=60 * i + u))
+            for u in range(4) for i in range(35)]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp") \
+        .createOrReplaceTempView("events")
+    from loc2vec_spark.queries import QUERIES
+    stays = spark.sql(QUERIES["stay_points"].spark_sql).toPandas()
+    od = spark.sql(QUERIES["od_flows"].spark_sql).toPandas()
+    per_user = stays.groupby("user_id").size()
+    expect_trips = int((per_user - 1).clip(lower=0).sum())
+    assert expect_trips > 0
+    assert int(od.n_trips.sum()) == expect_trips
+    for c in ("ox", "oy", "dx", "dy"):
+        assert od[c].between(0, 7).all()

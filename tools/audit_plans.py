@@ -624,6 +624,19 @@ def main() -> None:
         ("pure Catalyst (no Python crossing)", ssy["python"] == 0),
     ])
 
+    odf = qreg.run_spark(spark, SF, "od_flows")
+    pod = plan_of(odf)
+    sod = summarize(pod)
+    audit("od_flows (origin-destination trip matrix)", odf, [
+        ("the composed stay relation + LEAD + OD aggregate stay "
+         "join-free", sod["bhj"] + sod["smj"] + sod["bnlj"] == 0),
+        ("window passes share the user_id partitioning (no extra "
+         "exchange per pass: <= 3 shuffles total for stays + trips + "
+         "the OD groupBy)", sod["exchanges"] <= 3),
+        ("single scan, pure Catalyst", sod["ops"].get("FileScan", 0) == 1
+         and sod["python"] == 0),
+    ])
+
     dw = qreg.run_spark(spark, SF, "dwithin_join")
     pdw = plan_of(dw)
     sdw = summarize(pdw)

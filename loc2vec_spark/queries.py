@@ -165,6 +165,9 @@ ROTATED_OUT_R5: tuple[str, ...] = (
     # corpus decontamination slot — r4-green; family keeps
     # leakfree_split + dedup_spanfrac in-window
     "decontaminate",
+    # PIP scale-path slot — r4-green; family keeps the pinned
+    # pip_exact + pip_bbox in-window
+    "pip_cellcover",
 )
 
 ROTATED_IN_R5: tuple[str, ...] = (
@@ -178,7 +181,7 @@ ROTATED_IN_R5: tuple[str, ...] = (
     # late-r5: H3 compact_cells analog + SemDeDup policy verdicts +
     # grid DBSCAN clustering + geohash interop ids + radius join
     "cells_compact", "semdedup", "dbscan_cells", "geohash_assign",
-    "dwithin_join", "stay_points", "od_flows",
+    "dwithin_join", "stay_points", "od_flows", "colocation_pairs",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -192,7 +195,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_tumbling", "a6_cov", "a8_cosine_mean", "events_sessionize",
     "pip_exact",
     # --- round-4 rotation-ins still in the window (driver-green r4) ---
-    "events_funnel", "pip_cellcover", "ann_ivf", "dedup_embedding_ivf",
+    "events_funnel", "ann_ivf", "dedup_embedding_ivf",
     "zorder_locality",
     "morans_i",
     "profile_stats", "text_pii_scrub",

@@ -690,6 +690,38 @@ GROUP BY ox, oy, dx, dy
 """
 
 
+# ---------------------------------------------------------------------------
+# colocation_pairs: co-travel/co-dwell detection — user pairs whose
+# stay-points share a coarse cell with OVERLAPPING event spans, counted
+# and thresholded (the spatiotemporal co-occurrence join). Candidates
+# ride the (cx, cy) cell equi-join — never user x user — with the
+# interval-overlap test as a post-join filter; at 100 TB the candidate
+# volume is sum over cells of |stays-in-cell|^2, bounded by the grid
+# granularity knob exactly like semdedup's cluster-size knob. Composes
+# the stay relation (nested CTE) like od_flows. 505 pairs at sf0.01.
+# ---------------------------------------------------------------------------
+
+_CO_SQL = f"""
+WITH stays AS (
+{_STAY_SQL.strip()}
+),
+sc AS (SELECT user_id, first_event, last_event,
+              CAST(FLOOR(sum_px / (n_pts * {_OD_CELL}E0)) AS BIGINT)
+                  AS cx,
+              CAST(FLOOR(sum_py / (n_pts * {_OD_CELL}E0)) AS BIGINT)
+                  AS cy
+       FROM stays),
+pr AS (SELECT a.user_id AS user_a, b.user_id AS user_b
+       FROM sc a JOIN sc b
+         ON b.cx = a.cx AND b.cy = a.cy AND a.user_id < b.user_id
+        AND a.first_event <= b.last_event
+        AND b.first_event <= a.last_event)
+SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_codwells
+FROM pr GROUP BY user_a, user_b
+HAVING COUNT(*) >= 2
+"""
+
+
 # pagerank_cells: PageRank (damping 0.85, 2 unrolled iterations) over
 # the occupied-cell 8-neighbor adjacency graph — the iterative-join
 # workload class (graph centrality over a spatial graph; same surface
@@ -850,6 +882,12 @@ def register_raster() -> None:
             "core/border/noise verdicts; adjacency is a broadcast "
             "stencil equi-join over the DISTINCT dense-cell surface, "
             "never a distance cross join"))
+    _shared("colocation_pairs", ("events",), _CO_SQL,
+            doc="geo: co-dwell (co-travel) detection — user pairs "
+                "whose stay-points share a coarse cell with "
+                "overlapping event spans, cell equi-join candidates "
+                "(never user x user) + interval-overlap filter + "
+                "count threshold; composes the stay relation")
     _shared("od_flows", ("events",), _OD_SQL,
             doc="geo: origin-destination trip matrix — consecutive "
                 "stay-points per user become (origin, destination) "

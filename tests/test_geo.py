@@ -567,3 +567,42 @@ def test_od_flows_trip_conservation(spark):
     assert int(od.n_trips.sum()) == expect_trips
     for c in ("ox", "oy", "dx", "dy"):
         assert od[c].between(0, 7).all()
+
+
+def test_colocation_pairs_matches_pandas_replay(spark):
+    """Co-dwell pairs agree with an independent pandas replay (cell
+    join + interval-overlap + threshold) over the SAME stay relation,
+    and respect user_a < user_b / count >= 2 contracts."""
+    import datetime as dt
+
+    import pandas as pd
+    base = dt.datetime(2024, 1, 1)
+    # event ids interleave globally (the events-table shape) — the
+    # overlap test runs on event-id spans, so ids must be a shared axis
+    rows = [(i * 60 + u, u, base + dt.timedelta(seconds=60 * i + u))
+            for u in range(60) for i in range(400)]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp") \
+        .createOrReplaceTempView("events")
+    from loc2vec_spark.queries import QUERIES
+    stays = spark.sql(QUERIES["stay_points"].spark_sql).toPandas()
+    got = spark.sql(QUERIES["colocation_pairs"].spark_sql).toPandas()
+
+    sc = stays.assign(cx=(stays.sum_px // (stays.n_pts * 12500)),
+                      cy=(stays.sum_py // (stays.n_pts * 12500)))
+    m = sc.merge(sc, on=["cx", "cy"], suffixes=("_a", "_b"))
+    m = m[(m.user_id_a < m.user_id_b)
+          & (m.first_event_a <= m.last_event_b)
+          & (m.first_event_b <= m.last_event_a)]
+    exp = (m.groupby(["user_id_a", "user_id_b"]).size()
+            .reset_index(name="n_codwells"))
+    exp = exp[exp.n_codwells >= 2].reset_index(drop=True)
+    got2 = got.sort_values(["user_a", "user_b"]).reset_index(drop=True)
+    exp2 = exp.sort_values(["user_id_a", "user_id_b"]) \
+              .reset_index(drop=True)
+    assert len(got2) == len(exp2) > 0
+    assert (got2.user_a.to_numpy() == exp2.user_id_a.to_numpy()).all()
+    assert (got2.user_b.to_numpy() == exp2.user_id_b.to_numpy()).all()
+    assert (got2.n_codwells.to_numpy() == exp2.n_codwells.to_numpy()).all()
+    assert (got2.user_a < got2.user_b).all()
+    assert (got2.n_codwells >= 2).all()

@@ -637,6 +637,20 @@ def main() -> None:
          and sod["python"] == 0),
     ])
 
+    co = qreg.run_spark(spark, SF, "colocation_pairs")
+    pco = plan_of(co)
+    sco = summarize(pco)
+    audit("colocation_pairs (co-dwell detection)", co, [
+        ("candidate pairs ride the (cx, cy) cell equi-join — never "
+         "user x user, no cartesian/nested-loop",
+         sco["bhj"] + sco["smj"] >= 1 and sco["bnlj"] == 0
+         and "CartesianProduct" not in pco),
+        ("co-dwell counting is a grouped partial+final aggregate "
+         "with the HAVING threshold as a post-agg filter",
+         sco["ops"].get("HashAggregate", 0) >= 2),
+        ("pure Catalyst (no Python crossing)", sco["python"] == 0),
+    ])
+
     dw = qreg.run_spark(spark, SF, "dwithin_join")
     pdw = plan_of(dw)
     sdw = summarize(pdw)

@@ -168,6 +168,9 @@ ROTATED_OUT_R5: tuple[str, ...] = (
     # PIP scale-path slot — r4-green; family keeps the pinned
     # pip_exact + pip_bbox in-window
     "pip_cellcover",
+    # IVF-blocked embedding-dedup slot — r4-green; ANN family keeps
+    # ann_ivf in-window
+    "dedup_embedding_ivf",
 )
 
 ROTATED_IN_R5: tuple[str, ...] = (
@@ -182,6 +185,7 @@ ROTATED_IN_R5: tuple[str, ...] = (
     # grid DBSCAN clustering + geohash interop ids + radius join
     "cells_compact", "semdedup", "dbscan_cells", "geohash_assign",
     "dwithin_join", "stay_points", "od_flows", "colocation_pairs",
+    "exif_gps",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -195,7 +199,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_tumbling", "a6_cov", "a8_cosine_mean", "events_sessionize",
     "pip_exact",
     # --- round-4 rotation-ins still in the window (driver-green r4) ---
-    "events_funnel", "ann_ivf", "dedup_embedding_ivf",
+    "events_funnel", "ann_ivf",
     "zorder_locality",
     "morans_i",
     "profile_stats", "text_pii_scrub",

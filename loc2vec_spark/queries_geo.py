@@ -722,6 +722,60 @@ HAVING COUNT(*) >= 2
 """
 
 
+# ---------------------------------------------------------------------------
+# exif_gps: EXIF GPS/orientation round trip — planted integer
+# micro-degree coordinates ride through the REAL APP1/TIFF writer
+# (operators/exif.build_exif_app1, both byte orders by parity), splice
+# into a REAL encoded JPEG, and come back through the bounded parser +
+# the exif_gps_df Arrow operator; the oracle recomputes the planted
+# integers in pure SQL, so a hash match certifies writer + parser +
+# rational->degree math + the mapInPandas plumbing end-to-end (the
+# warc_records pattern applied to the photo-metadata front door).
+# ---------------------------------------------------------------------------
+
+def _exif_gps_fn(spark, sf_dir):
+    import pandas as pd
+
+    from .operators import exif as EX
+    from .operators.jpeg import encode_jpeg
+
+    def gen(batches):
+        import numpy as np
+        base = encode_jpeg(np.full((8, 8), 128, np.uint8))
+        for pdf in batches:
+            rows = []
+            for v in pdf["vec_id"]:
+                v = int(v)
+                lat_e6 = ((v * 40503 + 12345) % 180000001) - 90000000
+                lon_e6 = ((v * 2654435761 + 777) % 360000001) \
+                    - 180000000
+                app1 = EX.build_exif_app1(
+                    lat_e6, lon_e6, orientation=1 + v % 8,
+                    byte_order="II" if v % 2 == 0 else "MM")
+                rows.append((str(v), EX.splice_app1(base, app1)))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    imgs = (spark.table("embeddings").select("vec_id")
+            .mapInPandas(gen, "image_id string, bytes binary"))
+    out = EX.exif_gps_df(imgs)
+    return out.select(
+        F.col("image_id").cast("bigint").alias("vec_id"),
+        F.expr("CAST(ROUND(lat * 1000000.0E0) AS BIGINT)")
+         .alias("lat_e6"),
+        F.expr("CAST(ROUND(lon * 1000000.0E0) AS BIGINT)")
+         .alias("lon_e6"),
+        "orientation")
+
+
+_EXIF_ORACLE = """
+SELECT vec_id,
+       ((vec_id * 40503 + 12345) % 180000001) - 90000000 AS lat_e6,
+       ((vec_id * 2654435761 + 777) % 360000001) - 180000000 AS lon_e6,
+       CAST(1 + vec_id % 8 AS INT) AS orientation
+FROM embeddings
+"""
+
+
 # pagerank_cells: PageRank (damping 0.85, 2 unrolled iterations) over
 # the occupied-cell 8-neighbor adjacency graph — the iterative-join
 # workload class (graph centrality over a spatial graph; same surface
@@ -882,6 +936,14 @@ def register_raster() -> None:
             "core/border/noise verdicts; adjacency is a broadcast "
             "stencil equi-join over the DISTINCT dense-cell surface, "
             "never a distance cross join"))
+    _reg("exif_gps", Q(
+        tables=("embeddings",), fn=_exif_gps_fn,
+        duck_sql=_EXIF_ORACLE,
+        doc="image: EXIF GPS/orientation round trip — planted "
+            "micro-degree rationals through the real APP1/TIFF writer "
+            "(both byte orders) spliced into real JPEGs, back through "
+            "the bounded parser + Arrow operator, vs the pure-SQL "
+            "planted-integer oracle"))
     _shared("colocation_pairs", ("events",), _CO_SQL,
             doc="geo: co-dwell (co-travel) detection — user pairs "
                 "whose stay-points share a coarse cell with "

@@ -637,6 +637,20 @@ def main() -> None:
          and sod["python"] == 0),
     ])
 
+    ex = qreg.run_spark(spark, SF, "exif_gps")
+    pex = plan_of(ex)
+    sex = summarize(pex)
+    audit("exif_gps (EXIF APP1/TIFF GPS round trip)", ex, [
+        ("exactly two Arrow crossings — JPEG+EXIF synthesis and the "
+         "bounded parse — never per-row Python",
+         pex.count("MapInPandas") == 2
+         and "EvalPython" not in pex),
+        ("zero shuffles, zero joins — a pure per-partition decode "
+         "pipeline over one pruned scan", sex["exchanges"] == 0
+         and sex["bhj"] + sex["smj"] + sex["bnlj"] == 0
+         and sex["ops"].get("FileScan", 0) == 1),
+    ])
+
     co = qreg.run_spark(spark, SF, "colocation_pairs")
     pco = plan_of(co)
     sco = summarize(pco)

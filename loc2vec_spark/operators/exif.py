@@ -29,7 +29,6 @@ from __future__ import annotations
 import struct
 from typing import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, types as T
 
@@ -126,6 +125,12 @@ def _walk_to_app1(data: bytes) -> bytes | None:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
+        # ISO/IEC 10918-1 B.1.1.2: any number of 0xFF fill bytes may
+        # precede a marker — skip them (decode_jpeg does the same)
+        while data[pos + 1] == 0xFF:
+            pos += 1
+            if pos + 4 > len(data):
+                return None
         marker = data[pos + 1]
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
@@ -222,10 +227,14 @@ def _parse_exif_inner(data: bytes) -> dict:
     t = _Tiff(payload)
     ifd0 = t.ifd(t.ifd0)
     if _TAG_ORIENTATION in ifd0:
+        # tolerate the LONG-typed orientation some writers emit; any
+        # other type degrades to None rather than aborting the record
+        # (the GPS payload on the same record is still valuable)
         typ, _, val = ifd0[_TAG_ORIENTATION]
-        if typ != _SHORT:
-            raise ValueError("orientation tag has a non-SHORT type")
-        out["orientation"] = struct.unpack(t.e + "H", val[:2])[0]
+        if typ == _SHORT:
+            out["orientation"] = struct.unpack(t.e + "H", val[:2])[0]
+        elif typ == _LONG:
+            out["orientation"] = struct.unpack(t.e + "I", val[:4])[0]
     if _TAG_DATETIME in ifd0:
         _, _, val = ifd0[_TAG_DATETIME]
         out["datetime"] = val.split(b"\x00")[0].decode(

@@ -159,10 +159,10 @@ ROTATED_OUT_R5: tuple[str, ...] = (
     # zorder_locality; data-quality via profile_stats; event windows
     # via events_funnel; text quality via text_pii_scrub)
     "quadkey_assign", "dist_drift", "events_sliding", "text_repetition",
-    # corpus slots — both r4-green; corpus family keeps decontaminate/
-    # leakfree_split/dedup_spanfrac in-window
+    # corpus slots — both r4-green; corpus family keeps
+    # leakfree_split + dedup_spanfrac in-window
     "mix_sources", "doc_rarity",
-    # corpus decontamination slot — r4-green; family keeps
+    # corpus decontamination slot — r4-green; corpus family keeps
     # leakfree_split + dedup_spanfrac in-window
     "decontaminate",
     # PIP scale-path slot — r4-green; family keeps the pinned

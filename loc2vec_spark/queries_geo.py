@@ -701,25 +701,42 @@ GROUP BY ox, oy, dx, dy
 # the stay relation (nested CTE) like od_flows. 505 pairs at sf0.01.
 # ---------------------------------------------------------------------------
 
+_CO_SC_SQL = f"""SELECT user_id, first_event, last_event,
+       CAST(FLOOR(sum_px / (n_pts * {_OD_CELL}E0)) AS BIGINT) AS cx,
+       CAST(FLOOR(sum_py / (n_pts * {_OD_CELL}E0)) AS BIGINT) AS cy
+FROM stays"""
+
+_CO_PAIR_SQL = """
+SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_codwells
+FROM (SELECT a.user_id AS user_a, b.user_id AS user_b
+      FROM {sc} a JOIN {sc} b
+        ON b.cx = a.cx AND b.cy = a.cy AND a.user_id < b.user_id
+       AND a.first_event <= b.last_event
+       AND b.first_event <= a.last_event) pr
+GROUP BY user_a, user_b
+HAVING COUNT(*) >= 2
+"""
+
+# oracle text: the whole relation inline (DuckDB materializes CTEs on
+# multiple reference, so the oracle pays no double compute either)
 _CO_SQL = f"""
 WITH stays AS (
 {_STAY_SQL.strip()}
 ),
-sc AS (SELECT user_id, first_event, last_event,
-              CAST(FLOOR(sum_px / (n_pts * {_OD_CELL}E0)) AS BIGINT)
-                  AS cx,
-              CAST(FLOOR(sum_py / (n_pts * {_OD_CELL}E0)) AS BIGINT)
-                  AS cy
-       FROM stays),
-pr AS (SELECT a.user_id AS user_a, b.user_id AS user_b
-       FROM sc a JOIN sc b
-         ON b.cx = a.cx AND b.cy = a.cy AND a.user_id < b.user_id
-        AND a.first_event <= b.last_event
-        AND b.first_event <= a.last_event)
-SELECT user_a, user_b, CAST(COUNT(*) AS BIGINT) AS n_codwells
-FROM pr GROUP BY user_a, user_b
-HAVING COUNT(*) >= 2
+sc AS ({_CO_SC_SQL})
+{_CO_PAIR_SQL.format(sc="sc").strip()}
 """
+
+
+def _colocation_fn(spark, sf_dir):
+    """Spark face: Spark INLINES a twice-referenced CTE, so the full
+    stay pipeline (scan + 3 window passes) would run once per
+    self-join side — the sc relation is cached and the pair SQL joins
+    the cached view (the dbscan cached-not-rescanned pattern)."""
+    sc = spark.sql(
+        f"WITH stays AS (\n{_STAY_SQL.strip()}\n)\n{_CO_SC_SQL}").cache()
+    sc.createOrReplaceTempView("_colo_sc")
+    return spark.sql(_CO_PAIR_SQL.format(sc="_colo_sc"))
 
 
 # ---------------------------------------------------------------------------
@@ -944,12 +961,14 @@ def register_raster() -> None:
             "(both byte orders) spliced into real JPEGs, back through "
             "the bounded parser + Arrow operator, vs the pure-SQL "
             "planted-integer oracle"))
-    _shared("colocation_pairs", ("events",), _CO_SQL,
-            doc="geo: co-dwell (co-travel) detection — user pairs "
-                "whose stay-points share a coarse cell with "
-                "overlapping event spans, cell equi-join candidates "
-                "(never user x user) + interval-overlap filter + "
-                "count threshold; composes the stay relation")
+    _reg("colocation_pairs", Q(
+        tables=("events",), fn=_colocation_fn, duck_sql=_CO_SQL,
+        doc="geo: co-dwell (co-travel) detection — user pairs whose "
+            "stay-points share a coarse cell with overlapping event "
+            "spans, cell equi-join candidates (never user x user) + "
+            "interval-overlap filter + count threshold; the Spark "
+            "face caches the stay relation so the self-join reads it "
+            "once (Spark inlines twice-referenced CTEs)"))
     _shared("od_flows", ("events",), _OD_SQL,
             doc="geo: origin-destination trip matrix — consecutive "
                 "stay-points per user become (origin, destination) "

@@ -586,7 +586,8 @@ def test_colocation_pairs_matches_pandas_replay(spark):
         .createOrReplaceTempView("events")
     from loc2vec_spark.queries import QUERIES
     stays = spark.sql(QUERIES["stay_points"].spark_sql).toPandas()
-    got = spark.sql(QUERIES["colocation_pairs"].spark_sql).toPandas()
+    from loc2vec_spark.queries_geo import _colocation_fn
+    got = _colocation_fn(spark, None).toPandas()
 
     sc = stays.assign(cx=(stays.sum_px // (stays.n_pts * 12500)),
                       cy=(stays.sum_py // (stays.n_pts * 12500)))

@@ -662,6 +662,9 @@ def main() -> None:
         ("co-dwell counting is a grouped partial+final aggregate "
          "with the HAVING threshold as a post-agg filter",
          sco["ops"].get("HashAggregate", 0) >= 2),
+        ("the stay relation is cached — BOTH self-join sides read the "
+         "cache, the 3-window stay pipeline runs once",
+         pco.count("InMemoryTableScan") >= 2),
         ("pure Catalyst (no Python crossing)", sco["python"] == 0),
     ])
 

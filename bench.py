@@ -413,6 +413,60 @@ def bench_ann_clustered(spark) -> dict:
     }
 
 
+def bench_geo_rates(spark, sf_dir: str) -> dict:
+    """Scale points for the round-5 geo/trajectory operators (grid
+    DBSCAN, DWITHIN radius join, stay-point dwell detection, co-dwell
+    pairs): per-row throughput at 1x and at a 10x replicated input in
+    the same session — the within-~2x per-row bar the flagship
+    pipelines carry. Replication models the honest 100-TB shape
+    (vec_id/user_id offsets scatter the replicas into NEW geography
+    and NEW users at the same density, not 10x rows in one cell)."""
+    out = {}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_emb, n_ev = emb.count(), ev.count()
+
+    def run_face(qname: str):
+        q = qreg.QUERIES[qname]
+        return q.fn(spark, sf_dir) if q.fn is not None \
+            else spark.sql(q.spark_sql)
+
+    def measure(tag: str, rows: dict[str, int]):
+        for qname, key in (("dbscan_cells", "dbscan"),
+                           ("dwithin_join", "dwithin"),
+                           ("stay_points", "stay"),
+                           ("colocation_pairs", "coloc")):
+            t = timed_warm(run_face(qname), reps=1)
+            base = rows["emb" if key in ("dbscan", "dwithin") else "ev"]
+            out[f"{tag}_{key}_rows_per_sec"] = round(base / t, 1)
+            spark.catalog.clearCache()  # dbscan/coloc interior caches
+
+    emb.createOrReplaceTempView("embeddings")
+    ev.createOrReplaceTempView("events")
+    measure("geo1", {"emb": n_emb, "ev": n_ev})
+
+    dp = spark.sparkContext.defaultParallelism
+    rep = spark.range(10).select(F.col("id").alias("_r"))
+    emb10 = (emb.crossJoin(F.broadcast(rep))
+             .withColumn("vec_id", F.col("vec_id") + F.col("_r") * n_emb)
+             .drop("_r").repartition(2 * dp))
+    uid_stride = 1 + (ev.agg(F.max("user_id")).first()[0] or 0)
+    ev10 = (ev.crossJoin(F.broadcast(rep))
+            .withColumn("user_id", F.col("user_id")
+                        + F.col("_r") * uid_stride)
+            .withColumn("event_id", F.col("event_id") * 10 + F.col("_r"))
+            .drop("_r").repartition(2 * dp))
+    emb10.createOrReplaceTempView("embeddings")
+    ev10.createOrReplaceTempView("events")
+    measure("geo10", {"emb": n_emb * 10, "ev": n_ev * 10})
+
+    # restore the 1x views for the sections after this one
+    emb.createOrReplaceTempView("embeddings")
+    ev.createOrReplaceTempView("events")
+    spark.catalog.clearCache()
+    return out
+
+
 def bench_scale_point(spark, n_images: int, sf_dir: str) -> dict:
     """10x scale point (r2 verdict item 6): the flagship tile + triplet
     pipelines on a 10x fixture, and MinHash-LSH dedup on a 10x
@@ -685,6 +739,7 @@ def main() -> None:
     times["triplets_fixture"] = flag["triplets_fixture_sec"]
     # kNN + LSH-dedup ride every session (campaign disclosure, r5)
     rates = bench_round_rates(spark, n_images, sf_dir)
+    geo_rates = {} if lite else bench_geo_rates(spark, sf_dir)
     ann = {} if lite else bench_ann_recall(spark, sf_dir)
     if not lite:
         ann.update(bench_ann_clustered(spark))
@@ -721,6 +776,7 @@ def main() -> None:
         "triplet_jobcap_rows": flag["triplet_jobcap_rows"],
         "triplet_jobcap_rows_per_sec": flag["triplet_jobcap_rows_per_sec"],
         **rates,
+        **geo_rates,
         **ann,
         "full_suite_sec": suite_sec,
         "full_suite_queries": len(suite_names),

@@ -171,6 +171,12 @@ ROTATED_OUT_R5: tuple[str, ...] = (
     # IVF-blocked embedding-dedup slot — r4-green; ANN family keeps
     # ann_ivf in-window
     "dedup_embedding_ivf",
+    # late-r5 second wave: four trajectory/map-match ins take these
+    # r4-green slots — events family keeps events_tumbling/sessionize
+    # (pinned); storage F12 keeps tile_assign/kring_expand (pinned);
+    # spatial-stats keeps the four new geo faces; corpus keeps
+    # dedup_spanfrac; text keeps the pinned text faces
+    "events_funnel", "zorder_locality", "morans_i", "leakfree_split",
 )
 
 ROTATED_IN_R5: tuple[str, ...] = (
@@ -186,6 +192,10 @@ ROTATED_IN_R5: tuple[str, ...] = (
     "cells_compact", "semdedup", "dbscan_cells", "geohash_assign",
     "dwithin_join", "stay_points", "od_flows", "colocation_pairs",
     "exif_gps",
+    # late-r5 second wave: trajectory cleaning/resampling/similarity +
+    # map matching (never driver-checked before)
+    "traj_spike_filter", "traj_resample", "map_match",
+    "hausdorff_pairs",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -199,11 +209,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_tumbling", "a6_cov", "a8_cosine_mean", "events_sessionize",
     "pip_exact",
     # --- round-4 rotation-ins still in the window (driver-green r4) ---
-    "events_funnel", "ann_ivf",
-    "zorder_locality",
-    "morans_i",
+    "ann_ivf",
     "profile_stats", "text_pii_scrub",
-    "leakfree_split",
     "dedup_spanfrac",
     # --- round-5 rotation-ins ---
     *ROTATED_IN_R5,

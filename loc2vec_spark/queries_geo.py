@@ -884,6 +884,242 @@ def _moran_fn(spark, sf_dir):
                      .replace("FROM g", "FROM _moran_g"))
 
 
+# ---------------------------------------------------------------------------
+# traj_spike_filter: GPS outlier (spike) removal — the standard lone-
+# outlier rule over the derived trajectory: a point is a spike iff it is
+# far from BOTH ordered neighbors while those neighbors are close to
+# EACH OTHER (the track jumps out and returns in one sample). Spikes are
+# PLANTED deterministically (every event_id % 17/23
+# point is displaced 40000 units on one axis) so the detector has real
+# work; a genuine dwell-block transition is NOT flagged (its prev/next
+# are far apart too). All-integer window math, one sort order, no joins
+# — the cleaning front door every real GPS ingest runs before stay/OD
+# analysis. Reference anchor: the trajectory semantics of
+# loc2vec_train.py's location stream (SURVEY §2 trajectory family).
+# ---------------------------------------------------------------------------
+
+_SPIKE_TH = 100_000_000  # 10,000^2 — spike displacement is 40,000
+
+_SPIKE_SQL = f"""
+WITH ord AS (SELECT user_id, event_id,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn
+             FROM events),
+pos AS (SELECT user_id, event_id, rn,
+               ((user_id * 2654435761
+                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 40503
+                 + 17) % 100000) + (event_id * 101) % 5
+               + CASE WHEN event_id % 17 = 0 THEN 40000 ELSE 0 END AS px,
+               ((user_id * 40503
+                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 2654435761
+                 + 71) % 100000) + (event_id * 211) % 5
+               + CASE WHEN event_id % 23 = 0 THEN -40000 ELSE 0 END AS py
+        FROM ord),
+nb AS (SELECT user_id, event_id, rn, px, py,
+              LAG(px)  OVER (PARTITION BY user_id ORDER BY rn) AS pxp,
+              LAG(py)  OVER (PARTITION BY user_id ORDER BY rn) AS pyp,
+              LEAD(px) OVER (PARTITION BY user_id ORDER BY rn) AS pxn,
+              LEAD(py) OVER (PARTITION BY user_id ORDER BY rn) AS pyn
+       FROM pos),
+fl AS (SELECT user_id, px, py,
+              CASE WHEN pxp IS NOT NULL AND pxn IS NOT NULL
+                    AND (px - pxp) * (px - pxp)
+                        + (py - pyp) * (py - pyp) > {_SPIKE_TH}
+                    AND (pxn - px) * (pxn - px)
+                        + (pyn - py) * (pyn - py) > {_SPIKE_TH}
+                    AND (pxn - pxp) * (pxn - pxp)
+                        + (pyn - pyp) * (pyn - pyp) <= {_SPIKE_TH}
+                   THEN 1 ELSE 0 END AS is_spike
+       FROM nb)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pts,
+       CAST(SUM(is_spike) AS BIGINT) AS n_spikes,
+       CAST(SUM(CASE WHEN is_spike = 0 THEN px ELSE 0 END) AS BIGINT)
+           AS sum_px_clean,
+       CAST(SUM(CASE WHEN is_spike = 0 THEN py ELSE 0 END) AS BIGINT)
+           AS sum_py_clean
+FROM fl GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# traj_resample: fixed-time-grid linear interpolation of the trajectory
+# (the uniform-resample stage between cleaning and stay/OD analysis).
+# Each consecutive-point segment EMITS the 6h grid ticks it covers via a
+# select-list series expansion (Spark EXPLODE(SEQUENCE), DuckDB
+# UNNEST(generate_series) — the only engine-divergent tokens), so the
+# work is proportional to output ticks, never a tick x segment range
+# join. Tick timestamps are exact integer µs (BIGINT DIV/// — never
+# double division near a bucket boundary); the interpolation ratio is
+# one fixed-order double expression, identical IEEE both engines.
+# Guard note: Spark's SEQUENCE(a, b) DESCENDS when a > b, so the
+# k0 <= k1 predicate is correctness, not just pruning.
+# ---------------------------------------------------------------------------
+
+_RS_STEP = 21_600_000_000  # 6h in microseconds
+
+_RESAMPLE_TMPL = """
+WITH ord AS (SELECT user_id, event_id, ts, {epoch} AS t,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn
+             FROM events),
+pos AS (SELECT user_id, rn, t,
+               ((user_id * 2654435761
+                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 40503
+                 + 17) % 100000) + (event_id * 101) % 5 AS px,
+               ((user_id * 40503
+                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 2654435761
+                 + 71) % 100000) + (event_id * 211) % 5 AS py
+        FROM ord),
+seg AS (SELECT user_id, t, px, py,
+               LEAD(t)  OVER (PARTITION BY user_id ORDER BY rn) AS t1,
+               LEAD(px) OVER (PARTITION BY user_id ORDER BY rn) AS px1,
+               LEAD(py) OVER (PARTITION BY user_id ORDER BY rn) AS py1
+        FROM pos),
+ticks AS (SELECT user_id, t, t1, px, py, px1, py1,
+                 {series} AS k
+          FROM seg
+          WHERE t1 IS NOT NULL
+            AND t {div} {step} + 1 <= t1 {div} {step})
+SELECT user_id, k AS tick,
+       px + (px1 - px) * (CAST(k * {step} - t AS DOUBLE)
+                          / CAST(t1 - t AS DOUBLE)) AS ix,
+       py + (py1 - py) * (CAST(k * {step} - t AS DOUBLE)
+                          / CAST(t1 - t AS DOUBLE)) AS iy
+FROM ticks
+"""
+
+_RESAMPLE_SPARK = _RESAMPLE_TMPL.format(
+    epoch="unix_micros(CAST(ts AS TIMESTAMP))",
+    series=f"EXPLODE(SEQUENCE(t DIV {_RS_STEP} + 1, t1 DIV {_RS_STEP}))",
+    div="DIV", step=_RS_STEP)
+
+_RESAMPLE_DUCK = _RESAMPLE_TMPL.format(
+    epoch="epoch_us(ts)",
+    series=(f"UNNEST(generate_series(t // {_RS_STEP} + 1, "
+            f"t1 // {_RS_STEP}))"),
+    div="//", step=_RS_STEP)
+
+
+# ---------------------------------------------------------------------------
+# map_match: snap every point to its nearest road segment (the
+# map-matching primitive) — clamped-projection point-to-segment distance
+# against a small derived road table (one segment per nation row, never
+# degenerate: |dy| >= 1), nearest picked by a per-point window top-1
+# with a seg_id tiebreak. The segment side rides a broadcast (25 rows),
+# so the plan is scan + broadcast nested-loop + WindowGroupLimit — the
+# honest shape for a SMALL road set; a continent-scale road network
+# would cell-block the candidate pairs first, exactly the dwithin_join /
+# pip_cellcover stencil this repo already ships (see those faces for
+# the blocked sibling). One fixed-order double expression tree, IEEE-
+# identical both engines.
+# ---------------------------------------------------------------------------
+
+_MM_SQL = f"""
+WITH {PTS},
+segs AS (SELECT n_nationkey AS seg_id,
+                {_BLON} AS ax, {_BLAT} AS ay,
+                {_BLON} + CAST((n_nationkey % 5) - 2 AS DOUBLE) AS bx,
+                {_BLAT} + CAST(1 + (n_nationkey % 3) AS DOUBLE) AS by
+         FROM nation),
+tp AS (SELECT p.vec_id, s.seg_id, p.lon AS px, p.lat AS py,
+              s.ax, s.ay, s.bx, s.by,
+              LEAST(GREATEST(
+                ((p.lon - s.ax) * (s.bx - s.ax)
+                 + (p.lat - s.ay) * (s.by - s.ay))
+                / ((s.bx - s.ax) * (s.bx - s.ax)
+                   + (s.by - s.ay) * (s.by - s.ay)), 0.0E0), 1.0E0) AS tt
+       FROM pts p CROSS JOIN segs s),
+pr AS (SELECT vec_id, seg_id, tt,
+              px - (ax + tt * (bx - ax)) AS dx,
+              py - (ay + tt * (by - ay)) AS dy
+       FROM tp),
+d AS (SELECT vec_id, seg_id, tt, dx * dx + dy * dy AS d2 FROM pr),
+r AS (SELECT vec_id, seg_id, tt, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY d2, seg_id) AS rk
+      FROM d)
+SELECT vec_id, seg_id, tt AS seg_t, d2 AS snap_d2
+FROM r WHERE rk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# hausdorff_pairs: trajectory-similarity join — symmetric Hausdorff
+# distance (squared, exact int64) between users' stay-point centroid
+# sequences, thresholded. Candidates ride a shared-coarse-cell equi-join
+# over the DISTINCT (user, cell) surface — never user x user — then the
+# directed distances are two grouped min/max aggregates over the
+# candidate-pair point products (per-pair point counts are stay counts,
+# orders below raw events). Centroids are exact integer floor-division
+# ((s - s % n) / n is exact in double because the numerator is
+# divisible), so the whole relation is integer-deterministic.
+# ---------------------------------------------------------------------------
+
+_HD_GRID = 12500          # same 8x8 coarse plane as od_flows
+_HD_TH = 400_000_000      # 20,000^2
+
+_HD_CEN = f"""SELECT user_id, first_event,
+       CAST((sum_px - sum_px % n_pts) / n_pts AS BIGINT) AS cx,
+       CAST((sum_py - sum_py % n_pts) / n_pts AS BIGINT) AS cy
+FROM stays"""
+
+_HD_BODY = f"""
+uc AS (SELECT DISTINCT user_id,
+              CAST((cx - cx % {_HD_GRID}) / {_HD_GRID} AS BIGINT) AS gx,
+              CAST((cy - cy % {_HD_GRID}) / {_HD_GRID} AS BIGINT) AS gy
+       FROM {{cen}}),
+cand AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+         FROM uc a JOIN uc b ON b.gx = a.gx AND b.gy = a.gy
+                            AND a.user_id < b.user_id),
+ab AS (SELECT c.ua, c.ub, p.first_event AS pid,
+              MIN((p.cx - q.cx) * (p.cx - q.cx)
+                  + (p.cy - q.cy) * (p.cy - q.cy)) AS mind2
+       FROM cand c
+       JOIN {{cen}} p ON p.user_id = c.ua
+       JOIN {{cen}} q ON q.user_id = c.ub
+       GROUP BY c.ua, c.ub, p.first_event),
+ba AS (SELECT c.ua, c.ub, q.first_event AS pid,
+              MIN((p.cx - q.cx) * (p.cx - q.cx)
+                  + (p.cy - q.cy) * (p.cy - q.cy)) AS mind2
+       FROM cand c
+       JOIN {{cen}} p ON p.user_id = c.ua
+       JOIN {{cen}} q ON q.user_id = c.ub
+       GROUP BY c.ua, c.ub, q.first_event),
+hab AS (SELECT ua, ub, MAX(mind2) AS h_ab FROM ab GROUP BY ua, ub),
+hba AS (SELECT ua, ub, MAX(mind2) AS h_ba FROM ba GROUP BY ua, ub)
+SELECT hab.ua AS user_a, hab.ub AS user_b,
+       GREATEST(hab.h_ab, hba.h_ba) AS hausdorff_d2
+FROM hab JOIN hba ON hba.ua = hab.ua AND hba.ub = hab.ub
+WHERE GREATEST(hab.h_ab, hba.h_ba) <= {_HD_TH}
+"""
+
+_HD_ORACLE = f"""
+WITH stays AS (
+{_STAY_SQL.strip()}
+),
+cen AS ({_HD_CEN}),
+{_HD_BODY.strip().format(cen="cen")}
+"""
+
+
+def _hausdorff_fn(spark, sf_dir):
+    """Spark face: the centroid relation is referenced FIVE times (uc,
+    p and q in both directed passes) and Spark inlines multi-reference
+    CTEs, so the stay pipeline would recompute per reference.
+    localCheckpoint, not cache(): Spark 4's cache manager declines to
+    substitute this windowed-aggregate subtree under the added gx/gy
+    projections (verified — the plan kept recomputing the 3-window stay
+    pipeline per reference), while the checkpoint physically
+    materializes the tiny centroid relation once (the morans_i /
+    pagerank_cells pattern)."""
+    cen = spark.sql(
+        f"WITH stays AS (\n{_STAY_SQL.strip()}\n)\n{_HD_CEN}") \
+        .localCheckpoint()
+    cen.createOrReplaceTempView("_hd_cen")
+    return spark.sql("WITH " + _HD_BODY.strip().format(cen="_hd_cen"))
+
+
 def register_raster() -> None:
     """Deferred: called from queries.py AFTER the contract suites so the
     two rows-only queries (weakest check form — no SQL oracle) register
@@ -944,6 +1180,32 @@ def register_raster() -> None:
                 "anti-join per level over the DISTINCT cell surface; "
                 "operator faces cells.compact_cells / "
                 "operators/geo.compact_cells_df (parity in test_geo)")
+    _shared("traj_spike_filter", ("events",), _SPIKE_SQL,
+            doc="geo: GPS spike (lone-outlier) removal — planted "
+                "40000-unit displacements detected by the far-from-"
+                "both-neighbors / neighbors-close rule; per-user kept-"
+                "point checksums certify the cleaned relation; all-"
+                "integer, one window sort, no joins")
+    _reg("traj_resample", Q(
+        tables=("events",), spark_sql=_RESAMPLE_SPARK,
+        duck_sql=_RESAMPLE_DUCK,
+        doc="geo: fixed 6h-grid linear resampling of the trajectory — "
+            "each segment emits its covered ticks via select-list "
+            "series expansion (work proportional to output, no range "
+            "join); exact-integer tick math, one fixed-order double "
+            "interpolation expression"))
+    _shared("map_match", ("embeddings", "nation"), _MM_SQL,
+            doc="geo: map matching — snap each point to the nearest "
+                "derived road segment by clamped-projection point-to-"
+                "segment distance, broadcast segment side + per-point "
+                "window top-1 (seg_id tiebreak); cell-blocked sibling "
+                "for continent-scale road sets = dwithin_join stencil")
+    _reg("hausdorff_pairs", Q(
+        tables=("events",), fn=_hausdorff_fn, duck_sql=_HD_ORACLE,
+        doc="geo: trajectory-similarity join — symmetric squared "
+            "Hausdorff between stay-centroid sequences, shared-cell "
+            "equi-join candidates (never user x user), exact int64; "
+            "Spark face caches the 5x-referenced centroid relation"))
     _reg("dbscan_cells", Q(
         tables=("embeddings",), fn=_dbscan_fn,
         duck_sql=_DB_ORACLE.format(pts=PTS, offs=OFFS),

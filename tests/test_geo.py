@@ -607,3 +607,205 @@ def test_colocation_pairs_matches_pandas_replay(spark):
     assert (got2.n_codwells.to_numpy() == exp2.n_codwells.to_numpy()).all()
     assert (got2.user_a < got2.user_b).all()
     assert (got2.n_codwells >= 2).all()
+
+
+# ---------------------------------------------------------------------------
+# late-r5 second wave: traj_spike_filter / traj_resample / map_match /
+# hausdorff_pairs
+# ---------------------------------------------------------------------------
+
+def test_traj_spike_filter_matches_python_replay(spark):
+    """The lone-outlier spike rule agrees with an independent python
+    replay on a planted 3-user event set, and at least one planted
+    displacement is actually detected."""
+    import datetime as dt
+
+    import pandas as pd
+    base = dt.datetime(2024, 1, 1)
+    rows = [(u * 100 + i, u, base + dt.timedelta(seconds=60 * i + u))
+            for u in range(3) for i in range(40)]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp") \
+        .createOrReplaceTempView("events")
+    from loc2vec_spark.queries import QUERIES
+    got = spark.sql(QUERIES["traj_spike_filter"].spark_sql).toPandas() \
+               .sort_values("user_id").reset_index(drop=True)
+
+    TH = 100_000_000
+
+    def d2(a, b):
+        return (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+
+    expect = []
+    for u in range(3):
+        evs = sorted(e for e, uu, _ in rows if uu == u)
+        pts = []
+        for rn, e in enumerate(evs, start=1):
+            blk = (rn - 1) // 10
+            px = (u * 2654435761 + blk * 40503 + 17) % 100000 \
+                + (e * 101) % 5
+            py = (u * 40503 + blk * 2654435761 + 71) % 100000 \
+                + (e * 211) % 5
+            if e % 17 == 0:
+                px += 40000
+            if e % 23 == 0:
+                py -= 40000
+            pts.append((px, py))
+        spikes = [0] * len(pts)
+        for i in range(1, len(pts) - 1):
+            if (d2(pts[i], pts[i - 1]) > TH
+                    and d2(pts[i + 1], pts[i]) > TH
+                    and d2(pts[i + 1], pts[i - 1]) <= TH):
+                spikes[i] = 1
+        expect.append((u, len(pts), sum(spikes),
+                       sum(p[0] for p, s in zip(pts, spikes) if not s),
+                       sum(p[1] for p, s in zip(pts, spikes) if not s)))
+    exp = pd.DataFrame(expect, columns=list(got.columns))
+    assert exp.n_spikes.sum() > 0           # planted spikes detected
+    assert (exp.n_spikes < exp.n_pts).all()  # never everything
+    pd.testing.assert_frame_equal(got.astype("int64"),
+                                  exp.astype("int64"))
+
+
+def test_traj_resample_matches_python_replay(spark):
+    """6h-grid resampling: ticks are exactly the grid points strictly
+    inside each segment's (t, t1] span, and the interpolated positions
+    match the replayed fixed-order double expression."""
+    import datetime as dt
+
+    import numpy as np
+    base = dt.datetime(2024, 1, 1)
+    # 4h sampling over 48h -> segments straddle 6h ticks irregularly
+    rows = [(u * 50 + i, u, base + dt.timedelta(hours=4 * i,
+                                                seconds=u * 7 + i))
+            for u in range(2) for i in range(13)]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp") \
+        .createOrReplaceTempView("events")
+    from loc2vec_spark.queries import QUERIES
+    got = spark.sql(QUERIES["traj_resample"].spark_sql).toPandas() \
+               .sort_values(["user_id", "tick"]).reset_index(drop=True)
+
+    STEP = 21_600_000_000
+    EPOCH = dt.datetime(1970, 1, 1)
+    expect = []
+    for u in range(2):
+        evs = sorted((ts, e) for e, uu, ts in rows if uu == u)
+        pts = []
+        for rn, (ts, e) in enumerate(evs, start=1):
+            blk = (rn - 1) // 10
+            px = (u * 2654435761 + blk * 40503 + 17) % 100000 \
+                + (e * 101) % 5
+            py = (u * 40503 + blk * 2654435761 + 71) % 100000 \
+                + (e * 211) % 5
+            # exact integer micros (never float total_seconds)
+            t = ((ts - EPOCH).days * 86_400_000_000
+                 + (ts - EPOCH).seconds * 1_000_000
+                 + (ts - EPOCH).microseconds)
+            pts.append((t, px, py))
+        for (t, px, py), (t1, px1, py1) in zip(pts, pts[1:]):
+            for k in range(t // STEP + 1, t1 // STEP + 1):
+                r = float(k * STEP - t) / float(t1 - t)
+                expect.append((u, k, px + (px1 - px) * r,
+                               py + (py1 - py) * r))
+    exp = sorted(expect)
+    assert len(exp) > 10
+    assert len(got) == len(exp)
+    assert (got.user_id.to_numpy()
+            == np.array([e[0] for e in exp])).all()
+    assert (got.tick.to_numpy() == np.array([e[1] for e in exp])).all()
+    assert np.allclose(got.ix.to_numpy(),
+                       np.array([e[2] for e in exp]), rtol=1e-12)
+    assert np.allclose(got.iy.to_numpy(),
+                       np.array([e[3] for e in exp]), rtol=1e-12)
+
+
+def test_map_match_matches_numpy_replay(spark):
+    """Snap-to-segment agrees with a numpy clamped-projection replay
+    (argmin with seg_id tiebreak) over the same derived points/segments,
+    and every point is matched exactly once."""
+    import numpy as np
+    spark.createDataFrame([(k,) for k in range(8)],
+                          "n_nationkey long") \
+        .createOrReplaceTempView("nation")
+    spark.createDataFrame([(v, [0.0]) for v in range(200)],
+                          "vec_id long, embedding array<double>") \
+        .createOrReplaceTempView("embeddings")
+    from loc2vec_spark.queries import PTS, QUERIES
+    from loc2vec_spark.queries_geo import _BLAT, _BLON
+    got = spark.sql(QUERIES["map_match"].spark_sql).toPandas() \
+               .sort_values("vec_id").reset_index(drop=True)
+    pts = spark.sql(f"WITH {PTS} SELECT vec_id, lat, lon FROM pts") \
+               .toPandas().sort_values("vec_id")
+    segs = spark.sql(f"""
+        SELECT n_nationkey AS seg_id, {_BLON} AS ax, {_BLAT} AS ay,
+               {_BLON} + CAST((n_nationkey % 5) - 2 AS DOUBLE) AS bx,
+               {_BLAT} + CAST(1 + (n_nationkey % 3) AS DOUBLE) AS by
+        FROM nation""").toPandas().sort_values("seg_id")
+
+    px = pts.lon.to_numpy()[:, None]
+    py = pts.lat.to_numpy()[:, None]
+    ax, ay = segs.ax.to_numpy()[None], segs.ay.to_numpy()[None]
+    bx, by = segs.bx.to_numpy()[None], segs.by.to_numpy()[None]
+    t = np.clip(((px - ax) * (bx - ax) + (py - ay) * (by - ay))
+                / ((bx - ax) ** 2 + (by - ay) ** 2), 0.0, 1.0)
+    d2 = (px - (ax + t * (bx - ax))) ** 2 + (py - (ay + t * (by - ay))) ** 2
+    best = np.argmin(d2, axis=1)           # first min = lowest seg_id
+    assert len(got) == len(pts)            # one match per point
+    assert (got.vec_id.to_numpy() == pts.vec_id.to_numpy()).all()
+    assert (got.seg_id.to_numpy()
+            == segs.seg_id.to_numpy()[best]).all()
+    assert np.allclose(got.snap_d2.to_numpy(),
+                       d2[np.arange(len(pts)), best], rtol=1e-12)
+    assert np.allclose(got.seg_t.to_numpy(),
+                       t[np.arange(len(pts)), best], rtol=1e-12)
+    assert got.seg_t.between(0.0, 1.0).all()
+
+
+def test_hausdorff_pairs_matches_python_replay(spark):
+    """Symmetric squared Hausdorff over stay centroids agrees with an
+    independent python replay (shared-cell candidates, directed
+    max-min both ways, threshold), exact int64."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i * 60 + u, u, base + dt.timedelta(seconds=60 * i + u))
+            for u in range(40) for i in range(300)]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp") \
+        .createOrReplaceTempView("events")
+    from loc2vec_spark.queries import QUERIES
+    stays = spark.sql(QUERIES["stay_points"].spark_sql).toPandas()
+    from loc2vec_spark.queries_geo import _hausdorff_fn
+    got = _hausdorff_fn(spark, None).toPandas() \
+        .sort_values(["user_a", "user_b"]).reset_index(drop=True)
+
+    cen: dict[int, list[tuple[int, int]]] = {}
+    cells_of: dict[int, set[tuple[int, int]]] = {}
+    for r in stays.itertuples():
+        cx = int(r.sum_px) // int(r.n_pts)
+        cy = int(r.sum_py) // int(r.n_pts)
+        cen.setdefault(int(r.user_id), []).append((cx, cy))
+        cells_of.setdefault(int(r.user_id), set()) \
+                .add((cx // 12500, cy // 12500))
+    users = sorted(cen)
+    exp = []
+    for i, ua in enumerate(users):
+        for ub in users[i + 1:]:
+            if not (cells_of[ua] & cells_of[ub]):
+                continue
+            h = 0
+            for side_a, side_b in ((cen[ua], cen[ub]),
+                                   (cen[ub], cen[ua])):
+                for p in side_a:
+                    m = min((p[0] - q[0]) ** 2 + (p[1] - q[1]) ** 2
+                            for q in side_b)
+                    h = max(h, m)
+            if h <= 400_000_000:
+                exp.append((ua, ub, h))
+    exp.sort()
+    assert len(exp) > 0
+    assert len(got) == len(exp)
+    for col, idx in (("user_a", 0), ("user_b", 1), ("hausdorff_d2", 2)):
+        assert (got[col].to_numpy()
+                == [e[idx] for e in exp]).all(), col
+    assert (got.user_a < got.user_b).all()

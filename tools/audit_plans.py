@@ -696,6 +696,68 @@ def main() -> None:
          "expressions (no Python crossing)", sgh["python"] == 0),
     ])
 
+    sp = qreg.run_spark(spark, SF, "traj_spike_filter")
+    psp = plan_of(sp)
+    ssp = summarize(psp)
+    audit("traj_spike_filter (GPS lone-outlier removal)", sp, [
+        ("window-only pipeline: zero joins of any kind",
+         ssp["bhj"] + ssp["smj"] + ssp["bnlj"] == 0
+         and "CartesianProduct" not in psp),
+        ("one scan, one user_id shuffle reused by every window pass + "
+         "the final aggregate (Catalyst reuses the sort order)",
+         ssp["ops"].get("FileScan", 0) == 1 and ssp["exchanges"] <= 2),
+        ("the spike predicate is whole-stage codegen (no Python)",
+         ssp["python"] == 0),
+    ])
+
+    rs = qreg.run_spark(spark, SF, "traj_resample")
+    prs = plan_of(rs)
+    srs = summarize(prs)
+    audit("traj_resample (fixed-grid interpolation)", rs, [
+        ("tick expansion is a Generate (explode) node — work is "
+         "proportional to emitted ticks, never a tick x segment range "
+         "join", srs["ops"].get("Generate", 0) >= 1
+         and ssp["bhj"] + srs["smj"] + srs["bnlj"] == 0),
+        ("no cartesian, no Python crossing",
+         "CartesianProduct" not in prs and srs["python"] == 0),
+        ("single scan of the events input",
+         srs["ops"].get("FileScan", 0) == 1),
+    ])
+
+    mm = qreg.run_spark(spark, SF, "map_match")
+    pmm = plan_of(mm)
+    smm = summarize(pmm)
+    audit("map_match (snap to nearest road segment)", mm, [
+        ("the tiny segment side rides a broadcast — the only "
+         "nested-loop is points x 25 broadcast segments (the honest "
+         "plan for a small road set; continent-scale road networks "
+         "take the dwithin_join stencil instead)",
+         smm["bnlj"] == 1 and "BroadcastExchange" in pmm),
+        ("nearest pick is a map-side-pruned window top-1 "
+         "(WindowGroupLimit)", smm["wgl"] >= 1),
+        ("projection/clamp/distance tree is whole-stage codegen "
+         "(no Python)", smm["python"] == 0),
+    ])
+
+    hd = qreg.run_spark(spark, SF, "hausdorff_pairs")
+    phd = plan_of(hd)
+    shd = summarize(phd)
+    audit("hausdorff_pairs (trajectory-similarity join)", hd, [
+        ("candidate pairs ride the shared-cell equi-join over the "
+         "DISTINCT (user, cell) surface — never user x user, no "
+         "cartesian", shd["bhj"] + shd["smj"] >= 1
+         and "CartesianProduct" not in phd and shd["bnlj"] == 0),
+        ("the stay-centroid relation is checkpoint-materialized — all "
+         "five references (uc + both directed passes) scan the stored "
+         "rows, the 3-window stay pipeline runs once",
+         phd.count("Scan ExistingRDD") >= 5
+         and "Window" not in phd),
+        ("directed max-min distances are grouped partial+final "
+         "aggregates, pure Catalyst",
+         shd["ops"].get("HashAggregate", 0) >= 2
+         and shd["python"] == 0),
+    ])
+
     hdr = ("# PLANS.md — physical-plan audit (generated by "
            "tools/audit_plans.py)\n\n"
            "Every section asserts the plan properties the engine promises "

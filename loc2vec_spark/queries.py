@@ -177,6 +177,9 @@ ROTATED_OUT_R5: tuple[str, ...] = (
     # spatial-stats keeps the four new geo faces; corpus keeps
     # dedup_spanfrac; text keeps the pinned text faces
     "events_funnel", "zorder_locality", "morans_i", "leakfree_split",
+    # image_quality's slot — r4-green; text family keeps dedup_spanfrac
+    # in-window (pii_scrub stays mirror-checked every round)
+    "text_pii_scrub",
 )
 
 ROTATED_IN_R5: tuple[str, ...] = (
@@ -196,6 +199,8 @@ ROTATED_IN_R5: tuple[str, ...] = (
     # map matching (never driver-checked before)
     "traj_spike_filter", "traj_resample", "map_match",
     "hausdorff_pairs",
+    # image-quality gates on real encoded PNGs vs closed-form oracle
+    "image_quality",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -210,7 +215,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pip_exact",
     # --- round-4 rotation-ins still in the window (driver-green r4) ---
     "ann_ivf",
-    "profile_stats", "text_pii_scrub",
+    "profile_stats",
     "dedup_spanfrac",
     # --- round-5 rotation-ins ---
     *ROTATED_IN_R5,

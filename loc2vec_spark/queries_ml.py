@@ -408,6 +408,68 @@ HAVING COUNT(*) >= 6
 """
 
 
+# ===========================================================================
+# image_quality — the quality-gate kernel on REAL encoded PNGs vs a
+# closed-form oracle (the exif_gps/warc_records pattern applied to the
+# image-quality front door)
+# ===========================================================================
+# Planted two-value vertical-stripe patterns make every quality signal
+# closed-form: v(r, c) = base + (c % 2) * delta on a 16x16 grayscale
+# grid gives luma mean = base + delta/2 (exact: the sum divides by a
+# power of two), std = delta/2 (exact square root), 256-bin entropy =
+# exactly 1 bit, Sobel energy = 0 (left/right taps share column parity,
+# rows are constant), and Laplacian variance = 4*delta^2 (interior
+# values are +-2*delta, balanced). The face encodes REAL PNGs and runs
+# the REAL decode + quality kernel (operators/images.quality_signals),
+# so a hash match certifies encoder -> decoder -> kernel -> Arrow
+# plumbing end-to-end; the oracle recomputes the closed forms from
+# vec_id in pure SQL with the same fixed-order double expressions and
+# the same 6dp rounding (no exact-half cases exist: k*10^6/255 is never
+# a half-integer because 2*10^6*k is even while 255 is odd).
+
+_IMGQ_ORACLE = """
+SELECT vec_id, TRUE AS ok,
+       CAST(4 * d * d AS DOUBLE) AS sharpness,
+       0.0E0 AS edge_energy,
+       ROUND(CAST(d AS DOUBLE) / 2.0E0 / 255.0E0, 6) AS contrast,
+       ROUND((CAST(b AS DOUBLE) + CAST(d AS DOUBLE) / 2.0E0)
+             / 255.0E0, 6) AS brightness,
+       1.0E0 AS entropy
+FROM (SELECT vec_id, 40 + (vec_id * 7) % 120 AS b,
+             2 + 2 * ((vec_id * 11) % 40) AS d
+      FROM embeddings) p
+"""
+
+
+def _image_quality_fn(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .operators.images import image_quality
+
+    def gen(batches):
+        import numpy as np
+
+        from .png_codec import encode_png
+        for pdf in batches:
+            rows = []
+            for v in pdf["vec_id"]:
+                v = int(v)
+                base = 40 + (v * 7) % 120
+                delta = 2 + 2 * ((v * 11) % 40)
+                arr = np.full((16, 16), base, np.uint8)
+                arr[:, 1::2] = base + delta
+                rows.append((str(v), encode_png(arr)))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    imgs = (spark.table("embeddings").select("vec_id")
+            .mapInPandas(gen, "image_id string, bytes binary"))
+    out = image_quality(imgs)
+    return out.select(
+        F.col("image_id").cast("bigint").alias("vec_id"), "ok",
+        "sharpness", "edge_energy", "contrast", "brightness", "entropy")
+
+
 def register_ml_extras() -> None:
     # idempotent (register_ann_ivf pattern): under the queries-first
     # path the bottom completion hook fires while _register_extras is
@@ -468,6 +530,13 @@ def register_ml_extras() -> None:
             "planted SECDED-coded frame patterns make the oracle's "
             "group prediction exact by construction (min distance 4 "
             "per 16-bit field => cross-group hamming >= 14)"))
+    _reg("image_quality", Q(
+        tables=("embeddings",), fn=_image_quality_fn,
+        duck_sql=_IMGQ_ORACLE,
+        doc="image: quality gates (Laplacian sharpness, Sobel energy, "
+            "contrast/brightness, histogram entropy) on REAL encoded "
+            "PNGs of planted stripe patterns vs the closed-form SQL "
+            "oracle — certifies encoder+decoder+kernel end-to-end"))
     _reg("dedup_audio", Q(
         tables=("embeddings",), fn=_dedup_audio_fn,
         duck_sql=_DEDUP_AUDIO_ORACLE,

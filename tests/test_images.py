@@ -196,3 +196,25 @@ def test_augment_pixel_goldens_and_determinism(spark, images):
     # (a source id containing '#' must still rejoin correctly)
     assert all(r.image_id == f"{r.base_id}#aug{i}"
                for r in two for i in [int(r.image_id[-1])])
+
+
+def test_image_quality_face_matches_closed_forms(spark):
+    """The image_quality driver face: planted stripe PNGs through the
+    real encoder+decoder+kernel reproduce the closed-form signals the
+    SQL oracle computes (sharpness 4d^2, zero Sobel, exact-half
+    contrast/brightness, exactly 1 bit of entropy)."""
+    spark.createDataFrame([(v, [0.0]) for v in range(64)],
+                          "vec_id long, embedding array<double>") \
+        .createOrReplaceTempView("embeddings")
+    from loc2vec_spark.queries_ml import _image_quality_fn
+    got = _image_quality_fn(spark, None).toPandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == 64 and got.ok.all()
+    for r in got.itertuples():
+        b = 40 + (r.vec_id * 7) % 120
+        d = 2 + 2 * ((r.vec_id * 11) % 40)
+        assert r.sharpness == 4 * d * d
+        assert r.edge_energy == 0.0
+        assert r.contrast == round((d / 2) / 255, 6)
+        assert r.brightness == round((b + d / 2) / 255, 6)
+        assert r.entropy == 1.0

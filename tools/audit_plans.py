@@ -758,6 +758,20 @@ def main() -> None:
          and shd["python"] == 0),
     ])
 
+    iq = qreg.run_spark(spark, SF, "image_quality")
+    piq = plan_of(iq)
+    siq = summarize(piq)
+    audit("image_quality (PNG quality gates)", iq, [
+        ("exactly two Arrow crossings — PNG synthesis and the decode+"
+         "kernel pass — never per-row Python",
+         piq.count("MapInPandas") == 2 and "EvalPython" not in piq),
+        ("zero shuffles, zero joins — a pure per-partition decode "
+         "pipeline over one pruned scan",
+         siq["exchanges"] == 0
+         and siq["bhj"] + siq["smj"] + siq["bnlj"] == 0
+         and siq["ops"].get("FileScan", 0) == 1),
+    ])
+
     hdr = ("# PLANS.md — physical-plan audit (generated by "
            "tools/audit_plans.py)\n\n"
            "Every section asserts the plan properties the engine promises "

@@ -416,11 +416,31 @@ def bench_ann_clustered(spark) -> dict:
 def bench_geo_rates(spark, sf_dir: str) -> dict:
     """Scale points for the round-5 geo/trajectory operators (grid
     DBSCAN, DWITHIN radius join, stay-point dwell detection, co-dwell
-    pairs): per-row throughput at 1x and at a 10x replicated input in
-    the same session — the within-~2x per-row bar the flagship
-    pipelines carry. Replication models the honest 100-TB shape
-    (vec_id/user_id offsets scatter the replicas into NEW geography
-    and NEW users at the same density, not 10x rows in one cell)."""
+    pairs, spike filter, grid resample, map matching, Hausdorff
+    similarity) at 1x and at a replicated input in the same session.
+
+    Replication offsets vec_id/user_id, which re-hashes every replica
+    to NEW positions and NEW users — but on the SAME bounded position
+    plane, so the replicated point is a DENSITY STRESS (Nx rows in the
+    same geography — the analog of the flagship's "10x rows in the
+    SAME 3 disks" row), NOT the constant-density growth model. Two
+    metric families follow:
+
+    - constant-work-per-row faces (dbscan, stay, spike, resample,
+      mapmatch): rows/sec must hold within ~2x per-row at 10x — and
+      the bounded plane is the HARD direction for them (denser cells,
+      never emptier ones).
+    - pair-forming faces (dwithin, coloc, hausdorff): output-pair
+      volume necessarily grows ~density^2 (measured: dwithin 12,425
+      -> 1,219,227 pairs at 10x; hausdorff candidates 439k -> 43.9M),
+      so rows/sec under stress measures workload growth, not the
+      engine. These faces also report pairs/sec — output pairs per
+      timed second, the workload-normalized rate that must hold.
+      hausdorff's stress point runs at 3x replication (~9x candidate
+      volume): its 10x point is ~44M grouped-min candidates = ~700
+      timed seconds, out of the per-session bench budget (measured
+      per-candidate throughput stays flat, 137k/s at 1x vs 127k/s at
+      10x, in the one-off probe that set this policy)."""
     out = {}
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -431,42 +451,70 @@ def bench_geo_rates(spark, sf_dir: str) -> dict:
         return q.fn(spark, sf_dir) if q.fn is not None \
             else spark.sql(q.spark_sql)
 
-    def measure(tag: str, rows: dict[str, int]):
-        for qname, key in (("dbscan_cells", "dbscan"),
-                           ("dwithin_join", "dwithin"),
-                           ("stay_points", "stay"),
-                           ("colocation_pairs", "coloc")):
-            t = timed_warm(run_face(qname), reps=1)
-            base = rows["emb" if key in ("dbscan", "dwithin") else "ev"]
-            out[f"{tag}_{key}_rows_per_sec"] = round(base / t, 1)
+    _OPS = (("dbscan_cells", "dbscan", "emb"),
+            ("dwithin_join", "dwithin", "emb"),
+            ("stay_points", "stay", "ev"),
+            ("colocation_pairs", "coloc", "ev"),
+            ("traj_spike_filter", "spike", "ev"),
+            ("traj_resample", "resample", "ev"),
+            ("map_match", "mapmatch", "emb"),
+            ("hausdorff_pairs", "hausdorff", "ev"))
+    _PAIR_OPS = {"dwithin", "coloc", "hausdorff"}
+
+    def measure(tag: str, rows: dict[str, int], skip=()):
+        for qname, key, base_key in _OPS:
+            if key in skip:
+                continue
+            if key == "hausdorff" and tag != "geo1":
+                t = timed_once(run_face(qname))  # stress run is minutes
+            else:
+                t = timed_warm(run_face(qname), reps=1)
+            out[f"{tag}_{key}_rows_per_sec"] = round(rows[base_key] / t, 1)
+            if key in _PAIR_OPS:
+                # workload-normalized rate: output pairs per timed
+                # second (the count re-executes, untimed)
+                n_out = run_face(qname).count()
+                out[f"{tag}_{key}_pairs_per_sec"] = round(n_out / t, 1)
             spark.catalog.clearCache()  # dbscan/coloc interior caches
 
     emb.createOrReplaceTempView("embeddings")
     ev.createOrReplaceTempView("events")
+    # map_match's road-segment side (25 rows, broadcast; constant
+    # across the 1x/10x points — the road network doesn't grow with
+    # the point table)
+    spark.read.parquet(f"{sf_dir}/nation.parquet") \
+        .createOrReplaceTempView("nation")
     measure("geo1", {"emb": n_emb, "ev": n_ev})
 
     dp = spark.sparkContext.defaultParallelism
-    rep = spark.range(10).select(F.col("id").alias("_r"))
-    emb10 = (emb.crossJoin(F.broadcast(rep))
-             .withColumn("vec_id", F.col("vec_id") + F.col("_r") * n_emb)
-             .drop("_r").repartition(2 * dp))
     uid_stride = 1 + (ev.agg(F.max("user_id")).first()[0] or 0)
-    ev10 = (ev.crossJoin(F.broadcast(rep))
-            .withColumn("user_id", F.col("user_id")
-                        + F.col("_r") * uid_stride)
-            .withColumn("event_id", F.col("event_id") * 10 + F.col("_r"))
-            .drop("_r").repartition(2 * dp))
-    emb10.createOrReplaceTempView("embeddings")
-    ev10.createOrReplaceTempView("events")
-    measure("geo10", {"emb": n_emb * 10, "ev": n_ev * 10})
+
+    def replicate(n: int):
+        rep = spark.range(n).select(F.col("id").alias("_r"))
+        e10 = (emb.crossJoin(F.broadcast(rep))
+               .withColumn("vec_id", F.col("vec_id") + F.col("_r") * n_emb)
+               .drop("_r").repartition(2 * dp))
+        v10 = (ev.crossJoin(F.broadcast(rep))
+               .withColumn("user_id", F.col("user_id")
+                           + F.col("_r") * uid_stride)
+               .withColumn("event_id",
+                           F.col("event_id") * n + F.col("_r"))
+               .drop("_r").repartition(2 * dp))
+        e10.createOrReplaceTempView("embeddings")
+        v10.createOrReplaceTempView("events")
+
+    replicate(10)
+    measure("geo10", {"emb": n_emb * 10, "ev": n_ev * 10},
+            skip=("hausdorff",))
+    replicate(3)
+    measure("geo3", {"emb": n_emb * 3, "ev": n_ev * 3},
+            skip=tuple(k for _, k, _ in _OPS if k != "hausdorff"))
 
     # restore the 1x views for the sections after this one
     emb.createOrReplaceTempView("embeddings")
     ev.createOrReplaceTempView("events")
     spark.catalog.clearCache()
     return out
-
-
 def bench_scale_point(spark, n_images: int, sf_dir: str) -> dict:
     """10x scale point (r2 verdict item 6): the flagship tile + triplet
     pipelines on a 10x fixture, and MinHash-LSH dedup on a 10x

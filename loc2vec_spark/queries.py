@@ -168,6 +168,10 @@ ROTATED_OUT_R5: tuple[str, ...] = (
     # PIP scale-path slot — r4-green; family keeps the pinned
     # pip_exact + pip_bbox in-window
     "pip_cellcover",
+    # late-r5 third wave slots — both r4-green; data-quality stays
+    # mirror-checked every round, corpus keeps its r2/r3/r4 window
+    # evidence (dedup_spanfrac was r4-green in-window)
+    "profile_stats", "dedup_spanfrac",
     # IVF-blocked embedding-dedup slot — r4-green; ANN family keeps
     # ann_ivf in-window
     "dedup_embedding_ivf",
@@ -201,6 +205,9 @@ ROTATED_IN_R5: tuple[str, ...] = (
     "hausdorff_pairs",
     # image-quality gates on real encoded PNGs vs closed-form oracle
     "image_quality",
+    # late-r5 third wave: exact-integer linestring-intersection join +
+    # IDW spatial interpolation (never driver-checked before)
+    "segment_intersections", "idw_interpolate",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -215,8 +222,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pip_exact",
     # --- round-4 rotation-ins still in the window (driver-green r4) ---
     "ann_ivf",
-    "profile_stats",
-    "dedup_spanfrac",
     # --- round-5 rotation-ins ---
     *ROTATED_IN_R5,
 )

@@ -1120,6 +1120,143 @@ def _hausdorff_fn(spark, sf_dir):
     return spark.sql("WITH " + _HD_BODY.strip().format(cen="_hd_cen"))
 
 
+# ---------------------------------------------------------------------------
+# segment_intersections: linestring-intersection join (the ST_Intersects
+# analog for trajectories x road network) — every trajectory edge
+# (consecutive integer-plane points per user) tested against every
+# derived road segment with the EXACT integer orientation predicate:
+# proper intersection iff the road endpoints straddle the edge's line
+# AND the edge endpoints straddle the road's line (four int64 cross
+# products; coordinates < 2^17 so products < 2^35 — no overflow, no
+# doubles, no epsilon). The road side is 25 rows (broadcast nested
+# loop — the honest shape for a SMALL road set, exactly map_match's
+# disclosure); a continent-scale road network would cell-block edge
+# bounding boxes first, the dwithin_join / pip_cellcover stencil this
+# repo already ships. Identical SQL both engines.
+# ---------------------------------------------------------------------------
+
+_SEGX_SQL = """
+WITH ord AS (SELECT user_id, event_id, ts,
+                    ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn
+             FROM events),
+pos AS (SELECT user_id, rn,
+               ((user_id * 2654435761
+                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 40503
+                 + 17) % 100000) + (event_id * 101) % 5 AS px,
+               ((user_id * 40503
+                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 2654435761
+                 + 71) % 100000) + (event_id * 211) % 5 AS py
+        FROM ord),
+edges AS (SELECT user_id, rn, px AS ax, py AS ay,
+                 LEAD(px) OVER (PARTITION BY user_id ORDER BY rn) AS ex,
+                 LEAD(py) OVER (PARTITION BY user_id ORDER BY rn) AS ey
+          FROM pos),
+roads AS (SELECT n_nationkey AS seg_id,
+                 (n_nationkey * 2654435761 + 99991) % 100000 AS cx,
+                 (n_nationkey * 40503 + 777) % 100000 AS cy,
+                 (n_nationkey * 7919 + 54321) % 100000 AS dx,
+                 (n_nationkey * 104729 + 3333) % 100000 AS dy
+          FROM nation),
+o AS (SELECT e.user_id, e.rn, r.seg_id,
+             (e.ex - e.ax) * (r.cy - e.ay)
+               - (e.ey - e.ay) * (r.cx - e.ax) AS o1,
+             (e.ex - e.ax) * (r.dy - e.ay)
+               - (e.ey - e.ay) * (r.dx - e.ax) AS o2,
+             (r.dx - r.cx) * (e.ay - r.cy)
+               - (r.dy - r.cy) * (e.ax - r.cx) AS o3,
+             (r.dx - r.cx) * (e.ey - r.cy)
+               - (r.dy - r.cy) * (e.ex - r.cx) AS o4
+      FROM edges e CROSS JOIN roads r
+      WHERE e.ex IS NOT NULL)
+SELECT user_id, rn AS edge_rn, seg_id, o1 AS cross_c, o2 AS cross_d
+FROM o
+WHERE ((o1 > 0 AND o2 < 0) OR (o1 < 0 AND o2 > 0))
+  AND ((o3 > 0 AND o4 < 0) OR (o3 < 0 AND o4 > 0))
+"""
+
+
+# ---------------------------------------------------------------------------
+# idw_interpolate: inverse-distance-weighted spatial interpolation (the
+# kriging-lite surface-estimation primitive) — every 20th point is a
+# QUERY site, the rest are samples carrying value vec_id % 997; each
+# query takes its k=3 nearest samples within radius 0.05 and blends
+# them with smoothed weights 1/(1+d2). Spark face: the cell-blocked
+# dwithin_join stencil (res 11, complete for radius <= cell extent)
+# generates candidates, a per-query window top-3 (WindowGroupLimit
+# prunes map-side) ranks them, and a MAX(CASE) pivot feeds ONE
+# fixed-order double expression — order-insensitive aggregates plus a
+# fixed-shape expression tree keep the result bit-identical to the
+# brute-force theta-join oracle. The 1/(1+d2) smoothing removes the
+# d2=0 pole, so no special-casing of exact hits.
+# ---------------------------------------------------------------------------
+
+_IDW_RES, _IDW_RADIUS = 11, 0.05
+
+_IDW_EXPR = """(CAST(s1 % 997 AS DOUBLE) / (1.0E0 + d1)
+        + CAST(s2 % 997 AS DOUBLE) / (1.0E0 + d2_)
+        + CAST(s3 % 997 AS DOUBLE) / (1.0E0 + d3))
+       / (1.0E0 / (1.0E0 + d1)
+          + 1.0E0 / (1.0E0 + d2_)
+          + 1.0E0 / (1.0E0 + d3))"""
+
+
+def _idw_oracle() -> str:
+    from .operators.geo import planar_dist2_sql
+    d2 = planar_dist2_sql("q.lat", "q.lon", "s.lat", "s.lon")
+    return f"""
+WITH {PTS},
+q AS (SELECT vec_id, lat, lon FROM pts WHERE vec_id % 20 = 0),
+s AS (SELECT vec_id, lat, lon FROM pts WHERE vec_id % 20 <> 0),
+pr AS (SELECT q.vec_id AS qid, s.vec_id AS sid, {d2} AS d2
+       FROM q JOIN s ON {d2} <= {_IDW_RADIUS * _IDW_RADIUS}),
+rk AS (SELECT qid, sid, d2,
+              ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY d2, sid) AS rk
+       FROM pr),
+pv AS (SELECT qid, COUNT(*) AS n,
+              MAX(CASE WHEN rk = 1 THEN sid END) AS s1,
+              MAX(CASE WHEN rk = 2 THEN sid END) AS s2,
+              MAX(CASE WHEN rk = 3 THEN sid END) AS s3,
+              MAX(CASE WHEN rk = 1 THEN d2 END) AS d1,
+              MAX(CASE WHEN rk = 2 THEN d2 END) AS d2_,
+              MAX(CASE WHEN rk = 3 THEN d2 END) AS d3
+       FROM rk WHERE rk <= 3 GROUP BY qid)
+SELECT qid AS query_id, s1 AS nn_id,
+       {_IDW_EXPR} AS idw_value
+FROM pv WHERE n = 3
+"""
+
+
+def _idw_fn(spark, sf_dir):
+    """Spark face: stencil candidates via operators/geo.dwithin_join
+    (query side = id_a, so dist2's operand order matches the oracle's
+    (q, s) order term-by-term), window top-3, MAX(CASE) pivot, one
+    fixed-order IDW expression."""
+    from pyspark.sql import Window
+    from .operators.geo import dwithin_join
+    pts = spark.sql(f"WITH {PTS} SELECT vec_id, lat, lon FROM pts")
+    qs = pts.filter("vec_id % 20 = 0")
+    ss = pts.filter("vec_id % 20 <> 0")
+    pairs = dwithin_join(qs, ss, radius=_IDW_RADIUS, res=_IDW_RES,
+                         id_left="vec_id", id_right="vec_id")
+    w = Window.partitionBy("id_a").orderBy("dist2", "id_b")
+    top = (pairs.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") <= 3))
+    agg = top.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(F.when(F.col("rk") == 1, F.col("id_b"))).alias("s1"),
+        F.max(F.when(F.col("rk") == 2, F.col("id_b"))).alias("s2"),
+        F.max(F.when(F.col("rk") == 3, F.col("id_b"))).alias("s3"),
+        F.max(F.when(F.col("rk") == 1, F.col("dist2"))).alias("d1"),
+        F.max(F.when(F.col("rk") == 2, F.col("dist2"))).alias("d2_"),
+        F.max(F.when(F.col("rk") == 3, F.col("dist2"))).alias("d3"))
+    return (agg.filter(F.col("n") == 3)
+               .select(F.col("id_a").alias("query_id"),
+                       F.col("s1").alias("nn_id"),
+                       F.expr(_IDW_EXPR).alias("idw_value")))
+
+
 def register_raster() -> None:
     """Deferred: called from queries.py AFTER the contract suites so the
     two rows-only queries (weakest check form — no SQL oracle) register
@@ -1206,6 +1343,20 @@ def register_raster() -> None:
             "Hausdorff between stay-centroid sequences, shared-cell "
             "equi-join candidates (never user x user), exact int64; "
             "Spark face caches the 5x-referenced centroid relation"))
+    _shared("segment_intersections", ("events", "nation"), _SEGX_SQL,
+            doc="geo: linestring-intersection join (ST_Intersects "
+                "analog) — trajectory edges x derived road segments "
+                "via the exact int64 orientation predicate (four "
+                "cross products, no doubles, no epsilon); broadcast "
+                "25-row road side, cell-blocked stencil sibling for "
+                "continent-scale road sets = dwithin_join")
+    _reg("idw_interpolate", Q(
+        tables=("embeddings",), fn=_idw_fn, duck_sql=_idw_oracle(),
+        doc="geo: inverse-distance-weighted interpolation — k=3 "
+            "nearest in-radius samples per query site via the "
+            "dwithin_join stencil + window top-3 + MAX(CASE) pivot, "
+            "one fixed-order smoothed-IDW double expression vs the "
+            "brute-force theta-join oracle"))
     _reg("dbscan_cells", Q(
         tables=("embeddings",), fn=_dbscan_fn,
         duck_sql=_DB_ORACLE.format(pts=PTS, offs=OFFS),

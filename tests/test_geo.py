@@ -809,3 +809,102 @@ def test_hausdorff_pairs_matches_python_replay(spark):
         assert (got[col].to_numpy()
                 == [e[idx] for e in exp]).all(), col
     assert (got.user_a < got.user_b).all()
+
+
+def test_segment_intersections_matches_python_replay(spark):
+    """The reported (edge, road) pairs — and ONLY those — properly
+    intersect under an exact-integer replay of the four-orientation
+    straddle predicate over the same derived edges and road chords."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i * 60 + u, u, base + dt.timedelta(seconds=60 * i + u))
+            for u in range(20) for i in range(200)]
+    spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp") \
+        .createOrReplaceTempView("events")
+    spark.createDataFrame([(k,) for k in range(12)],
+                          "n_nationkey long") \
+        .createOrReplaceTempView("nation")
+    from loc2vec_spark.queries import QUERIES
+    got = spark.sql(QUERIES["segment_intersections"].spark_sql).toPandas()
+
+    pos: dict[int, list[tuple[int, int, int]]] = {}
+    for (eid, u, ts) in rows:
+        pos.setdefault(u, []).append((ts, eid))
+    for u in pos:
+        pos[u] = [((u * 2654435761 + ((rn - 1) // 10) * 40503 + 17)
+                   % 100000 + (eid * 101) % 5,
+                   (u * 40503 + ((rn - 1) // 10) * 2654435761 + 71)
+                   % 100000 + (eid * 211) % 5)
+                  for rn, (ts, eid) in enumerate(sorted(pos[u]), start=1)]
+    roads = [(k, (k * 2654435761 + 99991) % 100000,
+              (k * 40503 + 777) % 100000,
+              (k * 7919 + 54321) % 100000,
+              (k * 104729 + 3333) % 100000) for k in range(12)]
+
+    def orient(ax, ay, bx, by, cx, cy):
+        return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+    exp = set()
+    for u, pts in pos.items():
+        for rn, ((ax, ay), (ex, ey)) in enumerate(zip(pts, pts[1:]),
+                                                  start=1):
+            for (sid, cx, cy, dx, dy) in roads:
+                o1 = orient(ax, ay, ex, ey, cx, cy)
+                o2 = orient(ax, ay, ex, ey, dx, dy)
+                o3 = orient(cx, cy, dx, dy, ax, ay)
+                o4 = orient(cx, cy, dx, dy, ex, ey)
+                if o1 * o2 < 0 and o3 * o4 < 0:
+                    exp.add((u, rn, sid, o1, o2))
+    assert len(got) == len(exp) > 0
+    assert set(map(tuple, got[["user_id", "edge_rn", "seg_id",
+                               "cross_c", "cross_d"]]
+                   .itertuples(index=False))) == exp
+
+
+def test_idw_interpolate_matches_numpy_replay(spark):
+    """IDW values equal a brute-force numpy replay (top-3 by (d2, id),
+    smoothed 1/(1+d2) weights) and every value is a convex blend: it
+    lies within [min, max] of its three neighbor values."""
+    import numpy as np
+    from loc2vec_spark.queries import PTS, run_spark
+    from loc2vec_spark.queries_geo import _IDW_RADIUS
+    sf = "/root/testdata/sf0.001"
+    got = run_spark(spark, sf, "idw_interpolate").toPandas() \
+        .sort_values("query_id").reset_index(drop=True)
+    pts = spark.sql(f"WITH {PTS} SELECT vec_id, lat, lon FROM pts") \
+               .toPandas()
+    q = pts[pts.vec_id % 20 == 0].reset_index(drop=True)
+    s = pts[pts.vec_id % 20 != 0].reset_index(drop=True)
+
+    def wrap(x):
+        return np.fmod(np.fmod(x + 180.0, 360.0) + 360.0, 360.0) - 180.0
+
+    dlat = q.lat.to_numpy()[:, None] - s.lat.to_numpy()[None]
+    dlon = wrap(q.lon.to_numpy()[:, None] - s.lon.to_numpy()[None])
+    d2 = dlat * dlat + dlon * dlon
+    exp_rows = []
+    for qi in range(len(q)):
+        cand = [(d2[qi, si], int(s.vec_id[si]))
+                for si in range(len(s))
+                if d2[qi, si] <= _IDW_RADIUS * _IDW_RADIUS]
+        if len(cand) < 3:
+            continue
+        top = sorted(cand)[:3]
+        ws = [1.0 / (1.0 + d) for d, _ in top]
+        vs = [float(sid % 997) for _, sid in top]
+        exp_rows.append((int(q.vec_id[qi]), top[0][1],
+                         (vs[0] * ws[0] + vs[1] * ws[1] + vs[2] * ws[2])
+                         / (ws[0] + ws[1] + ws[2]),
+                         min(vs), max(vs)))
+    exp_rows.sort()
+    assert len(got) == len(exp_rows) > 0
+    assert (got.query_id.to_numpy()
+            == [r[0] for r in exp_rows]).all()
+    assert (got.nn_id.to_numpy() == [r[1] for r in exp_rows]).all()
+    assert np.allclose(got.idw_value.to_numpy(),
+                       [r[2] for r in exp_rows], rtol=1e-12)
+    lo = np.array([r[3] for r in exp_rows])
+    hi = np.array([r[4] for r in exp_rows])
+    v = got.idw_value.to_numpy()
+    assert ((v >= lo - 1e-9) & (v <= hi + 1e-9)).all()

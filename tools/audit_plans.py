@@ -772,6 +772,40 @@ def main() -> None:
          and siq["ops"].get("FileScan", 0) == 1),
     ])
 
+    sx = qreg.run_spark(spark, SF, "segment_intersections")
+    psx = plan_of(sx)
+    ssx = summarize(psx)
+    audit("segment_intersections (linestring-intersection join)", sx, [
+        ("the tiny road side rides a broadcast — the only nested-loop "
+         "is edges x 25 broadcast road segments (the honest plan for a "
+         "small road set; continent-scale road networks cell-block "
+         "edge bboxes via the dwithin_join stencil)",
+         ssx["bnlj"] == 1 and "BroadcastExchange" in psx
+         and "CartesianProduct" not in psx),
+        ("one scan of events; one user_id shuffle feeds both window "
+         "passes (rn + LEAD share the sort order)",
+         ssx["ops"].get("FileScan", 0) >= 1 and ssx["exchanges"] <= 2),
+        ("the four int64 orientation cross-products and the straddle "
+         "predicate are whole-stage codegen (no Python, no doubles)",
+         ssx["python"] == 0),
+    ])
+
+    iw = qreg.run_spark(spark, SF, "idw_interpolate")
+    piw = plan_of(iw)
+    siw = summarize(piw)
+    audit("idw_interpolate (inverse-distance-weighted interpolation)",
+          iw, [
+        ("candidates ride the dwithin_join neighbor-cell hash "
+         "equi-join — never a query x sample cross join",
+         siw["bhj"] + siw["smj"] >= 1 and "CartesianProduct" not in piw),
+        ("the only nested-loop is the bounded 9-row offset stencil "
+         "broadcast", siw["bnlj"] <= 1),
+        ("k=3 nearest pick is a map-side-pruned window top-k "
+         "(WindowGroupLimit); pivot + IDW blend are grouped "
+         "aggregates + one codegen expression (no Python)",
+         siw["wgl"] >= 1 and siw["python"] == 0),
+    ])
+
     hdr = ("# PLANS.md — physical-plan audit (generated by "
            "tools/audit_plans.py)\n\n"
            "Every section asserts the plan properties the engine promises "

@@ -515,6 +515,8 @@ def bench_geo_rates(spark, sf_dir: str) -> dict:
     ev.createOrReplaceTempView("events")
     spark.catalog.clearCache()
     return out
+
+
 def bench_scale_point(spark, n_images: int, sf_dir: str) -> dict:
     """10x scale point (r2 verdict item 6): the flagship tile + triplet
     pipelines on a 10x fixture, and MinHash-LSH dedup on a 10x

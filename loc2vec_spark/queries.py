@@ -168,10 +168,10 @@ ROTATED_OUT_R5: tuple[str, ...] = (
     # PIP scale-path slot — r4-green; family keeps the pinned
     # pip_exact + pip_bbox in-window
     "pip_cellcover",
-    # late-r5 third wave slots — both r4-green; data-quality stays
-    # mirror-checked every round, corpus keeps its r2/r3/r4 window
-    # evidence (dedup_spanfrac was r4-green in-window)
-    "profile_stats", "dedup_spanfrac",
+    # late-r5 third wave slots — all three r4-green; data-quality and
+    # ANN stay mirror-checked every round (ann recall also rides every
+    # bench session), corpus keeps its r2/r3/r4 window evidence
+    "profile_stats", "dedup_spanfrac", "ann_ivf",
     # IVF-blocked embedding-dedup slot — r4-green; ANN family keeps
     # ann_ivf in-window
     "dedup_embedding_ivf",
@@ -206,8 +206,9 @@ ROTATED_IN_R5: tuple[str, ...] = (
     # image-quality gates on real encoded PNGs vs closed-form oracle
     "image_quality",
     # late-r5 third wave: exact-integer linestring-intersection join +
-    # IDW spatial interpolation (never driver-checked before)
-    "segment_intersections", "idw_interpolate",
+    # IDW spatial interpolation + the real-PNG thumbnail face (never
+    # driver-checked before)
+    "segment_intersections", "idw_interpolate", "image_resize",
 )
 
 DRIVER_WINDOW: tuple[str, ...] = (
@@ -220,8 +221,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "f2_json_date", "f3_f7_distances", "f9_array_var",
     "events_tumbling", "a6_cov", "a8_cosine_mean", "events_sessionize",
     "pip_exact",
-    # --- round-4 rotation-ins still in the window (driver-green r4) ---
-    "ann_ivf",
     # --- round-5 rotation-ins ---
     *ROTATED_IN_R5,
 )

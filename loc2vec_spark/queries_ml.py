@@ -470,12 +470,108 @@ def _image_quality_fn(spark, sf_dir):
         "sharpness", "edge_energy", "contrast", "brightness", "entropy")
 
 
+# ===========================================================================
+# image_resize — the thumbnail stage on REAL encoded PNGs vs a pure-SQL
+# replay of the nearest-neighbor index math (the image_quality pattern
+# applied to operators/images.resize_images)
+# ===========================================================================
+# Planted NON-SQUARE 19x17 gradients v(r,c) = (b0 + r*kr + c*kc) % 256
+# go through the real chain: encode_png -> resize_images (decode +
+# nearest-neighbor index pick ri = r*19//8, ci = c*17//8 + re-encode)
+# -> decode again -> position-weighted integer checksum. The oracle
+# replays the index arithmetic and pixel formula per output pixel via
+# ONE series expansion (k in 0..63 -> (r, c) by div/mod — Spark allows
+# one generator per select list) and sums the identical int64
+# checksum, so a hash match certifies non-square encode -> decode ->
+# index-pick resize -> re-encode -> re-decode -> kernel end-to-end.
+# All-integer (exact in both engines).
+
+_RSZ_H, _RSZ_W, _RSZ_OUT = 19, 17, 8
+
+_RSZ_ORACLE_TMPL = f"""
+WITH p AS (SELECT vec_id,
+                  (vec_id * 7) % 100 AS b0,
+                  1 + (vec_id * 13) % 23 AS kr,
+                  1 + (vec_id * 17) % 29 AS kc
+           FROM embeddings),
+g AS (SELECT vec_id, b0, kr, kc, {{series}} AS k FROM p),
+px AS (SELECT vec_id,
+              (b0 + (((k {{div}} {_RSZ_OUT}) * {_RSZ_H}) {{div}} {_RSZ_OUT}) * kr
+                  + (((k % {_RSZ_OUT}) * {_RSZ_W}) {{div}} {_RSZ_OUT}) * kc)
+              % 256 AS v,
+              1 + ((k {{div}} {_RSZ_OUT}) * 31 + (k % {_RSZ_OUT}) * 17) % 97
+                AS wgt
+       FROM g)
+SELECT vec_id, {_RSZ_OUT} AS w, {_RSZ_OUT} AS h,
+       CAST(SUM(v * wgt) AS BIGINT) AS pix_checksum
+FROM px GROUP BY vec_id
+"""
+
+_RSZ_N2 = _RSZ_OUT * _RSZ_OUT - 1
+_RSZ_ORACLE = _RSZ_ORACLE_TMPL.format(
+    series=f"UNNEST(generate_series(0, {_RSZ_N2}))", div="//")
+_RSZ_SPARK_ORACLE = _RSZ_ORACLE_TMPL.format(
+    series=f"EXPLODE(SEQUENCE(0, {_RSZ_N2}))", div="DIV")
+
+
+def _image_resize_fn(spark, sf_dir):
+    import pandas as pd
+
+    from .operators.images import decode_image, resize_images
+
+    def gen(batches):
+        import numpy as np
+
+        from .png_codec import encode_png
+        for pdf in batches:
+            rows = []
+            for v in pdf["vec_id"]:
+                v = int(v)
+                b0 = (v * 7) % 100
+                kr = 1 + (v * 13) % 23
+                kc = 1 + (v * 17) % 29
+                r = np.arange(_RSZ_H, dtype=np.int64)[:, None]
+                c = np.arange(_RSZ_W, dtype=np.int64)[None, :]
+                arr = ((b0 + r * kr + c * kc) % 256).astype(np.uint8)
+                rows.append((str(v), encode_png(arr)))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    imgs = (spark.table("embeddings").select("vec_id")
+            .mapInPandas(gen, "image_id string, bytes binary"))
+    small = resize_images(imgs, out_px=_RSZ_OUT)
+
+    def chk(batches):
+        import numpy as np
+        for pdf in batches:
+            rows = []
+            for iid, data, w, h in zip(pdf["image_id"], pdf["bytes"],
+                                       pdf["w"], pdf["h"]):
+                arr = decode_image(bytes(data)).astype(np.int64)
+                rr = np.arange(arr.shape[0], dtype=np.int64)[:, None]
+                cc = np.arange(arr.shape[1], dtype=np.int64)[None, :]
+                wgt = 1 + (rr * 31 + cc * 17) % 97
+                rows.append((int(iid), int(w), int(h),
+                             int((arr * wgt).sum())))
+            yield pd.DataFrame(rows, columns=["vec_id", "w", "h",
+                                              "pix_checksum"])
+
+    return small.mapInPandas(
+        chk, "vec_id bigint, w int, h int, pix_checksum bigint")
+
+
 def register_ml_extras() -> None:
     # idempotent (register_ann_ivf pattern): under the queries-first
     # path the bottom completion hook fires while _register_extras is
     # mid-`import queries_ml`, and _register_extras then calls again
     if "dedup_phash" in QUERIES:
         return
+    _reg("image_resize", Q(
+        tables=("embeddings",), fn=_image_resize_fn,
+        duck_sql=_RSZ_ORACLE,
+        doc="image: thumbnail stage on REAL non-square PNGs — encode "
+            "-> nearest-neighbor resize_images -> re-encode -> decode "
+            "-> position-weighted int64 pixel checksum vs the pure-SQL "
+            "replay of the index arithmetic (one series expansion)"))
     _reg("dedup_phash", Q(
         tables=("embeddings",),
         spark_sql=_phash_sql(SPARK_BASE),

@@ -218,3 +218,43 @@ def test_image_quality_face_matches_closed_forms(spark):
         assert r.contrast == round((d / 2) / 255, 6)
         assert r.brightness == round((b + d / 2) / 255, 6)
         assert r.entropy == 1.0
+
+
+def test_image_resize_face_matches_spark_sql_replay(spark):
+    """The real chain (encode 19x17 gradient PNG -> nearest-neighbor
+    resize_images -> re-encode -> decode -> weighted checksum) equals
+    the pure-SQL replay of the index arithmetic run IN SPARK — an
+    in-engine cross-check independent of the DuckDB oracle — and a
+    numpy replay of one image pins the index math itself."""
+    import numpy as np
+
+    from loc2vec_spark.queries_ml import (_RSZ_H, _RSZ_OUT,
+                                          _RSZ_SPARK_ORACLE, _RSZ_W,
+                                          _image_resize_fn)
+    spark.createDataFrame([(v,) for v in range(40)],
+                          "vec_id long") \
+        .createOrReplaceTempView("embeddings")
+    got = _image_resize_fn(spark, None).toPandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    exp = spark.sql(_RSZ_SPARK_ORACLE).toPandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert len(got) == len(exp) == 40
+    assert (got.vec_id.to_numpy() == exp.vec_id.to_numpy()).all()
+    assert (got.w == _RSZ_OUT).all() and (got.h == _RSZ_OUT).all()
+    assert (got.pix_checksum.to_numpy()
+            == exp.pix_checksum.to_numpy()).all()
+
+    # numpy replay for v=7: full-res gradient, index pick, checksum
+    v = 7
+    b0, kr, kc = (v * 7) % 100, 1 + (v * 13) % 23, 1 + (v * 17) % 29
+    r = np.arange(_RSZ_H, dtype=np.int64)[:, None]
+    c = np.arange(_RSZ_W, dtype=np.int64)[None, :]
+    full = (b0 + r * kr + c * kc) % 256
+    ri = np.arange(_RSZ_OUT) * _RSZ_H // _RSZ_OUT
+    ci = np.arange(_RSZ_OUT) * _RSZ_W // _RSZ_OUT
+    small = full[np.ix_(ri, ci)]
+    rr = np.arange(_RSZ_OUT, dtype=np.int64)[:, None]
+    cc = np.arange(_RSZ_OUT, dtype=np.int64)[None, :]
+    wgt = 1 + (rr * 31 + cc * 17) % 97
+    assert int(got[got.vec_id == v].pix_checksum.iloc[0]) \
+        == int((small * wgt).sum())

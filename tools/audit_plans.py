@@ -806,6 +806,21 @@ def main() -> None:
          siw["wgl"] >= 1 and siw["python"] == 0),
     ])
 
+    ir = qreg.run_spark(spark, SF, "image_resize")
+    pir = plan_of(ir)
+    sir = summarize(pir)
+    audit("image_resize (real-PNG thumbnail stage)", ir, [
+        ("exactly three Arrow crossings — PNG synthesis, the "
+         "decode+resize+re-encode pass, and the decode+checksum "
+         "kernel — never per-row Python",
+         pir.count("MapInPandas") == 3 and "EvalPython" not in pir),
+        ("zero shuffles, zero joins — a pure per-partition pipeline "
+         "over one pruned scan",
+         sir["exchanges"] == 0
+         and sir["bhj"] + sir["smj"] + sir["bnlj"] == 0
+         and sir["ops"].get("FileScan", 0) == 1),
+    ])
+
     hdr = ("# PLANS.md — physical-plan audit (generated by "
            "tools/audit_plans.py)\n\n"
            "Every section asserts the plan properties the engine promises "

@@ -373,3 +373,70 @@ def running_user_stats(events: DataFrame,
     return (events.groupBy("user_id")
                   .applyInPandasWithState(
                       update, out_schema, state_schema, "update", timeout))
+
+
+GEOFENCE_OUT_SCHEMA = ("user_id BIGINT, event_id BIGINT, ts TIMESTAMP, "
+                       "fence_id INT, transition STRING")
+
+
+def geofence_transitions(events: DataFrame,
+                         fences: list[tuple]) -> DataFrame:
+    """Stateful geofence enter/exit detection — the streaming sibling of
+    the batch PIP joins (the alerting primitive a location pipeline
+    runs 24/7). ``events`` carries (user_id, event_id, ts, lat, lon);
+    ``fences`` is a SMALL list of (fence_id, min_lat, min_lon, max_lat,
+    max_lon) axis-aligned boxes (the repo's rectangle-PIP idiom),
+    closed over as a literal — a continent-scale fence set would take
+    the pip_cellcover stencil on the batch path instead.
+
+    Per-user state in the store: (frontier_us, inside_mask) — the
+    strictly-advancing event-time frontier and the bitmask of fences
+    the user was last inside (fence ids must be < 63). Each microbatch
+    walks the user's rows in (ts, event_id) order, recomputes the mask
+    per event, and emits ONE row per fence whose membership flipped
+    (transition 'enter' | 'exit'). Rows at-or-behind the frontier are
+    DROPPED (the late-data contract dedup_stream / join_streams carry;
+    state resumes exactly across checkpointed restarts — tested by a
+    two-drain run in test_streaming). First sight of a user starts
+    from mask 0, so a first event inside a fence emits 'enter'.
+    Reference analog: the per-batch triplet re-sampling loop
+    (loc2vec_train.py:60-66) — here the per-key incremental state is
+    distributed and checkpointed instead of driver-resident."""
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    state_schema = "frontier_us BIGINT, mask BIGINT"
+    cols = ["user_id", "event_id", "ts", "fence_id", "transition"]
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        frontier, mask = state.get if state.exists else (-1, 0)
+        out = []
+        if batches:
+            rows = (pd.concat(batches)
+                      .sort_values(["ts", "event_id"]))
+            for r in rows.itertuples():
+                t_us = int(pd.Timestamp(r.ts).value // 1000)
+                if t_us <= frontier:
+                    continue                       # late/dup: drop
+                m = 0
+                for fid, la0, lo0, la1, lo1 in fences:
+                    if la0 <= r.lat <= la1 and lo0 <= r.lon <= lo1:
+                        m |= 1 << fid
+                changed, fid = m ^ mask, 0
+                while changed:
+                    if changed & 1:
+                        out.append((key[0], int(r.event_id), r.ts, fid,
+                                    "enter" if (m >> fid) & 1
+                                    else "exit"))
+                    changed >>= 1
+                    fid += 1
+                mask, frontier = m, t_us
+        state.update((frontier, mask))
+        yield pd.DataFrame(out, columns=cols)
+
+    return (events.groupBy("user_id")
+                  .applyInPandasWithState(
+                      update, GEOFENCE_OUT_SCHEMA, state_schema,
+                      "append", GroupStateTimeout.NoTimeout))

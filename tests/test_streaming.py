@@ -449,3 +449,79 @@ def test_join_streams_batch_equals_stream_resumes_and_evicts(
     capsys.readouterr()
     q2.explain()
     assert "StreamingSymmetricHashJoin" in capsys.readouterr().out
+
+
+def test_geofence_transitions_two_drains_resume_and_late_drop(
+        spark, tmp_path):
+    """Enter/exit transitions across TWO separate drains (checkpoint
+    resume mid-trajectory) equal a pure-pandas replay of the same walk;
+    a second-drain row behind the restored frontier is dropped; a user
+    whose first event is inside a fence opens with 'enter'."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from loc2vec_spark.streaming import geofence_transitions
+
+    fences = [(0, 10.0, 10.0, 20.0, 20.0),   # fence 0
+              (1, 15.0, 15.0, 30.0, 30.0)]   # fence 1 (overlaps 0)
+    base = dt.datetime(2024, 1, 1)
+
+    def ev(eid, u, minute, lat, lon):
+        return (eid, base + dt.timedelta(minutes=minute), u, lat, lon)
+
+    # u1: outside -> f0 -> f0&f1 overlap -> f1 only -> outside
+    # u2: STARTS inside f0 (first-sight enter), leaves in batch 2
+    batch1 = [ev(1, 1, 0, 5.0, 5.0), ev(2, 1, 1, 12.0, 12.0),
+              ev(3, 1, 2, 17.0, 17.0),
+              ev(10, 2, 0, 11.0, 11.0), ev(11, 2, 1, 13.0, 13.0)]
+    batch2 = [ev(4, 1, 3, 25.0, 25.0), ev(5, 1, 4, 5.0, 5.0),
+              # LATE: behind u2's restored frontier (minute 1) -> drop;
+              # would emit a spurious f0 'exit' if processed
+              ev(12, 2, 0, 40.0, 40.0),
+              ev(13, 2, 5, 40.0, 40.0)]
+    schema = "event_id long, ts timestamp, user_id long, " \
+             "lat double, lon double"
+    src = tmp_path / "gf_src"
+    got = []
+
+    def sink(bdf, bid):
+        got.extend((r["user_id"], r["event_id"], r["fence_id"],
+                    r["transition"]) for r in bdf.collect())
+
+    for rows in (batch1, batch2):
+        spark.createDataFrame(rows, schema) \
+            .write.mode("append").parquet(str(src))
+        q = (geofence_transitions(
+                spark.readStream.schema(schema).parquet(str(src)),
+                fences)
+             .writeStream.outputMode("append").foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / "gf_ck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # pure-pandas replay (batch1 then batch2, frontier drop included)
+    frontier, mask = {}, {}
+    exp = []
+    for eid, ts, u, lat, lon in batch1 + batch2:
+        t = ts.timestamp()
+        if t <= frontier.get(u, -1.0):
+            continue
+        m = 0
+        for fid, la0, lo0, la1, lo1 in fences:
+            if la0 <= lat <= la1 and lo0 <= lon <= lo1:
+                m |= 1 << fid
+        for fid in range(2):
+            if (m ^ mask.get(u, 0)) >> fid & 1:
+                exp.append((u, eid, fid,
+                            "enter" if m >> fid & 1 else "exit"))
+        mask[u], frontier[u] = m, t
+    assert sorted(got) == sorted(exp)
+    # the planted semantics themselves
+    assert (1, 2, 0, "enter") in got          # u1 enters f0
+    assert (1, 3, 1, "enter") in got          # u1 adds f1 in overlap
+    assert (1, 4, 0, "exit") in got           # u1 leaves f0, stays f1
+    assert (1, 5, 1, "exit") in got           # u1 leaves f1
+    assert (2, 10, 0, "enter") in got         # first-sight enter
+    assert (2, 13, 0, "exit") in got          # exit via batch-2 row
+    assert not any(r[1] == 12 for r in got)   # late row dropped

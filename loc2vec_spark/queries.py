@@ -159,30 +159,30 @@ ROTATED_OUT_R5: tuple[str, ...] = (
     # zorder_locality; data-quality via profile_stats; event windows
     # via events_funnel; text quality via text_pii_scrub)
     "quadkey_assign", "dist_drift", "events_sliding", "text_repetition",
-    # corpus slots — both r4-green; corpus family keeps
-    # leakfree_split + dedup_spanfrac in-window
+    # corpus slots — both r4-green (the whole corpus family is now
+    # out-of-window with multi-round green evidence; mirror-checked
+    # every round by tools/check_oracles.py)
     "mix_sources", "doc_rarity",
-    # corpus decontamination slot — r4-green; corpus family keeps
-    # leakfree_split + dedup_spanfrac in-window
+    # corpus decontamination slot — r4-green
     "decontaminate",
     # PIP scale-path slot — r4-green; family keeps the pinned
     # pip_exact + pip_bbox in-window
     "pip_cellcover",
-    # late-r5 third wave slots — all three r4-green; data-quality and
-    # ANN stay mirror-checked every round (ann recall also rides every
-    # bench session), corpus keeps its r2/r3/r4 window evidence
+    # late-r5 third wave slots — all three r4-green; data-quality,
+    # corpus, and ANN coverage continue via the every-round mirror
+    # check (ann recall also rides every bench session)
     "profile_stats", "dedup_spanfrac", "ann_ivf",
-    # IVF-blocked embedding-dedup slot — r4-green; ANN family keeps
-    # ann_ivf in-window
+    # IVF-blocked embedding-dedup slot — r4-green (ann_ivf later
+    # rotates out too, in the third wave below)
     "dedup_embedding_ivf",
     # late-r5 second wave: four trajectory/map-match ins take these
     # r4-green slots — events family keeps events_tumbling/sessionize
     # (pinned); storage F12 keeps tile_assign/kring_expand (pinned);
-    # spatial-stats keeps the four new geo faces; corpus keeps
-    # dedup_spanfrac; text keeps the pinned text faces
+    # spatial-stats keeps the four new geo faces; text keeps the
+    # pinned text faces
     "events_funnel", "zorder_locality", "morans_i", "leakfree_split",
-    # image_quality's slot — r4-green; text family keeps dedup_spanfrac
-    # in-window (pii_scrub stays mirror-checked every round)
+    # image_quality's slot — r4-green (pii_scrub stays
+    # mirror-checked every round)
     "text_pii_scrub",
 )
 

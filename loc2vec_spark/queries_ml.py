@@ -442,32 +442,41 @@ FROM (SELECT vec_id, 40 + (vec_id * 7) % 120 AS b,
 
 
 def _image_quality_fn(spark, sf_dir):
-    import pandas as pd
     from pyspark.sql import functions as F
 
     from .operators.images import image_quality
 
-    def gen(batches):
+    def build(v):
         import numpy as np
+        base = 40 + (v * 7) % 120
+        delta = 2 + 2 * ((v * 11) % 40)
+        arr = np.full((16, 16), base, np.uint8)
+        arr[:, 1::2] = base + delta
+        return arr
 
-        from .png_codec import encode_png
-        for pdf in batches:
-            rows = []
-            for v in pdf["vec_id"]:
-                v = int(v)
-                base = 40 + (v * 7) % 120
-                delta = 2 + 2 * ((v * 11) % 40)
-                arr = np.full((16, 16), base, np.uint8)
-                arr[:, 1::2] = base + delta
-                rows.append((str(v), encode_png(arr)))
-            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
-
-    imgs = (spark.table("embeddings").select("vec_id")
-            .mapInPandas(gen, "image_id string, bytes binary"))
-    out = image_quality(imgs)
+    out = image_quality(_plant_pngs(spark, build))
     return out.select(
         F.col("image_id").cast("bigint").alias("vec_id"), "ok",
         "sharpness", "edge_energy", "contrast", "brightness", "entropy")
+
+
+def _plant_pngs(spark, build_arr):
+    """Shared planted-PNG synthesis scaffold for the image faces: one
+    Arrow crossing that encodes build_arr(vec_id) (a uint8 numpy array)
+    into a real PNG per embeddings row, emitting the decode-ready
+    (image_id string, bytes binary) frame both faces feed their real
+    decode chains."""
+    import pandas as pd
+
+    def gen(batches):
+        from .png_codec import encode_png
+        for pdf in batches:
+            rows = [(str(int(v)), encode_png(build_arr(int(v))))
+                    for v in pdf["vec_id"]]
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    return (spark.table("embeddings").select("vec_id")
+            .mapInPandas(gen, "image_id string, bytes binary"))
 
 
 # ===========================================================================
@@ -515,33 +524,22 @@ _RSZ_SPARK_ORACLE = _RSZ_ORACLE_TMPL.format(
 
 
 def _image_resize_fn(spark, sf_dir):
-    import pandas as pd
-
     from .operators.images import decode_image, resize_images
 
-    def gen(batches):
+    def build(v):
         import numpy as np
+        b0 = (v * 7) % 100
+        kr = 1 + (v * 13) % 23
+        kc = 1 + (v * 17) % 29
+        r = np.arange(_RSZ_H, dtype=np.int64)[:, None]
+        c = np.arange(_RSZ_W, dtype=np.int64)[None, :]
+        return ((b0 + r * kr + c * kc) % 256).astype(np.uint8)
 
-        from .png_codec import encode_png
-        for pdf in batches:
-            rows = []
-            for v in pdf["vec_id"]:
-                v = int(v)
-                b0 = (v * 7) % 100
-                kr = 1 + (v * 13) % 23
-                kc = 1 + (v * 17) % 29
-                r = np.arange(_RSZ_H, dtype=np.int64)[:, None]
-                c = np.arange(_RSZ_W, dtype=np.int64)[None, :]
-                arr = ((b0 + r * kr + c * kc) % 256).astype(np.uint8)
-                rows.append((str(v), encode_png(arr)))
-            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
-
-    imgs = (spark.table("embeddings").select("vec_id")
-            .mapInPandas(gen, "image_id string, bytes binary"))
-    small = resize_images(imgs, out_px=_RSZ_OUT)
+    small = resize_images(_plant_pngs(spark, build), out_px=_RSZ_OUT)
 
     def chk(batches):
         import numpy as np
+        import pandas as pd
         for pdf in batches:
             rows = []
             for iid, data, w, h in zip(pdf["image_id"], pdf["bytes"],

@@ -389,13 +389,17 @@ def geofence_transitions(events: DataFrame,
     closed over as a literal — a continent-scale fence set would take
     the pip_cellcover stencil on the batch path instead.
 
-    Per-user state in the store: (frontier_us, inside_mask) — the
-    strictly-advancing event-time frontier and the bitmask of fences
-    the user was last inside (fence ids must be < 63). Each microbatch
-    walks the user's rows in (ts, event_id) order, recomputes the mask
-    per event, and emits ONE row per fence whose membership flipped
-    (transition 'enter' | 'exit'). Rows at-or-behind the frontier are
-    DROPPED (the late-data contract dedup_stream / join_streams carry;
+    Per-user state in the store: (frontier_us, frontier_eid,
+    inside_mask) — the strictly-advancing (event-time, event-id)
+    frontier and the bitmask of fences the user was last inside
+    (fence ids validated to 0 <= id < 63 so the mask fits the BIGINT
+    state column). Each microbatch walks the user's rows in
+    (ts, event_id) order, recomputes the mask per event, and emits ONE
+    row per fence whose membership flipped (transition 'enter' |
+    'exit'). Rows at-or-behind the frontier are DROPPED — compared
+    lexicographically on (ts, event_id), matching the sort key, so
+    distinct same-second events advance instead of being swallowed
+    (the late-data contract dedup_stream / join_streams carry;
     state resumes exactly across checkpointed restarts — tested by a
     two-drain run in test_streaming). First sight of a user starts
     from mask 0, so a first event inside a fence emits 'enter'.
@@ -405,20 +409,25 @@ def geofence_transitions(events: DataFrame,
     from pyspark.sql.streaming.state import (GroupState,
                                              GroupStateTimeout)
 
-    state_schema = "frontier_us BIGINT, mask BIGINT"
+    if not all(0 <= f[0] < 63 for f in fences):
+        raise ValueError(
+            f"fence ids must satisfy 0 <= id < 63 (mask rides a BIGINT "
+            f"state column): {sorted(f[0] for f in fences)}")
+
+    state_schema = "frontier_us BIGINT, frontier_eid BIGINT, mask BIGINT"
     cols = ["user_id", "event_id", "ts", "fence_id", "transition"]
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
         batches = [pdf for pdf in pdfs if len(pdf)]
-        frontier, mask = state.get if state.exists else (-1, 0)
+        frontier, f_eid, mask = state.get if state.exists else (-1, -1, 0)
         out = []
         if batches:
             rows = (pd.concat(batches)
                       .sort_values(["ts", "event_id"]))
             for r in rows.itertuples():
                 t_us = int(pd.Timestamp(r.ts).value // 1000)
-                if t_us <= frontier:
+                if (t_us, int(r.event_id)) <= (frontier, f_eid):
                     continue                       # late/dup: drop
                 m = 0
                 for fid, la0, lo0, la1, lo1 in fences:
@@ -432,8 +441,8 @@ def geofence_transitions(events: DataFrame,
                                     else "exit"))
                     changed >>= 1
                     fid += 1
-                mask, frontier = m, t_us
-        state.update((frontier, mask))
+                mask, frontier, f_eid = m, t_us, int(r.event_id)
+        state.update((frontier, f_eid, mask))
         yield pd.DataFrame(out, columns=cols)
 
     return (events.groupBy("user_id")

@@ -472,7 +472,11 @@ def test_geofence_transitions_two_drains_resume_and_late_drop(
 
     # u1: outside -> f0 -> f0&f1 overlap -> f1 only -> outside
     # u2: STARTS inside f0 (first-sight enter), leaves in batch 2
+    # u1's eid 2/20 share ONE timestamp: the (ts, event_id) frontier
+    # must process both (a ts-only frontier would swallow eid 20 and
+    # lose its f0 exit / never-entered state change)
     batch1 = [ev(1, 1, 0, 5.0, 5.0), ev(2, 1, 1, 12.0, 12.0),
+              ev(20, 1, 1, 5.0, 5.0),
               ev(3, 1, 2, 17.0, 17.0),
               ev(10, 2, 0, 11.0, 11.0), ev(11, 2, 1, 13.0, 13.0)]
     batch2 = [ev(4, 1, 3, 25.0, 25.0), ev(5, 1, 4, 5.0, 5.0),
@@ -504,8 +508,8 @@ def test_geofence_transitions_two_drains_resume_and_late_drop(
     frontier, mask = {}, {}
     exp = []
     for eid, ts, u, lat, lon in batch1 + batch2:
-        t = ts.timestamp()
-        if t <= frontier.get(u, -1.0):
+        t = (ts.timestamp(), eid)
+        if t <= frontier.get(u, (-1.0, -1)):
             continue
         m = 0
         for fid, la0, lo0, la1, lo1 in fences:
@@ -519,9 +523,15 @@ def test_geofence_transitions_two_drains_resume_and_late_drop(
     assert sorted(got) == sorted(exp)
     # the planted semantics themselves
     assert (1, 2, 0, "enter") in got          # u1 enters f0
+    assert (1, 20, 0, "exit") in got          # same-ts sibling counted
+    assert (1, 3, 0, "enter") in got          # re-enter after same-ts dip
     assert (1, 3, 1, "enter") in got          # u1 adds f1 in overlap
     assert (1, 4, 0, "exit") in got           # u1 leaves f0, stays f1
     assert (1, 5, 1, "exit") in got           # u1 leaves f1
     assert (2, 10, 0, "enter") in got         # first-sight enter
     assert (2, 13, 0, "exit") in got          # exit via batch-2 row
     assert not any(r[1] == 12 for r in got)   # late row dropped
+    with pytest.raises(ValueError, match="fence ids"):
+        geofence_transitions(
+            spark.readStream.schema(schema).parquet(str(src)),
+            [(63, 0.0, 0.0, 1.0, 1.0)])

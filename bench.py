@@ -427,9 +427,12 @@ def bench_geo_rates(spark, sf_dir: str) -> dict:
     metric families follow:
 
     - constant-work-per-row faces (dbscan, stay, spike, resample,
-      mapmatch): rows/sec must hold within ~2x per-row at 10x — and
-      the bounded plane is the HARD direction for them (denser cells,
-      never emptier ones).
+      mapmatch, segx, idw): rows/sec must hold within ~2x per-row at
+      10x — and the bounded plane is the HARD direction for them
+      (denser cells, never emptier ones). idw's per-query stencil
+      candidate count grows with density, but so does the input row
+      count it is normalized by, so flat rows/sec is still the right
+      bar; segx is a per-edge broadcast probe, linear by plan shape.
     - pair-forming faces (dwithin, coloc, hausdorff): output-pair
       volume necessarily grows ~density^2 (measured: dwithin 12,425
       -> 1,219,227 pairs at 10x; hausdorff candidates 439k -> 43.9M),
@@ -458,6 +461,8 @@ def bench_geo_rates(spark, sf_dir: str) -> dict:
             ("traj_spike_filter", "spike", "ev"),
             ("traj_resample", "resample", "ev"),
             ("map_match", "mapmatch", "emb"),
+            ("segment_intersections", "segx", "ev"),
+            ("idw_interpolate", "idw", "emb"),
             ("hausdorff_pairs", "hausdorff", "ev"))
     _PAIR_OPS = {"dwithin", "coloc", "hausdorff"}
 

@@ -384,3 +384,45 @@ def test_run_crawl_funnel_counts_non_response_records(spark, tmp_path):
     assert stats["skipped_non_html"] == 1        # the conversion record
     assert stats["documents"] == 3
     assert stats["dropped_short"] == 0
+
+
+def test_run_trajectory_end_to_end(spark, tmp_path):
+    """The trajectory job composes the oracle-checked stay/OD/co-dwell/
+    Hausdorff faces: outputs match the faces run directly, the trip-
+    conservation invariant holds, and a re-run resumes (no duplicate
+    stay rows)."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src = str(tmp_path / "tr_events")
+    events.write.parquet(src)
+    out = str(tmp_path / "tr_out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    _run_job(os.path.join(repo, "jobs", "run_trajectory.py"),
+             ["--events", src, "--out", out, "--keep-session"], spark)
+
+    from loc2vec_spark import lineage
+    from loc2vec_spark.queries import QUERIES
+
+    events.createOrReplaceTempView("events")
+    n_stays = spark.sql(QUERIES["stay_points"].spark_sql).count()
+    stays = spark.read.parquet(os.path.join(out, "stay_points"))
+    assert stays.count() == n_stays > 0
+    n_users = stays.select("user_id").distinct().count()
+
+    from pyspark.sql import functions as F
+    od = spark.read.parquet(os.path.join(out, "od_flows"))
+    total_trips = od.agg(F.sum("n_trips")).first()[0]
+    assert total_trips == n_stays - n_users   # trip conservation
+
+    for sub, face in (("colocation_pairs", "colocation_pairs"),
+                      ("similar_users", "hausdorff_pairs")):
+        got = spark.read.parquet(os.path.join(out, sub)).count()
+        exp = QUERIES[face].fn(spark, None).count()
+        assert got == exp, sub
+
+    # resume: every bucket committed -> re-run writes nothing new
+    assert len(lineage.done_partitions(
+        os.path.join(out, "stay_points"))) > 0
+    _run_job(os.path.join(repo, "jobs", "run_trajectory.py"),
+             ["--events", src, "--out", out, "--keep-session"], spark)
+    assert spark.read.parquet(
+        os.path.join(out, "stay_points")).count() == n_stays

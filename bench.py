@@ -440,10 +440,11 @@ def bench_geo_rates(spark, sf_dir: str) -> dict:
       engine. These faces also report pairs/sec — output pairs per
       timed second, the workload-normalized rate that must hold.
       hausdorff's stress point runs at 3x replication (~9x candidate
-      volume): its 10x point is ~44M grouped-min candidates = ~700
-      timed seconds, out of the per-session bench budget (measured
-      per-candidate throughput stays flat, 137k/s at 1x vs 127k/s at
-      10x, in the one-off probe that set this policy)."""
+      volume): its 10x point is ~44M grouped-min candidates = ~350
+      timed seconds under this one-execution protocol, out of the
+      per-session bench budget (measured per-candidate throughput
+      stays flat, 137k/s at 1x vs 127k/s at 10x, in the one-off probe
+      that set this policy)."""
     out = {}
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -481,7 +482,7 @@ def bench_geo_rates(spark, sf_dir: str) -> dict:
                 # pays janino/plan setup); the hausdorff stress run
                 # stays cold like the other minutes-long sections.
                 if not (key == "hausdorff" and tag != "geo1"):
-                    force(df)
+                    df.count()   # warm the EXACT timed plan (count)
                 t0 = time.perf_counter()
                 n_out = df.count()
                 t = time.perf_counter() - t0

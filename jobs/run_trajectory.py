@@ -11,15 +11,19 @@ sf0.01 — this job is their composition, exactly run_crawl's relation
 to warc_records/html_text_extract):
 
 events parquet
-  -> stay_points        gaps-and-islands dwell detection (the STAY
-     relation every downstream stage composes; lineage-manifested
-     resumable write bucketed by the centroid's coarse cell — the
-     hot-cell-aware layout the 8x8 OD grid reads back)
-  -> od_flows           origin-destination trip matrix (coarse grid)
-  -> colocation_pairs   co-dwell user pairs (cell equi-join candidates
-     + interval overlap + count threshold)
-  -> hausdorff_pairs    similar-trajectory user pairs (symmetric
-     squared Hausdorff over stay centroids, shared-cell candidates)
+  -> stay_points        gaps-and-islands dwell detection, computed
+     ONCE and lineage-manifest-written bucketed by the centroid's
+     full (gx, gy) coarse cell (gx*8 + gy on the 8x8 plane — the
+     co-location key every downstream stage joins on)
+  -> the WRITTEN stay relation is read back and registered as the
+     ``stays`` view; every downstream stage runs its face's body SQL
+     over it, so the 3-window stay pipeline executes exactly once per
+     job instead of once per consumer:
+     - od_flows          origin-destination trip matrix (_OD_BODY)
+     - colocation_pairs  co-dwell user pairs (cell equi-join
+       candidates + interval overlap + count threshold)
+     - hausdorff_pairs   similar-trajectory user pairs (symmetric
+       squared Hausdorff over stay centroids)
 
 The per-user stay relation is the only data-sized output (resumable,
 skew-aware); the three analytics outputs are aggregate-sized and ride
@@ -61,36 +65,41 @@ def main(argv=None) -> None:
     ensure_workers_can_import(spark)
 
     from loc2vec_spark import queries as qreg
-    from loc2vec_spark.queries_geo import (_HD_GRID, _colocation_fn,
-                                           _hausdorff_fn)
+    from loc2vec_spark.queries_geo import (_CO_PAIR_SQL, _CO_SC_SQL,
+                                           _HD_BODY, _HD_CEN, _HD_GRID,
+                                           _OD_BODY)
 
     stats = {}
     events = spark.read.parquet(args.events)
     stats["events"] = events.count()
     events.createOrReplaceTempView("events")
 
-    # 1. stay relation — resumable, bucketed by the centroid's coarse
-    # cell (the same 8x8 plane od_flows/hausdorff block on, so the
-    # written layout co-locates what those readers join on)
-    stays = spark.sql(qreg.QUERIES["stay_points"].spark_sql)
-    out_df = stays.withColumn(
-        "bucket",
-        (F.col("sum_px") - F.col("sum_px") % F.col("n_pts"))
-        / F.col("n_pts") / F.lit(_HD_GRID))
-    out_df = out_df.withColumn("bucket",
-                               F.col("bucket").cast("bigint"))
+    # 1. stay relation — computed ONCE; resumable write bucketed by
+    # the centroid's full (gx, gy) coarse cell (the shared _HD_GRID
+    # idiom as one expression: exact integer centroid, then the 8x8
+    # cell id gx*8 + gy)
+    cell = (f"CAST((sum_px - sum_px % n_pts) / n_pts "
+            f"/ {_HD_GRID} AS BIGINT) * 8 "
+            f"+ CAST((sum_py - sum_py % n_pts) / n_pts "
+            f"/ {_HD_GRID} AS BIGINT)")
+    stays = spark.sql(qreg.QUERIES["stay_points"].spark_sql) \
+                 .withColumn("bucket", F.expr(cell))
     stay_dir = os.path.join(args.out, "stay_points")
-    index = lineage.write_resumable(out_df, stay_dir,
+    index = lineage.write_resumable(stays, stay_dir,
                                     cell_col="bucket", id_col="user_id")
+    stats["new_partitions"] = len(index)
+
+    # read the WRITTEN relation back — downstream stages consume the
+    # materialized bucketed layout, never re-running the stay windows
     written = spark.read.parquet(stay_dir)
+    written.createOrReplaceTempView("stays")
     stats["stays"] = written.count()
     stats["users_with_stays"] = written.select("user_id") \
                                        .distinct().count()
-    stats["new_partitions"] = len(index)
 
-    # 2-4. aggregate-sized analytics (overwrite: cheap to recompute,
-    # and each is an oracle-checked face run verbatim)
-    od = spark.sql(qreg.QUERIES["od_flows"].spark_sql)
+    # 2-4. aggregate-sized analytics over the stays view (each the
+    # verbatim body SQL of an oracle-checked face; overwrite writes)
+    od = spark.sql("WITH " + _OD_BODY)
     od.write.mode("overwrite").parquet(os.path.join(args.out,
                                                     "od_flows"))
     od_rows = spark.read.parquet(os.path.join(args.out, "od_flows"))
@@ -100,13 +109,18 @@ def main(argv=None) -> None:
     stats["trips_conserved"] = bool(
         stats["od_trips"] == stats["stays"] - stats["users_with_stays"])
 
-    coloc = _colocation_fn(spark, None)
+    sc = spark.sql(_CO_SC_SQL).cache()   # small; both self-join sides
+    sc.createOrReplaceTempView("_traj_sc")
+    coloc = spark.sql(_CO_PAIR_SQL.format(sc="_traj_sc"))
     coloc.write.mode("overwrite").parquet(
         os.path.join(args.out, "colocation_pairs"))
     stats["colocation_pairs"] = spark.read.parquet(
         os.path.join(args.out, "colocation_pairs")).count()
+    sc.unpersist()
 
-    hd = _hausdorff_fn(spark, None)
+    cen = spark.sql(_HD_CEN).localCheckpoint()  # 5x-referenced
+    cen.createOrReplaceTempView("_traj_cen")
+    hd = spark.sql("WITH " + _HD_BODY.strip().format(cen="_traj_cen"))
     hd.write.mode("overwrite").parquet(
         os.path.join(args.out, "similar_users"))
     stats["similar_user_pairs"] = spark.read.parquet(

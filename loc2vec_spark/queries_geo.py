@@ -668,11 +668,11 @@ HAVING COUNT(*) >= 5
 
 _OD_CELL = 12500.0  # 8x8 grid over the 0..99999 derived plane
 
-_OD_SQL = f"""
-WITH stays AS (
-{_STAY_SQL.strip()}
-),
-sc AS (SELECT user_id, first_event,
+# body over a ``stays`` relation (CTE in the oracle face; a registered
+# view of the WRITTEN stay table in jobs/run_trajectory.py, so the job
+# computes the stay pipeline once and every downstream stage reads the
+# materialized relation)
+_OD_BODY = f"""sc AS (SELECT user_id, first_event,
               CAST(FLOOR(sum_px / (n_pts * {_OD_CELL}E0)) AS BIGINT)
                   AS cx,
               CAST(FLOOR(sum_py / (n_pts * {_OD_CELL}E0)) AS BIGINT)
@@ -686,7 +686,13 @@ od AS (SELECT user_id, cx AS ox, cy AS oy,
        FROM sc)
 SELECT ox, oy, dx, dy, CAST(COUNT(*) AS BIGINT) AS n_trips
 FROM od WHERE dx IS NOT NULL
-GROUP BY ox, oy, dx, dy
+GROUP BY ox, oy, dx, dy"""
+
+_OD_SQL = f"""
+WITH stays AS (
+{_STAY_SQL.strip()}
+),
+{_OD_BODY}
 """
 
 

@@ -399,6 +399,10 @@ def geofence_transitions(events: DataFrame,
     'exit'). Rows at-or-behind the frontier are DROPPED — compared
     lexicographically on (ts, event_id), matching the sort key, so
     distinct same-second events advance instead of being swallowed
+    (state-schema note: this 3-column layout replaced a 2-column
+    ts-only frontier; a checkpoint written by the old layout cannot be
+    restored against it — discard the checkpoint directory when
+    upgrading, Spark state schemas are not migratable in place)
     (the late-data contract dedup_stream / join_streams carry;
     state resumes exactly across checkpointed restarts — tested by a
     two-drain run in test_streaming). First sight of a user starts

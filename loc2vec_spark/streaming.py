@@ -396,7 +396,11 @@ def geofence_transitions(events: DataFrame,
     state column). Each microbatch walks the user's rows in
     (ts, event_id) order, recomputes the mask per event, and emits ONE
     row per fence whose membership flipped (transition 'enter' |
-    'exit'). Rows at-or-behind the frontier are DROPPED — compared
+    'exit'). Rows with null/NaN coordinates are dropped before the
+    walk (a position-less ping must not read as 'outside every fence'
+    and fire spurious exits — the quarantine posture every decode path
+    in this repo carries). Rows at-or-behind the frontier are DROPPED
+    — compared
     lexicographically on (ts, event_id), matching the sort key, so
     distinct same-second events advance instead of being swallowed
     (state-schema note: this 3-column layout replaced a 2-column
@@ -427,8 +431,9 @@ def geofence_transitions(events: DataFrame,
         frontier, f_eid, mask = state.get if state.exists else (-1, -1, 0)
         out = []
         if batches:
-            rows = (pd.concat(batches)
-                      .sort_values(["ts", "event_id"]))
+            rows = pd.concat(batches)
+            rows = (rows[rows["lat"].notna() & rows["lon"].notna()]
+                    .sort_values(["ts", "event_id"]))
             for r in rows.itertuples():
                 t_us = int(pd.Timestamp(r.ts).value // 1000)
                 if (t_us, int(r.event_id)) <= (frontier, f_eid):

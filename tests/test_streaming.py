@@ -480,6 +480,10 @@ def test_geofence_transitions_two_drains_resume_and_late_drop(
               ev(3, 1, 2, 17.0, 17.0),
               ev(10, 2, 0, 11.0, 11.0), ev(11, 2, 1, 13.0, 13.0)]
     batch2 = [ev(4, 1, 3, 25.0, 25.0), ev(5, 1, 4, 5.0, 5.0),
+              # position-less ping while u1 is inside f1: must be
+              # dropped, NOT read as outside-everything (which would
+              # fire a spurious f1 exit + re-enter)
+              ev(40, 1, 3.5, float("nan"), 25.0),
               # LATE: behind u2's restored frontier (minute 1) -> drop;
               # would emit a spurious f0 'exit' if processed
               ev(12, 2, 0, 40.0, 40.0),
@@ -508,6 +512,8 @@ def test_geofence_transitions_two_drains_resume_and_late_drop(
     frontier, mask = {}, {}
     exp = []
     for eid, ts, u, lat, lon in batch1 + batch2:
+        if lat != lat or lon != lon:          # NaN position: dropped
+            continue
         t = (ts.timestamp(), eid)
         if t <= frontier.get(u, (-1.0, -1)):
             continue
@@ -531,6 +537,7 @@ def test_geofence_transitions_two_drains_resume_and_late_drop(
     assert (2, 10, 0, "enter") in got         # first-sight enter
     assert (2, 13, 0, "exit") in got          # exit via batch-2 row
     assert not any(r[1] == 12 for r in got)   # late row dropped
+    assert not any(r[1] == 40 for r in got)   # NaN-position row dropped
     with pytest.raises(ValueError, match="fence ids"):
         geofence_transitions(
             spark.readStream.schema(schema).parquet(str(src)),

@@ -76,10 +76,14 @@ def main(argv=None) -> None:
 
     # 1. stay relation — computed ONCE; resumable write bucketed by
     # the centroid's full (gx, gy) coarse cell (the shared _HD_GRID
-    # idiom as one expression: exact integer centroid, then the 8x8
-    # cell id gx*8 + gy)
+    # idiom as one expression: exact integer centroid, then the cell
+    # id gx*9 + gy — base NINE, not eight: a dwell anchor at the
+    # 99999 plane edge with positive mean jitter puts the centroid
+    # past 100000, so gx/gy reach 8 on the boundary block and a *8
+    # id would alias (0,8) with (1,0) and co-bucket unrelated cells
+    # (review r5)
     cell = (f"CAST((sum_px - sum_px % n_pts) / n_pts "
-            f"/ {_HD_GRID} AS BIGINT) * 8 "
+            f"/ {_HD_GRID} AS BIGINT) * 9 "
             f"+ CAST((sum_py - sum_py % n_pts) / n_pts "
             f"/ {_HD_GRID} AS BIGINT)")
     stays = spark.sql(qreg.QUERIES["stay_points"].spark_sql) \

@@ -291,6 +291,11 @@ def geohash_encode(lat, lon, precision: int = 8):
     wraps (180 -> -180), latitude clamps, matching :func:`ij_sql`'s
     conventions. Prefix law (property-tested): truncating a geohash is
     the geohash of the same point at lower precision."""
+    if not 1 <= precision <= 12:
+        # 5*p bits accumulate in ONE int64; p=12 -> 60 bits is the
+        # last exact width (p>=13 shifts past bit 63 — numpy shifts
+        # >= 64 are undefined and would return garbage, not raise)
+        raise ValueError(f"precision {precision} outside 1..12")
     lat = np.asarray(lat, dtype=np.float64)
     lon = np.asarray(lon, dtype=np.float64)
     nbits = 5 * precision

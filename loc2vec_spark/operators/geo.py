@@ -176,10 +176,11 @@ def compact_cells_df(df: DataFrame, cell_col: str = "cell",
     Scale shape: the loop runs on the aggregated DISTINCT surface
     (#occupied-cells rows, orders below the input at 100 TB); each level
     is ONE groupBy on the shrinking parent key + one left_anti equi-join.
-    With ``persist=True`` (default) each level's full-parent set is
-    cached and counted — the count materializes the cache before its
-    two reads (anti-join + next level) and stops the loop at the first
-    level with no complete sibling group, exactly like the numpy face;
+    Every level is counted and the loop stops at the first level with
+    no complete sibling group, exactly like the numpy face, under BOTH
+    lifecycles. With ``persist=True`` (default) the count also
+    materializes each level's cached full-parent set before its two
+    reads (anti-join + next level);
     the per-level caches are MEMORY_AND_DISK on the shrinking parent
     surface and release with the session. No driver-side cell data
     beyond the input-resolution scalar and one count per level.
@@ -217,8 +218,14 @@ def compact_cells_df(df: DataFrame, cell_col: str = "cell",
                 .select(F.col("parent").alias("cell")))
         if persist:
             full = full.persist()
-            if full.count() == 0:
-                break  # no complete group left — nothing above changes
+        # early stop runs in BOTH lifecycles (review r5: it used to be
+        # persist-only, so persist=False silently stacked every level
+        # down to min_res even after compaction was exhausted); under
+        # persist the count also materializes the cache for its two
+        # downstream reads, without it the count is the price of a
+        # bounded plan depth
+        if full.count() == 0:
+            break  # no complete group left — nothing above changes
         rem = (par.join(full.select(F.col("cell").alias("parent")),
                         "parent", "left_anti").select("cell"))
         out = tag(rem, res) if out is None else \
@@ -268,6 +275,14 @@ def dwithin_join(left: DataFrame, right: DataFrame, *, radius: float,
     named differently for a self-join and filter ``id_a < id_b``
     downstream. Oracle face ``dwithin_join`` in queries_geo.py checks
     it against the brute-force theta join at sf0.01."""
+    if res < 2:
+        # with n = 2^res < 4 columns the stencil's -1/+1 longitude
+        # offsets alias modulo n ((ci-1) % 2 == (ci+1) % 2), so a
+        # neighbor-column pair would join twice and the returned pair
+        # relation would carry exact duplicate rows
+        raise ValueError(
+            f"res {res} < 2: the 3x3 stencil needs >= 4 longitude "
+            f"columns for its offsets to stay distinct modulo 2^res")
     if radius > 180.0 / (1 << res):
         raise ValueError(
             f"radius {radius} exceeds the res-{res} cell extent "

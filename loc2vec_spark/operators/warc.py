@@ -243,7 +243,13 @@ def read_warc(spark: SparkSession, path: str, *,
     """WARC archive glob -> ``(good, quarantine)`` DataFrames.
 
     good: (path, uri, warc_date, status, content_type, body) — one row
-    per clean response record. quarantine: (path, err) — one row per
+    per cleanly parsed record of ANY WARC type (request/metadata/
+    conversion records land here too, with ``status`` NULL when the
+    payload carries no HTTP status line — WET-style conversion records
+    are the common case; filter on ``status IS NOT NULL`` or
+    content_type for response-only views, as jobs/run_crawl.py's
+    funnel does with a NULL-coalesced key). quarantine: (path, err) —
+    one row per
     archive whose walk hit a corruption, after salvaging the records
     that preceded it (parse_warc_safe). Same contract as
     ``sources.read_documents``: a bad shard of 10^12 must neither kill

@@ -616,18 +616,28 @@ WHERE {d2} <= {_DW_RADIUS * _DW_RADIUS}
 # one grouped aggregate — no joins, no Python.
 # ---------------------------------------------------------------------------
 
-_STAY_SQL = """
+# The ONE derived-trajectory plane every trajectory face rides (stays/
+# OD/co-location AND spike/resample/intersection must describe the SAME
+# trajectories): per-user dwell blocks of 10 events anchored by a
+# 2654435761/40503 mixed hash, +-0..4 per-event jitter. Declared once —
+# a constant tweaked in a per-face copy would silently decouple the
+# relations (review r5), so the faces interpolate these fragments
+# instead of restating them.
+_TRAJ_PX = """((user_id * 2654435761
+                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 40503
+                 + 17) % 100000) + (event_id * 101) % 5"""
+_TRAJ_PY = """((user_id * 40503
+                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 2654435761
+                 + 71) % 100000) + (event_id * 211) % 5"""
+
+_STAY_SQL = f"""
 WITH ord AS (SELECT user_id, event_id, ts,
                     ROW_NUMBER() OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS rn
              FROM events),
 pos AS (SELECT user_id, event_id, rn,
-               ((user_id * 2654435761
-                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 40503
-                 + 17) % 100000) + (event_id * 101) % 5 AS px,
-               ((user_id * 40503
-                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 2654435761
-                 + 71) % 100000) + (event_id * 211) % 5 AS py
+               {_TRAJ_PX} AS px,
+               {_TRAJ_PY} AS py
         FROM ord),
 st AS (SELECT user_id, event_id, rn, px, py,
               CASE WHEN (px - LAG(px) OVER (PARTITION BY user_id
@@ -666,7 +676,11 @@ HAVING COUNT(*) >= 5
 # trips over 199 OD cells, max count 15.
 # ---------------------------------------------------------------------------
 
-_OD_CELL = 12500.0  # 8x8 grid over the 0..99999 derived plane
+# 8x8 grid over the 0..99999 derived plane — plus a boundary col/row 8:
+# a dwell anchor at the 99999 edge with positive mean jitter can push a
+# stay centroid past 100000, so consumers must treat cell indexes as
+# 0..8, not 0..7 (jobs/run_trajectory.py buckets with base 9 for this)
+_OD_CELL = 12500.0
 
 # body over a ``stays`` relation (CTE in the oracle face; a registered
 # view of the WRITTEN stay table in jobs/run_trajectory.py, so the job
@@ -912,13 +926,9 @@ WITH ord AS (SELECT user_id, event_id,
                                        ORDER BY ts, event_id) AS rn
              FROM events),
 pos AS (SELECT user_id, event_id, rn,
-               ((user_id * 2654435761
-                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 40503
-                 + 17) % 100000) + (event_id * 101) % 5
+               {_TRAJ_PX}
                + CASE WHEN event_id % 17 = 0 THEN 40000 ELSE 0 END AS px,
-               ((user_id * 40503
-                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 2654435761
-                 + 71) % 100000) + (event_id * 211) % 5
+               {_TRAJ_PY}
                + CASE WHEN event_id % 23 = 0 THEN -40000 ELSE 0 END AS py
         FROM ord),
 nb AS (SELECT user_id, event_id, rn, px, py,
@@ -970,12 +980,8 @@ WITH ord AS (SELECT user_id, event_id, ts, {epoch} AS t,
                                        ORDER BY ts, event_id) AS rn
              FROM events),
 pos AS (SELECT user_id, rn, t,
-               ((user_id * 2654435761
-                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 40503
-                 + 17) % 100000) + (event_id * 101) % 5 AS px,
-               ((user_id * 40503
-                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 2654435761
-                 + 71) % 100000) + (event_id * 211) % 5 AS py
+               {px} AS px,
+               {py} AS py
         FROM ord),
 seg AS (SELECT user_id, t, px, py,
                LEAD(t)  OVER (PARTITION BY user_id ORDER BY rn) AS t1,
@@ -998,13 +1004,13 @@ FROM ticks
 _RESAMPLE_SPARK = _RESAMPLE_TMPL.format(
     epoch="unix_micros(CAST(ts AS TIMESTAMP))",
     series=f"EXPLODE(SEQUENCE(t DIV {_RS_STEP} + 1, t1 DIV {_RS_STEP}))",
-    div="DIV", step=_RS_STEP)
+    div="DIV", step=_RS_STEP, px=_TRAJ_PX, py=_TRAJ_PY)
 
 _RESAMPLE_DUCK = _RESAMPLE_TMPL.format(
     epoch="epoch_us(ts)",
     series=(f"UNNEST(generate_series(t // {_RS_STEP} + 1, "
             f"t1 // {_RS_STEP}))"),
-    div="//", step=_RS_STEP)
+    div="//", step=_RS_STEP, px=_TRAJ_PX, py=_TRAJ_PY)
 
 
 # ---------------------------------------------------------------------------
@@ -1062,7 +1068,8 @@ FROM r WHERE rk = 1
 # divisible), so the whole relation is integer-deterministic.
 # ---------------------------------------------------------------------------
 
-_HD_GRID = 12500          # same 8x8 coarse plane as od_flows
+_HD_GRID = 12500   # same coarse plane as od_flows (cells 0..8 — see
+                   # the _OD_CELL boundary note)
 _HD_TH = 400_000_000      # 20,000^2
 
 _HD_CEN = f"""SELECT user_id, first_event,
@@ -1141,18 +1148,14 @@ def _hausdorff_fn(spark, sf_dir):
 # repo already ships. Identical SQL both engines.
 # ---------------------------------------------------------------------------
 
-_SEGX_SQL = """
+_SEGX_SQL = f"""
 WITH ord AS (SELECT user_id, event_id, ts,
                     ROW_NUMBER() OVER (PARTITION BY user_id
                                        ORDER BY ts, event_id) AS rn
              FROM events),
 pos AS (SELECT user_id, rn,
-               ((user_id * 2654435761
-                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 40503
-                 + 17) % 100000) + (event_id * 101) % 5 AS px,
-               ((user_id * 40503
-                 + CAST(FLOOR((rn - 1) / 10.0E0) AS BIGINT) * 2654435761
-                 + 71) % 100000) + (event_id * 211) % 5 AS py
+               {_TRAJ_PX} AS px,
+               {_TRAJ_PY} AS py
         FROM ord),
 edges AS (SELECT user_id, rn, px AS ax, py AS ay,
                  LEAD(px) OVER (PARTITION BY user_id ORDER BY rn) AS ex,

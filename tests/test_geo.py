@@ -566,7 +566,10 @@ def test_od_flows_trip_conservation(spark):
     assert expect_trips > 0
     assert int(od.n_trips.sum()) == expect_trips
     for c in ("ox", "oy", "dx", "dy"):
-        assert od[c].between(0, 7).all()
+        # 0..8, not 0..7: an edge-anchored dwell block's centroid can
+        # pass 100000 (anchor 99999 + positive mean jitter), landing
+        # in the boundary col/row 8 — see the _OD_CELL note
+        assert od[c].between(0, 8).all()
 
 
 def test_colocation_pairs_matches_pandas_replay(spark):

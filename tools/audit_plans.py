@@ -717,7 +717,7 @@ def main() -> None:
         ("tick expansion is a Generate (explode) node — work is "
          "proportional to emitted ticks, never a tick x segment range "
          "join", srs["ops"].get("Generate", 0) >= 1
-         and ssp["bhj"] + srs["smj"] + srs["bnlj"] == 0),
+         and srs["bhj"] + srs["smj"] + srs["bnlj"] == 0),
         ("no cartesian, no Python crossing",
          "CartesianProduct" not in prs and srs["python"] == 0),
         ("single scan of the events input",

@@ -37,16 +37,28 @@ from ..png_codec import decode_png, encode_png
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Magic-sniffing image decode: PNG (`png_codec`) or baseline JPEG
-    (`operators/jpeg.py`) -> uint8 (H, W) | (H, W, 3). The reference
-    accepts both through torchvision's read_image
+    """Magic-sniffing image decode: PNG (`png_codec`), baseline +
+    progressive JPEG (`operators/jpeg.py`), GIF (`operators/gif.py`,
+    first composed frame), BMP (`operators/bmp.py`), or baseline TIFF
+    (`operators/tiff.py`) -> uint8 (H, W) | (H, W, 3). The reference
+    accepts its formats through torchvision's read_image
     (/root/reference/src/loc2vec/data_loading.py:124); every image
-    operator below routes through this, so JPEG tiles flow the whole
-    pipeline (stats, quality, phash, augmentation). Unknown magic
-    raises -> the caller's quarantine path."""
+    operator below routes through this, so tiles in ANY of the five
+    formats flow the whole pipeline (stats, quality, phash, resize,
+    augmentation). Unknown magic raises -> the caller's quarantine
+    path."""
     if data[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
         return decode_jpeg(data)
+    if data[:4] == b"GIF8":
+        from .gif import decode_gif
+        return decode_gif(data)
+    if data[:2] == b"BM":
+        from .bmp import decode_bmp
+        return decode_bmp(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+        return decode_tiff(data)
     return decode_png(data)
 
 

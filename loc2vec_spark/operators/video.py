@@ -111,17 +111,22 @@ def decode_y4m(data: bytes) -> tuple[float, np.ndarray]:
 
 
 def decode_video(data: bytes) -> tuple[float, np.ndarray]:
-    """Magic-sniffing video decode: Y4M (here) or MP4 (:mod:`.mp4`,
-    Motion-JPEG tracks) -> (fps, (n, h, w) uint8 luma frames). The
-    video analog of ``images.decode_image``; every video operator
-    below routes through this. Unknown/undecodable input raises ->
-    the caller's quarantine path."""
+    """Magic-sniffing video decode: Y4M (here), MP4 (:mod:`.mp4`,
+    Motion-JPEG tracks), or animated GIF (:mod:`.gif`, composed
+    frames reduced to BT.601 luma) -> (fps, (n, h, w) uint8 luma
+    frames). The video analog of ``images.decode_image``; every video
+    operator below routes through this. Unknown/undecodable input
+    raises -> the caller's quarantine path."""
     if data.startswith(_MAGIC):
         return decode_y4m(data)
     if len(data) >= 12 and data[4:8] == b"ftyp":
         from .mp4 import decode_mp4
         return decode_mp4(data)
-    raise ValueError("unknown video container (not Y4M or ISO-BMFF)")
+    if data[:4] == b"GIF8":
+        from .gif import gif_frames
+        return gif_frames(data)
+    raise ValueError("unknown video container "
+                     "(not Y4M, ISO-BMFF, or GIF)")
 
 
 STATS_SCHEMA = T.StructType([

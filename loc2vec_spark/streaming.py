@@ -69,7 +69,11 @@ def quarantine_split(images: DataFrame) -> tuple[DataFrame, DataFrame]:
     # BOTH filter(ok) and filter(~ok) — the row would vanish from good
     # AND dead-letter, which is exactly the silent drop this split exists
     # to prevent
-    fmt_ok = F.coalesce(F.col("fmt").isin("png", "jpg"), F.lit(False))
+    # every format decode_image sniffs (PNG/JPEG/GIF/BMP/TIFF) is a
+    # good row; anything else dead-letters as bad_format
+    fmt_ok = F.coalesce(
+        F.col("fmt").isin("png", "jpg", "gif", "bmp", "tif"),
+        F.lit(False))
     ok = F.coalesce(
         F.col("lat").isNotNull() & F.col("lon").isNotNull()
         & fmt_ok & (F.col("w") > 0) & (F.col("h") > 0), F.lit(False))

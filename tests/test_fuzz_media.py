@@ -8,9 +8,12 @@ buffer before any entropy check could fail; review r4)."""
 import numpy as np
 import pytest
 
+from loc2vec_spark.operators import bmp as B
+from loc2vec_spark.operators import gif as G
 from loc2vec_spark.operators import jpeg as J
 from loc2vec_spark.operators import mp3 as A
 from loc2vec_spark.operators import mp4 as M
+from loc2vec_spark.operators import tiff as TF
 from loc2vec_spark.operators import video as V
 from loc2vec_spark.png_codec import decode_png, encode_png
 
@@ -157,3 +160,31 @@ def test_png_decode_cap_and_bomb_refused():
            + chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="inflates"):
         P.decode_png(png)
+
+@pytest.mark.parametrize("seed,make", [
+    (71, lambda: G.encode_gif(_rgb() // 32 * 32)),        # <=256 colors
+    (72, lambda: G.encode_gif(_gray() // 16 * 16, interlace=True)),
+    (73, lambda: G.encode_gif(
+        np.stack([_gray(16, 16) // 16 * 16,
+                  _gray(16, 16, 8) // 16 * 16]), delay_cs=4)),
+])
+def test_gif_fuzz_contract(seed, make):
+    _assert_contract(G.decode_gif, make(), seed)
+    _assert_contract(lambda b: G.gif_frames(b), make(), seed + 100)
+
+
+@pytest.mark.parametrize("seed,make", [
+    (81, lambda: B.encode_bmp(_rgb())),
+    (82, lambda: B.encode_bmp(_gray())),
+])
+def test_bmp_fuzz_contract(seed, make):
+    _assert_contract(B.decode_bmp, make(), seed)
+
+
+@pytest.mark.parametrize("seed,make", [
+    (91, lambda: TF.encode_tiff(_rgb())),
+    (92, lambda: TF.encode_tiff(_gray(), packbits=True,
+                                rows_per_strip=7)),
+])
+def test_tiff_fuzz_contract(seed, make):
+    _assert_contract(TF.decode_tiff, make(), seed)

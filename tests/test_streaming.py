@@ -56,12 +56,16 @@ def test_incremental_tiling_resumes_from_checkpoint(spark, img_src,
 def test_quarantine_split_routes_bad_rows(spark):
     rows = [
         ("ok1", b"x", 8, 8, "png", "tile at lat=10.5 lon=20.25", 7),
-        ("bad_fmt", b"x", 8, 8, "bmp", "tile at lat=10.5 lon=20.25", 8),
+        # every decode_image-sniffed format is a good row — bmp/gif
+        # moved from bad_format to good when their codecs landed
+        ("ok2", b"x", 8, 8, "gif", "tile at lat=10.5 lon=20.25", 10),
+        ("bad_fmt", b"x", 8, 8, "webp",
+         "tile at lat=10.5 lon=20.25", 8),
         ("bad_cap", b"x", 8, 8, "png", "no coordinates here", 9),
     ]
     df = spark.createDataFrame(rows, streaming.IMAGES_SCHEMA)
     good, bad = streaming.quarantine_split(df)
-    assert [r["image_id"] for r in good.collect()] == ["ok1"]
+    assert [r["image_id"] for r in good.collect()] == ["ok1", "ok2"]
     got = {r["image_id"]: r["quarantine_reason"] for r in bad.collect()}
     assert got == {"bad_fmt": "bad_format", "bad_cap": "bad_metadata"}
 

@@ -276,3 +276,25 @@ def test_bmp_tiff_flow_image_pipeline(spark):
         assert out[k]["ok"] and out[k]["h"] == 9
         assert out[k]["mean_px"] == pytest.approx(float(img.mean()))
     assert not out["badb"]["ok"] and not out["badt"]["ok"]
+
+
+def test_bmp_v5_header_palette_offset():
+    """BITMAPV5HEADER (124 bytes): the palette sits at 14 + header
+    size, not at the V1 offset — a decoder pinning 54 reads garbage."""
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    palraw = b"".join(bytes([b, g, r, 0]) for r, g, b in
+                      [(11, 22, 33), (200, 150, 100)])
+    hdr_size = 124
+    stride = 4
+    rows = np.zeros((2, stride), dtype=np.uint8)
+    rows[:, :2] = idx[::-1]
+    pix_off = 14 + hdr_size + len(palraw)
+    hdr = b"BM" + struct.pack("<IHHI", pix_off + rows.size, 0, 0,
+                              pix_off)
+    dib = struct.pack("<IiiHHIIiiII", hdr_size, 2, 2, 1, 8, 0,
+                      rows.size, 0, 0, 2, 0)
+    dib += b"\x00" * (hdr_size - 40)  # V5 extension fields, unused
+    data = hdr + dib + palraw + rows.tobytes()
+    exp = np.array([[11, 22, 33], [200, 150, 100]],
+                   dtype=np.uint8)[idx]
+    assert np.array_equal(decode_bmp(data), exp)

@@ -210,3 +210,66 @@ def test_animated_gif_flows_video_pipeline(spark):
     assert r["ok"] and r["n_frames"] == 6
     assert (r["h"], r["w"]) == (10, 14)
     assert r["fps"] == pytest.approx(25.0)
+
+
+def _gif3(disposal2=3):
+    """Hand-built 3-frame 2x2 GIF: frame 1 red (idx 1), frame 2 green
+    (idx 2) with disposal ``disposal2``, frame 3 all-transparent.
+    With disposal 3 (restore previous) the composed frame 3 must show
+    frame 1's canvas again; with disposal 0 it shows frame 2's."""
+    pal = (b"\x00\x00\x00" b"\xff\x00\x00" b"\x00\xff\x00"
+           b"\x00\x00\xff")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x81, 0, 0)
+    out += pal
+    specs = [(1, 0, None), (2, disposal2, None), (0, 0, 0)]
+    for idx_val, disp, transparent in specs:
+        flags = disp << 2
+        tr = 0
+        if transparent is not None:
+            flags |= 1
+            tr = transparent
+        out += b"\x21\xf9\x04" + bytes([flags]) + b"\x0a\x00" \
+            + bytes([tr]) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, 0)
+        lzw = _lzw_encode(bytes([idx_val] * 4), 2)
+        out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_disposal_restore_previous():
+    _, luma = gif_frames(_gif3(disposal2=3))
+    red = int(np.rint(0.299 * 255))
+    green = int(np.rint(0.587 * 255))
+    assert luma[0].max() == red and luma[0].min() == red
+    assert luma[1].max() == green
+    # frame 3 painted nothing (all transparent) over the RESTORED
+    # frame-1 canvas
+    assert np.array_equal(luma[2], luma[0])
+    # control: without restore-previous, frame 3 shows frame 2
+    _, luma0 = gif_frames(_gif3(disposal2=0))
+    assert np.array_equal(luma0[2], luma0[1])
+
+
+def test_local_color_table_overrides_global():
+    """Frame 2 carries its own LCT where index 1 is blue, not red."""
+    gct = (b"\x00\x00\x00" b"\xff\x00\x00" b"\x00\xff\x00"
+           b"\x00\x00\xff")
+    lct = (b"\x00\x00\x00" b"\x00\x00\xff" b"\x00\xff\x00"
+           b"\xff\x00\x00")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x81, 0, 0) + gct
+    for k in range(2):
+        ipacked = 0x81 if k == 1 else 0  # frame 2: LCT, 4 colors
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 2, ipacked)
+        if k == 1:
+            out += lct
+        lzw = _lzw_encode(bytes([1] * 4), 2)
+        out += bytes([2, len(lzw)]) + lzw + b"\x00"
+    out += b"\x3b"
+    fps, luma = gif_frames(bytes(out))
+    red = int(np.rint(0.299 * 255))
+    blue = int(np.rint(0.114 * 255))
+    assert luma[0].max() == red
+    assert luma[1].max() == blue

@@ -317,6 +317,75 @@ def image_quality(images: DataFrame) -> DataFrame:
         "bytes IS NOT NULL").mapInPandas(gen, QUALITY_SCHEMA)
 
 
+BORDER_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("ok", T.BooleanType()),
+    T.StructField("top", T.IntegerType()),
+    T.StructField("bottom", T.IntegerType()),   # exclusive crop row
+    T.StructField("left", T.IntegerType()),
+    T.StructField("right", T.IntegerType()),    # exclusive crop col
+    T.StructField("border_frac", T.DoubleType()),
+])
+
+
+def border_box(arr: np.ndarray, tol: int = 8) -> tuple[int, int, int,
+                                                       int]:
+    """Minimal crop box (top, bottom, left, right — half-open) that
+    removes uniform letterbox/pillarbox borders.
+
+    The border color anchors on the four CORNER pixels' median luma;
+    an edge row/col is border while every pixel sits within ``tol`` of
+    it. Pure numpy, one pass per side. A fully uniform image
+    degenerates to an empty box (0, 0, 0, 0) — the caller's signal
+    that there is no content at all."""
+    lum = _luma(arr).astype(np.int16)
+    h, w = lum.shape
+    ref = int(np.median([lum[0, 0], lum[0, -1],
+                         lum[-1, 0], lum[-1, -1]]))
+    row_is = (np.abs(lum - ref) <= tol).all(axis=1)
+    col_is = (np.abs(lum - ref) <= tol).all(axis=0)
+    content_rows = np.flatnonzero(~row_is)
+    content_cols = np.flatnonzero(~col_is)
+    if content_rows.size == 0 or content_cols.size == 0:
+        return 0, 0, 0, 0
+    return (int(content_rows[0]), int(content_rows[-1]) + 1,
+            int(content_cols[0]), int(content_cols[-1]) + 1)
+
+
+def detect_borders(images: DataFrame, *, tol: int = 8) -> DataFrame:
+    """Uniform-border (letterbox/pillarbox/padding) detection — the
+    crop stage a dedup pipeline runs BEFORE phash/embedding, because
+    a padded re-post of the same picture shifts every DCT coefficient
+    and defeats near-dup detection while the cropped content is
+    byte-identical.
+
+    Emits the crop box + ``border_frac`` (fraction of pixels the
+    borders occupy; 1.0 = fully uniform image, a filterable artifact
+    in its own right). Corrupt rows quarantine as ok=false. Arrow
+    batches end-to-end; the decode rides the same magic sniff as
+    every other image operator."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for iid, data in zip(pdf["image_id"], pdf["bytes"]):
+                try:
+                    arr = decode_image(bytes(data))
+                    t, b, le, r = border_box(arr, tol=tol)
+                    hw = arr.shape[0] * arr.shape[1]
+                    frac = 1.0 - ((b - t) * (r - le)) / hw
+                    out.append((iid, True, t, b, le, r,
+                                round(frac, 6)))
+                except Exception:
+                    out.append((iid, False, None, None, None, None,
+                                None))
+            yield pd.DataFrame(
+                out, columns=[f.name for f in BORDER_SCHEMA])
+
+    return images.select("image_id", "bytes").filter(
+        "bytes IS NOT NULL").mapInPandas(gen, BORDER_SCHEMA)
+
+
 AUGMENT_SCHEMA = T.StructType([
     T.StructField("image_id", T.StringType()),
     T.StructField("base_id", T.StringType()),

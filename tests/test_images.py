@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 from loc2vec_spark import fixtures
 from loc2vec_spark.operators import images as img_ops
 from loc2vec_spark.packaging import build_pyfiles_zip, ensure_workers_can_import
-from loc2vec_spark.png_codec import decode_png, psnr
+from loc2vec_spark.png_codec import decode_png, encode_png, psnr
 
 
 @pytest.fixture(scope="module")
@@ -258,3 +258,55 @@ def test_image_resize_face_matches_spark_sql_replay(spark):
     wgt = 1 + (rr * 31 + cc * 17) % 97
     assert int(got[got.vec_id == v].pix_checksum.iloc[0]) \
         == int((small * wgt).sum())
+
+
+def test_border_box_kernel():
+    from loc2vec_spark.operators.images import border_box
+    rng = np.random.default_rng(13)
+    # letterbox: 4 black rows top/bottom around busy content
+    content = rng.integers(60, 220, (10, 16, 3), dtype=np.uint8)
+    img = np.zeros((18, 16, 3), dtype=np.uint8)
+    img[4:14] = content
+    assert border_box(img) == (4, 14, 0, 16)
+    # pillarbox: white columns, white corners anchor the reference
+    img2 = np.full((10, 20, 3), 255, dtype=np.uint8)
+    img2[:, 5:15] = content[:, :10]
+    assert border_box(img2) == (0, 10, 5, 15)
+    # no border: content reaches every edge
+    busy = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
+    busy[0, 0] = busy[0, -1] = busy[-1, 0] = busy[-1, -1] = 0
+    busy[0, 1] = 255  # corner-colored corners but a busy first row
+    assert border_box(busy) == (0, 9, 0, 9)
+    # fully uniform image degenerates to the empty box
+    assert border_box(np.full((8, 8), 7, dtype=np.uint8)) == \
+        (0, 0, 0, 0)
+    # tolerance: near-black noise in the bars still counts as border
+    img3 = img.copy()
+    img3[0:4] += rng.integers(0, 5, (4, 16, 3)).astype(np.uint8)
+    assert border_box(img3, tol=8) == (4, 14, 0, 16)
+
+
+def test_detect_borders_operator(spark):
+    """Letterboxed re-encodes crop back to the same content box across
+    formats; corrupt rows quarantine."""
+    from loc2vec_spark.operators.gif import encode_gif
+    from loc2vec_spark.operators.images import detect_borders
+    rng = np.random.default_rng(14)
+    pal = rng.integers(30, 230, (8, 3), dtype=np.uint8)
+    content = pal[rng.integers(0, 8, (10, 12))]
+    img = np.zeros((16, 12, 3), dtype=np.uint8)
+    img[3:13] = content
+    rows = [
+        ("png", bytearray(encode_png(img))),
+        ("gif", bytearray(encode_gif(img))),
+        ("clean", bytearray(encode_png(content))),
+        ("corrupt", bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)),
+    ]
+    df = spark.createDataFrame(rows, "image_id STRING, bytes BINARY")
+    out = {r["image_id"]: r for r in detect_borders(df).collect()}
+    for k in ("png", "gif"):
+        assert out[k]["ok"]
+        assert (out[k]["top"], out[k]["bottom"]) == (3, 13)
+        assert out[k]["border_frac"] == pytest.approx(6 * 12 / (16.0 * 12))
+    assert out["clean"]["border_frac"] == 0.0
+    assert not out["corrupt"]["ok"]

@@ -100,21 +100,46 @@ def main(argv=None) -> None:
     stats["records_walked"] = sum(funnel.values())
     stats["skipped_non_html"] = funnel.get(False, 0)
 
-    pages = good.filter(is_html).withColumn(
+    # URL-level dedup BEFORE paying to parse: re-crawls and tracked
+    # variants of the same page (scheme case, utm_* params, fragments,
+    # trailing slashes) collapse on the canonical URL — the earliest
+    # (warc_date, uri) fetch wins deterministically. Malformed URLs
+    # canonicalize to NULL and each stays its own row (a parse failure
+    # must not glue unrelated pages together). One body shuffle on the
+    # canonical key — the unavoidable cost of picking ONE body per
+    # page; everything downstream then parses each page once.
+    from pyspark.sql import Window
+
+    from loc2vec_spark.operators.url import canonicalize_urls
+
+    pages = canonicalize_urls(good.filter(is_html), "uri")
+    ukey = F.coalesce("canon_url", "uri")
+    wnd = Window.partitionBy(ukey).orderBy("warc_date", "uri")
+    pages = (pages.withColumn("_rk", F.row_number().over(wnd))
+                  .filter("_rk = 1").drop("_rk"))
+    pages = pages.withColumn(
         "ex", html_extract_udf()(F.col("body").cast("string")))
     docs = pages.select(
+        # doc_id stays a pure function of the RAW uri (re-crawl
+        # stable, resume-layout stable); canon_url rides along for
+        # downstream URL analytics
         F.xxhash64("uri").alias("doc_id"),
         F.col("ex.text").alias("text"),
         F.lit(None).cast("string").alias("lang"),
-        F.regexp_extract("uri", r"^[a-z]+://([^/]+)", 1).alias("source"),
+        F.coalesce(
+            F.col("host"),
+            F.regexp_extract("uri", r"^[a-z]+://([^/]+)", 1))
+         .alias("source"),
         F.length("ex.text").cast("bigint").alias("n_chars"),
         F.col("ex.title").alias("title"),
-        "uri", "warc_date")
-    kept = docs.filter(F.col("n_chars") >= args.min_chars).cache()
+        "uri", "canon_url", "warc_date").cache()
+    html_unique = docs.count()
+    stats["url_duplicates"] = (stats["records_walked"]
+                               - stats["skipped_non_html"]
+                               - html_unique)
+    kept = docs.filter(F.col("n_chars") >= args.min_chars)
     stats["documents"] = kept.count()
-    stats["dropped_short"] = (stats["records_walked"]
-                              - stats["skipped_non_html"]
-                              - stats["documents"])
+    stats["dropped_short"] = html_unique - stats["documents"]
 
     # resumable bucketed write, same layout contract as run_corpus
     out_df = kept.withColumn(
@@ -124,7 +149,7 @@ def main(argv=None) -> None:
                                     cell_col="bucket", id_col="doc_id")
     stats["written_docs"] = sum(r["rows"] for r in index.values())
     stats["partitions"] = len(index)
-    kept.unpersist()
+    docs.unpersist()
 
     print(json.dumps(stats))
     if not args.keep_session:

@@ -426,3 +426,59 @@ def test_run_trajectory_end_to_end(spark, tmp_path):
              ["--events", src, "--out", out, "--keep-session"], spark)
     assert spark.read.parquet(
         os.path.join(out, "stay_points")).count() == n_stays
+
+
+def test_run_crawl_url_dedup(spark, tmp_path):
+    """Tracked/re-crawled variants of one page collapse on the
+    canonical URL before extraction; the earliest fetch wins; the
+    funnel counts the drops."""
+    import importlib.util
+    import os as _os
+
+    from loc2vec_spark.operators.warc import build_warc
+
+    page = (b"<html><head><title>T</title></head>"
+            b"<body><p>the content</p></body></html>")
+    recs = [
+        {"uri": "http://Site.test/a?utm_source=mail",
+         "date": "2026-02-02T00:00:00Z", "status": 200,
+         "content_type": "text/html", "body": page},
+        {"uri": "http://site.test/a",                 # earliest fetch
+         "date": "2026-02-01T00:00:00Z", "status": 200,
+         "content_type": "text/html", "body": page},
+        {"uri": "http://site.test/a/#frag",
+         "date": "2026-02-03T00:00:00Z", "status": 200,
+         "content_type": "text/html", "body": page},
+        {"uri": "http://other.test/b",
+         "date": "2026-02-01T00:00:00Z", "status": 200,
+         "content_type": "text/html", "body": page},
+        {"uri": "%%%not-a-url",                       # NULL canon:
+         "date": "2026-02-01T00:00:00Z", "status": 200,  # own keeper
+         "content_type": "text/html", "body": page},
+    ]
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    (wdir / "a.warc").write_bytes(build_warc(recs, gzip_members=False))
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "crawlmod3", _os.path.join(repo, "jobs", "run_crawl.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "out")
+    stats = mod.main(["--warc", str(wdir / "*"), "--out", out,
+                      "--keep-session"])
+
+    assert stats["records_walked"] == 5
+    assert stats["url_duplicates"] == 2
+    assert stats["documents"] == 3
+    docs = spark.read.parquet(_os.path.join(out, "documents"))
+    uris = {r["uri"] for r in docs.collect()}
+    # the earliest (warc_date, uri) fetch of the duplicated page won
+    assert uris == {"http://site.test/a", "http://other.test/b",
+                    "%%%not-a-url"}
+    canon = {r["uri"]: r["canon_url"] for r in docs.collect()}
+    assert canon["http://site.test/a"] == "http://site.test/a"
+    assert canon["%%%not-a-url"] is None
+    src = {r["uri"]: r["source"] for r in docs.collect()}
+    assert src["http://site.test/a"] == "site.test"

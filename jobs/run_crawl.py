@@ -105,18 +105,27 @@ def main(argv=None) -> None:
     # trailing slashes) collapse on the canonical URL — the earliest
     # (warc_date, uri) fetch wins deterministically. Malformed URLs
     # canonicalize to NULL and each stays its own row (a parse failure
-    # must not glue unrelated pages together). One body shuffle on the
-    # canonical key — the unavoidable cost of picking ONE body per
-    # page; everything downstream then parses each page once.
+    # must not glue unrelated pages together). Plan shape (review r5:
+    # bodies never cross Arrow for a uri-only computation): canonical
+    # keys compute on the DISTINCT (uri, warc_date) projection, the
+    # winner per key is a window top-1 over that small relation, and
+    # the bodies shuffle ONCE in the join back — the unavoidable cost
+    # of picking one body per page. Exact twin records (same uri AND
+    # date) both pass the join; their doc_ids collide and the
+    # post-extraction doc_id dedup below collapses them on the small
+    # extracted frame, not the raw bodies.
     from pyspark.sql import Window
 
     from loc2vec_spark.operators.url import canonicalize_urls
 
-    pages = canonicalize_urls(good.filter(is_html), "uri")
+    html = good.filter(is_html)
+    proj = canonicalize_urls(
+        html.select("uri", "warc_date").distinct(), "uri")
     ukey = F.coalesce("canon_url", "uri")
     wnd = Window.partitionBy(ukey).orderBy("warc_date", "uri")
-    pages = (pages.withColumn("_rk", F.row_number().over(wnd))
-                  .filter("_rk = 1").drop("_rk"))
+    winners = (proj.withColumn("_rk", F.row_number().over(wnd))
+                   .filter("_rk = 1").drop("_rk"))
+    pages = html.join(winners, ["uri", "warc_date"])
     pages = pages.withColumn(
         "ex", html_extract_udf()(F.col("body").cast("string")))
     docs = pages.select(
@@ -132,7 +141,8 @@ def main(argv=None) -> None:
          .alias("source"),
         F.length("ex.text").cast("bigint").alias("n_chars"),
         F.col("ex.title").alias("title"),
-        "uri", "canon_url", "warc_date").cache()
+        "uri", "canon_url", "warc_date") \
+        .dropDuplicates(["doc_id"]).cache()
     html_unique = docs.count()
     stats["url_duplicates"] = (stats["records_walked"]
                                - stats["skipped_non_html"]

@@ -13,8 +13,9 @@ to warc_records/html_text_extract):
 events parquet
   -> stay_points        gaps-and-islands dwell detection, computed
      ONCE and lineage-manifest-written bucketed by the centroid's
-     full (gx, gy) coarse cell (gx*8 + gy on the 8x8 plane — the
-     co-location key every downstream stage joins on)
+     full (gx, gy) coarse cell (gx*9 + gy — base 9 because edge-block
+     centroids can land in boundary col/row 8; the co-location key
+     every downstream stage joins on)
   -> the WRITTEN stay relation is read back and registered as the
      ``stays`` view; every downstream stage runs its face's body SQL
      over it, so the 3-window stay pipeline executes exactly once per

@@ -214,10 +214,16 @@ def _subblocks(data: bytes, pos: int) -> tuple[bytes, int]:
         pos += n
 
 
-def _walk(data: bytes):
-    """Yield composed frames. Internal; callers wrap for the
-    ValueError contract. Returns (frames RGB uint8 (n,h,w,3),
-    delays_cs list)."""
+def _walk(data: bytes, max_frames: int | None = None):
+    """Compose frames. Internal; callers wrap for the ValueError
+    contract. Returns (frames RGB uint8 (n,h,w,3), delays_cs list).
+
+    ``max_frames`` stops the walk as soon as that many frames are
+    composed (the static decode_gif face wants exactly one): later
+    frames are neither LZW-decoded nor held, the trailer is not
+    required past the stop point, and the composed-stream pixel cap
+    applies only to the frames actually materialized — a long but
+    valid animation must not quarantine the first-frame face."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF (bad signature)")
     if len(data) < 13:
@@ -316,6 +322,8 @@ def _walk(data: bytes):
             region[:] = px
         frames.append(canvas.copy())
         delays.append(delay_cs)
+        if max_frames is not None and len(frames) >= max_frames:
+            break
         if disposal == 2:
             canvas[iy:iy + ih, ix:ix + iw] = bg_rgb
         elif disposal == 3:
@@ -331,10 +339,13 @@ def decode_gif(data: bytes) -> np.ndarray:
     """GIF bytes -> first composed frame, uint8 (H, W, 3).
 
     The static-image face (``images.decode_image`` routes here on the
-    ``GIF8`` magic). ValueError on every corrupt/truncated/unsupported
-    input — the shared quarantine contract."""
+    ``GIF8`` magic): ONLY the first frame is LZW-decoded and composed
+    — later frames of an animation are never touched, so the work and
+    the pixel cap are per-frame, not per-animation. ValueError on
+    every corrupt/truncated/unsupported input — the shared quarantine
+    contract."""
     try:
-        frames, _ = _walk(data)
+        frames, _ = _walk(data, max_frames=1)
     except (struct.error, IndexError) as e:
         raise ValueError(f"corrupt or truncated GIF: {e!r}") from e
     return frames[0]

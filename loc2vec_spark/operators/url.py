@@ -19,8 +19,8 @@ Canonical form (the common subset of the Safe Browsing / crawler
 canonicalizations — deterministic, no network, no public-suffix
 list): lowercase scheme + host, strip ``www.``, drop default ports
 (80/http, 443/https), resolve ``.``/``..`` path segments, collapse
-``//`` runs, drop the fragment, drop known tracking parameters
-(utm_*, gclid, fbclid, msclkid, ref), sort the surviving query
+``//`` runs, drop the fragment, drop unambiguous tracking parameters
+(utm_*, gclid, fbclid, msclkid), sort the surviving query
 parameters for order-independence, strip a trailing slash on
 non-root paths. Non-http(s) schemes pass through host/path cleanup
 but keep their scheme; inputs without a parseable host -> NULL.
@@ -33,7 +33,11 @@ from urllib.parse import parse_qsl, urlencode, urlsplit
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
-_TRACKING = ("gclid", "fbclid", "msclkid", "ref")
+# unambiguous tracking params only: ?ref= is FUNCTIONAL on real sites
+# (git forges, docs version pickers), and collapsing it would merge
+# genuinely different pages — false-positive dedup is data loss,
+# strictly worse than a missed dedup (review r5)
+_TRACKING = ("gclid", "fbclid", "msclkid")
 
 
 def _clean_path(path: str) -> str:
@@ -49,31 +53,33 @@ def _clean_path(path: str) -> str:
     return "/" + "/".join(segs)
 
 
-def canonicalize(url: str) -> str | None:
-    """One URL -> canonical string, or None when unparseable/hostless.
-
-    Deterministic and idempotent (property-tested):
-    canonicalize(canonicalize(u)) == canonicalize(u)."""
+def _canonical_parts(url: str) -> tuple[str | None, str | None]:
+    """(canonical URL, canonical host) — host is an intermediate of
+    the canonicalization, exposed so the operator never parses a URL
+    twice. (None, None) when unparseable/hostless."""
     if not url:
-        return None
+        return None, None
     try:
         parts = urlsplit(url.strip())
     except ValueError:
-        return None
+        return None, None
     scheme = (parts.scheme or "http").lower()
     host = (parts.hostname or "").lower().rstrip(".")
     if not host:
-        return None
-    if host.startswith("www.") and len(host) > 4:
+        return None, None
+    # loop, not a single strip: 'www.www.example.com' must land on the
+    # same key as 'example.com' or idempotence breaks and dedup keys
+    # split (review r5)
+    while host.startswith("www.") and len(host) > 4:
         host = host[4:]
     try:
         port = parts.port
     except ValueError:
-        return None
+        return None, None
     default = {"http": 80, "https": 443}.get(scheme)
-    if ":" in host:          # IPv6 literal — re-bracket, else the
-        host = f"[{host}]"   # rebuilt URL would not re-parse
-    netloc = host if port in (None, default) else f"{host}:{port}"
+    fmt = f"[{host}]" if ":" in host else host  # re-bracket IPv6 so
+    netloc = fmt if port in (None, default) \
+        else f"{fmt}:{port}"                    # the result re-parses
     path = _clean_path(parts.path)
     if len(path) > 1:
         path = path.rstrip("/")
@@ -81,7 +87,15 @@ def canonicalize(url: str) -> str | None:
         (k, v) for k, v in parse_qsl(parts.query, keep_blank_values=True)
         if not k.lower().startswith("utm_") and k.lower() not in _TRACKING)
     query = f"?{urlencode(keep)}" if keep else ""
-    return f"{scheme}://{netloc}{path}{query}"
+    return f"{scheme}://{netloc}{path}{query}", host
+
+
+def canonicalize(url: str) -> str | None:
+    """One URL -> canonical string, or None when unparseable/hostless.
+
+    Deterministic and idempotent (property-tested):
+    canonicalize(canonicalize(u)) == canonicalize(u)."""
+    return _canonical_parts(url)[0]
 
 
 CANON_FIELDS = [T.StructField("canon_url", T.StringType()),
@@ -98,10 +112,10 @@ def canonicalize_urls(df: DataFrame, url_col: str = "uri") -> DataFrame:
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            canon = [canonicalize(u) if isinstance(u, str) else None
-                     for u in pdf[url_col]]
-            host = [urlsplit(c).hostname if c is not None else None
-                    for c in canon]
+            pairs = [_canonical_parts(u) if isinstance(u, str)
+                     else (None, None) for u in pdf[url_col]]
+            canon = [p[0] for p in pairs]
+            host = [p[1] for p in pairs]
             out = pdf.copy()
             out["canon_url"] = pd.Series(canon, dtype=object)
             out["host"] = pd.Series(host, dtype=object)

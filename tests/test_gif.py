@@ -163,6 +163,25 @@ def test_decode_bomb_caps():
         decode_gif(bytes(bomb))
 
 
+def test_long_animation_static_face_still_decodes():
+    """The composed-stream cap guards gif_frames' materialized stack;
+    decode_gif stops at frame 1, so an animation whose FULL
+    composition would exceed the cap still serves its first frame
+    (review r5: a valid web 'GIF video' must not quarantine from the
+    image pipeline)."""
+    from loc2vec_spark.operators import gif as G
+    frames = np.zeros((4, 8, 8), dtype=np.uint8)
+    data = encode_gif(frames, delay_cs=2)
+    old = G._png.MAX_PIXELS
+    G._png.MAX_PIXELS = 8 * 8 * 2  # full stack (4 frames) over cap
+    try:
+        assert decode_gif(data).shape == (8, 8, 3)
+        with pytest.raises(ValueError, match="decode cap"):
+            G.gif_frames(data)
+    finally:
+        G._png.MAX_PIXELS = old
+
+
 def test_corrupt_inputs_quarantine():
     good = encode_gif(np.full((6, 6), 3, dtype=np.uint8))
     bad_cases = [
@@ -170,12 +189,17 @@ def test_corrupt_inputs_quarantine():
         b"GIF8",
         b"JIF89a" + good[6:],          # bad signature
         good[:10],                      # truncated descriptor
-        good[:-1],                      # missing trailer
         good[:20],                      # mid-palette cut
     ]
     for bad in bad_cases:
         with pytest.raises(ValueError):
             decode_gif(bad)
+    # a missing trailer truncates the FULL walk (animation face)...
+    with pytest.raises(ValueError):
+        gif_frames(good[:-1])
+    # ...but the static face stops at frame 1 and never needs the
+    # bytes past it (review r5: first-frame decode is per-frame work)
+    assert decode_gif(good[:-1]).shape == (6, 6, 3)
     # frame rect outside canvas
     img = encode_gif(np.zeros((4, 4), dtype=np.uint8))
     pos = img.index(b"\x2c")

@@ -26,6 +26,25 @@ def test_equivalence_classes_collapse():
     assert canon == {"http://example.com/a/b"}
 
 
+def test_www_strips_to_fixed_point():
+    """Stacked www prefixes must land on ONE key (a single strip left
+    www.www.x and www.x on different keys AND broke idempotence)."""
+    assert canonicalize("http://www.www.example.com/a") == \
+        "http://example.com/a"
+    assert canonicalize("http://www.www.www.example.com/a") == \
+        "http://example.com/a"
+
+
+def test_functional_ref_param_survives():
+    """?ref= is functional on real sites (git forges, docs version
+    pickers) — collapsing it would merge different pages, and a
+    false-positive dedup silently drops a document."""
+    a = canonicalize("https://git.example.com/repo/file?ref=main")
+    b = canonicalize("https://git.example.com/repo/file?ref=dev")
+    assert a != b
+    assert a == "https://git.example.com/repo/file?ref=main"
+
+
 def test_query_params_survive_sorted():
     a = canonicalize("https://h.io/p?b=2&a=1&utm_medium=email")
     b = canonicalize("https://h.io/p?a=1&b=2")

@@ -156,3 +156,22 @@ def test_caller_owned_fingerprints_lifecycle(spark):
         assert len(owned) == 6  # C(4,2) within the planted group
     finally:
         fp.unpersist()
+
+
+def test_video_gif_cross_container_match(spark):
+    """An animated-GIF re-encode of a Y4M clip near-dups with the
+    original through decode_video's GIF route — the third container
+    the aligned-frame pipeline covers (Y4M, MP4/MJPEG, GIF)."""
+    from loc2vec_spark.operators.gif import encode_gif
+    from loc2vec_spark.operators.video import decode_y4m
+    src = AV.neardup_video_bytes(41)
+    _, frames = decode_y4m(src)
+    # GIF is lossless on 8-bit luma: gray frames round-trip exactly,
+    # so the aligned hashes match frame for frame
+    clips = spark.createDataFrame(pd.DataFrame(
+        [("orig", src),
+         ("gif", encode_gif(frames, delay_cs=100))],  # 1 fps
+        columns=["video_id", "bytes"]))
+    got = AV.dedup_video_pairs(clips, min_frames=3).toPandas()
+    assert len(got) == 1
+    assert got["matched_frames"][0] >= 3

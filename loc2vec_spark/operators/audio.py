@@ -20,6 +20,7 @@ rate int, n_samples int, fmt string) — treat as an Iceberg audio table.
 from __future__ import annotations
 
 import io
+import struct
 import wave
 from typing import Iterator
 
@@ -40,14 +41,90 @@ def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
     return buf.getvalue()
 
 
+def _g711_ulaw(u8: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 mu-law bytes -> float64 in [-1, 1] (vectorized)."""
+    u = (~u8) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = (u & 0x0F).astype(np.int32)
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    val = np.where(sign, -mag, mag).astype(np.float64)
+    return val / 32768.0
+
+
+def _g711_alaw(u8: np.ndarray) -> np.ndarray:
+    """ITU-T G.711 A-law bytes -> float64 in [-1, 1] (vectorized)."""
+    a = (u8 ^ 0x55) & 0xFF
+    sign = (a & 0x80) != 0
+    exp = (a >> 4) & 0x07
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    val = np.where(sign, -mag, mag).astype(np.float64)
+    return val / 32768.0
+
+
+def _parse_riff(data: bytes):
+    """Bounded RIFF/WAVE chunk walk for the formats stdlib ``wave``
+    refuses: returns (fmt_tag, channels, rate, bits, payload). Every
+    declared size is validated against the buffer (a corrupt chunk
+    length truncates to the real bytes, never reads past them)."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos, fmt, payload = 12, None, None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            payload = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or payload is None:
+        raise ValueError("missing fmt/data chunk")
+    fmt_tag, ch, rate, _byte_rate, _align, bits = fmt
+    return fmt_tag, ch, rate, bits, payload
+
+
 def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
-    """WAV bytes -> (rate, mono float64 samples in [-1, 1])."""
-    with wave.open(io.BytesIO(data), "rb") as w:
-        rate = w.getframerate()
-        n = w.getnframes()
-        width = w.getsampwidth()
-        ch = w.getnchannels()
-        raw = w.readframes(n)
+    """WAV bytes -> (rate, mono float64 samples in [-1, 1]).
+
+    PCM 8/16/24/32-bit rides stdlib ``wave``; formats ``wave``
+    refuses fall back to a bounded RIFF walk: IEEE float32 (fmt 3)
+    and the two G.711 telephony codings (6 A-law, 7 mu-law) decode
+    for real — telephony/call-center corpora are mostly G.711 —
+    anything else raises the shared quarantine ValueError."""
+    try:
+        with wave.open(io.BytesIO(data), "rb") as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            width = w.getsampwidth()
+            ch = w.getnchannels()
+            raw = w.readframes(n)
+    except (wave.Error, RuntimeError, EOFError):
+        # wave.Error: formats stdlib wave refuses (G.711/float) AND
+        # genuinely corrupt streams; bare RuntimeError/EOFError leak
+        # from chunk.skip() on unseekable-length corrupt chunks (found
+        # by the mutation fuzzer) — ALL routes land on the bounded
+        # RIFF walk, which decodes the former and raises the
+        # contract's ValueError for the latter
+        fmt_tag, ch, rate, bits, raw = _parse_riff(data)
+        if rate <= 0:
+            raise ValueError(f"non-positive sample rate {rate}")
+        if fmt_tag == 3 and bits == 32:
+            x = np.frombuffer(
+                raw[:len(raw) // 4 * 4], dtype="<f4").astype(np.float64)
+        elif fmt_tag == 6 and bits == 8:
+            x = _g711_alaw(np.frombuffer(raw, dtype=np.uint8))
+        elif fmt_tag == 7 and bits == 8:
+            x = _g711_ulaw(np.frombuffer(raw, dtype=np.uint8))
+        else:
+            raise ValueError(
+                f"unsupported WAV format tag {fmt_tag} ({bits}-bit)")
+        if ch > 1:
+            x = x[: len(x) // ch * ch].reshape(-1, ch).mean(axis=1)
+        return rate, x
     if rate <= 0:
         # stdlib wave accepts a 0 fmt-chunk rate; it would crash rate
         # consumers outside the quarantine try-blocks (audio_features'
@@ -58,10 +135,19 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     elif width == 1:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
              - 128.0) / 128.0
+    elif width == 3:
+        b = np.frombuffer(raw[:len(raw) // 3 * 3], dtype=np.uint8)
+        b = b.reshape(-1, 3).astype(np.int32)
+        v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    elif width == 4:
+        x = np.frombuffer(raw[:len(raw) // 4 * 4],
+                          dtype="<i4").astype(np.float64) / float(1 << 31)
     else:
         raise ValueError(f"unsupported sample width {width}")
     if ch > 1:
-        x = x.reshape(-1, ch).mean(axis=1)  # downmix to mono
+        x = x[: len(x) // ch * ch].reshape(-1, ch).mean(axis=1)  # mono
     return rate, x
 
 

@@ -59,6 +59,9 @@ def decode_image(data: bytes) -> np.ndarray:
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import decode_tiff
         return decode_tiff(data)
+    if data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        from .ico import decode_ico
+        return decode_ico(data)
     return decode_png(data)
 
 

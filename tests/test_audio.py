@@ -77,3 +77,79 @@ def test_zero_rate_wav_rejected_at_decode():
     bad = good[:i] + struct.pack("<I", 0) + good[i + 4:]
     with pytest.raises(ValueError):
         A.decode_wav(bad)
+
+
+def _riff_wav(fmt_tag, ch, rate, bits, payload):
+    import struct
+    fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate,
+                      rate * ch * bits // 8, ch * bits // 8, bits)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def test_g711_known_vectors():
+    """ITU-T G.711 spot values: mu-law 0xFF/0x7F decode to +-0,
+    A-law 0x55/0xD5 to the +-8 quantization floor, and both code
+    spaces cover a symmetric [-1, 1) range."""
+    from loc2vec_spark.operators.audio import _g711_alaw, _g711_ulaw
+    assert _g711_ulaw(np.array([0xFF], np.uint8))[0] == 0.0
+    assert _g711_ulaw(np.array([0x7F], np.uint8))[0] == 0.0
+    assert _g711_alaw(np.array([0x55], np.uint8))[0] == 8 / 32768.0
+    assert _g711_alaw(np.array([0xD5], np.uint8))[0] == -8 / 32768.0
+    full = np.arange(256, dtype=np.uint8)
+    for dec in (_g711_ulaw, _g711_alaw):
+        x = dec(full)
+        assert -1.0 < x.min() < -0.9 and 0.9 < x.max() < 1.0
+        # flipping the (encoded) sign bit exactly negates the sample
+        assert np.array_equal(dec(full ^ 0x80), -x)
+
+
+def test_wav_g711_and_float_fallback_paths():
+    """Formats stdlib wave refuses ride the bounded RIFF fallback."""
+    from loc2vec_spark.operators.audio import decode_wav
+    pay = bytes(range(256))
+    r, x = decode_wav(_riff_wav(7, 1, 8000, 8, pay))     # mu-law
+    assert (r, len(x)) == (8000, 256) and abs(x).max() < 1.0
+    r, x = decode_wav(_riff_wav(6, 1, 8000, 8, pay))     # A-law
+    assert (r, len(x)) == (8000, 256)
+    f32 = np.linspace(-1, 1, 100, dtype=np.float32).tobytes()
+    r, x = decode_wav(_riff_wav(3, 2, 16000, 32, f32))   # float stereo
+    assert (r, len(x)) == (16000, 50)                    # downmixed
+    with pytest.raises(ValueError, match="format tag"):
+        decode_wav(_riff_wav(2, 1, 8000, 4, b"\x00" * 8))  # ADPCM
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"RIFX" + b"\x00" * 40)
+    # corrupt declared chunk size: bounded, quarantines cleanly
+    import struct as _s
+    good = _riff_wav(7, 1, 8000, 8, pay)
+    bad = good[:16] + _s.pack("<I", 1 << 30) + good[20:]
+    with pytest.raises(ValueError):
+        decode_wav(bad)
+
+
+def test_wav_24_and_32_bit_pcm():
+    import io
+    import wave as _w
+
+    from loc2vec_spark.operators.audio import decode_wav
+    buf = io.BytesIO()
+    with _w.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(44100)
+        vals = [0, 1 << 22, -(1 << 22), (1 << 23) - 1]
+        w.writeframes(b"".join(
+            int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals))
+    r, x = decode_wav(buf.getvalue())
+    assert r == 44100
+    assert np.allclose(x, [0.0, 0.5, -0.5, (2**23 - 1) / 2**23])
+    buf = io.BytesIO()
+    with _w.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(4)
+        w.setframerate(8000)
+        w.writeframes(np.array([0, 1 << 30, -(1 << 30)],
+                               dtype="<i4").tobytes())
+    r, x = decode_wav(buf.getvalue())
+    assert np.allclose(x, [0.0, 0.5, -0.5])

@@ -298,3 +298,54 @@ def test_bmp_v5_header_palette_offset():
     exp = np.array([[11, 22, 33], [200, 150, 100]],
                    dtype=np.uint8)[idx]
     assert np.array_equal(decode_bmp(data), exp)
+
+
+# ---------------------------------------------------------------------------
+# ICO (favicons — composes the BMP/PNG decoders)
+# ---------------------------------------------------------------------------
+
+def test_ico_round_trips_and_entry_pick():
+    from loc2vec_spark.operators.ico import decode_ico, encode_ico
+    rng = np.random.default_rng(21)
+    small = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    # largest entry wins, for both DIB and PNG payloads
+    assert np.array_equal(decode_ico(encode_ico([small, big])), big)
+    assert np.array_equal(
+        decode_ico(encode_ico([small, big], as_png=True)), big)
+    # 256px entries store their dimension as 0 in the directory
+    full = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ico(encode_ico([full])), full)
+
+
+def test_ico_and_mask_zeroes_pixels():
+    from loc2vec_spark.operators.ico import decode_ico, encode_ico
+    rng = np.random.default_rng(22)
+    img = rng.integers(1, 256, (16, 16, 3), dtype=np.uint8)
+    data = bytearray(encode_ico([img]))
+    # the AND mask sits after dir(6+16) + DIB header(40) + XOR rows
+    # (16 rows x 48-byte stride); masks are bottom-up, so setting the
+    # first mask bit hides the BOTTOM-left pixel
+    moff = 6 + 16 + 40 + 16 * 48
+    data[moff] = 0x80
+    exp = img.copy()
+    exp[15, 0] = 0
+    assert np.array_equal(decode_ico(bytes(data)), exp)
+
+
+def test_ico_corrupt_and_router(spark):
+    from loc2vec_spark.operators.ico import decode_ico, encode_ico
+    from loc2vec_spark.operators.images import decode_stats
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (9, 9, 3), dtype=np.uint8)
+    good = encode_ico([img])
+    for bad in [b"", b"\x00\x00\x03\x00\x01\x00", good[:20],
+                good[:6 + 16]]:
+        with pytest.raises(ValueError):
+            decode_ico(bad)
+    rows = [("ico", bytearray(good)),
+            ("bad", bytearray(b"\x00\x00\x01\x00\x01\x00" + b"\x00" * 4))]
+    df = spark.createDataFrame(rows, "image_id STRING, bytes BINARY")
+    out = {r["image_id"]: r for r in decode_stats(df).collect()}
+    assert out["ico"]["ok"] and out["ico"]["h"] == 9
+    assert not out["bad"]["ok"]

@@ -10,6 +10,7 @@ import pytest
 
 from loc2vec_spark.operators import bmp as B
 from loc2vec_spark.operators import gif as G
+from loc2vec_spark.operators import ico as I
 from loc2vec_spark.operators import jpeg as J
 from loc2vec_spark.operators import mp3 as A
 from loc2vec_spark.operators import mp4 as M
@@ -87,6 +88,20 @@ def test_mp3_fuzz_contract():
 def test_adts_fuzz_contract():
     from loc2vec_spark.operators import aac
     _assert_contract(aac.parse_adts, aac.synth_adts_bytes(6), 61)
+
+
+def test_wav_fuzz_contract():
+    import struct
+
+    from loc2vec_spark.operators.audio import decode_wav, encode_wav
+    pcm = encode_wav((np.sin(np.arange(2000) / 8.0)
+                      * 20000).astype(np.int16), rate=8000)
+    _assert_contract(decode_wav, pcm, 55)
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    g711 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + 256)
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 256) + bytes(range(256)))
+    _assert_contract(decode_wav, g711, 56)
 
 
 def test_y4m_fuzz_contract():
@@ -179,6 +194,14 @@ def test_gif_fuzz_contract(seed, make):
 ])
 def test_bmp_fuzz_contract(seed, make):
     _assert_contract(B.decode_bmp, make(), seed)
+
+
+@pytest.mark.parametrize("seed,make", [
+    (95, lambda: I.encode_ico([_rgb(16, 16)])),
+    (96, lambda: I.encode_ico([_rgb(16, 16)], as_png=True)),
+])
+def test_ico_fuzz_contract(seed, make):
+    _assert_contract(I.decode_ico, make(), seed)
 
 
 @pytest.mark.parametrize("seed,make", [

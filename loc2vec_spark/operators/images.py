@@ -62,6 +62,9 @@ def decode_image(data: bytes) -> np.ndarray:
     if data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
         from .ico import decode_ico
         return decode_ico(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from .webp import decode_webp
+        return decode_webp(data)  # container-validating honest stub
     return decode_png(data)
 
 

@@ -124,8 +124,20 @@ def main(argv=None) -> None:
     ukey = F.coalesce("canon_url", "uri")
     wnd = Window.partitionBy(ukey).orderBy("warc_date", "uri")
     winners = (proj.withColumn("_rk", F.row_number().over(wnd))
-                   .filter("_rk = 1").drop("_rk"))
-    pages = html.join(winners, ["uri", "warc_date"])
+                   .filter("_rk = 1").drop("_rk")
+                   .withColumnRenamed("uri", "_wuri")
+                   .withColumnRenamed("warc_date", "_wdate"))
+    # NULL-SAFE equi-join (review r5): a response record may lack its
+    # WARC-Date (or even Target-URI) header, and a winner carrying a
+    # NULL key would match NOTHING under plain equality — its whole
+    # canonical group would vanish from the corpus while the funnel
+    # miscounted it as a duplicate. <=> joins are still hash
+    # joinable, so the plan shape is unchanged.
+    pages = (html.join(
+        winners,
+        html["uri"].eqNullSafe(F.col("_wuri"))
+        & html["warc_date"].eqNullSafe(F.col("_wdate")))
+        .drop("_wuri", "_wdate"))
     pages = pages.withColumn(
         "ex", html_extract_udf()(F.col("body").cast("string")))
     docs = pages.select(

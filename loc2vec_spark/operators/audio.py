@@ -60,27 +60,26 @@ def _g711_alaw(u8: np.ndarray) -> np.ndarray:
     mant = (a & 0x0F).astype(np.int32)
     mag = np.where(exp == 0, (mant << 4) + 8,
                    ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
-    val = np.where(sign, -mag, mag).astype(np.float64)
+    # A-law sign convention is INVERTED relative to mu-law: after the
+    # 0x55 XOR, a SET sign bit means POSITIVE (ITU G.711 Table 2 /
+    # the reference alaw2linear) — review r5 caught the first cut
+    # negating the whole waveform
+    val = np.where(sign, mag, -mag).astype(np.float64)
     return val / 32768.0
 
 
 def _parse_riff(data: bytes):
-    """Bounded RIFF/WAVE chunk walk for the formats stdlib ``wave``
-    refuses: returns (fmt_tag, channels, rate, bits, payload). Every
-    declared size is validated against the buffer (a corrupt chunk
-    length truncates to the real bytes, never reads past them)."""
-    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE stream")
-    pos, fmt, payload = 12, None, None
-    while pos + 8 <= len(data):
-        tag = data[pos:pos + 4]
-        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
-        body = data[pos + 8:pos + 8 + size]
+    """RIFF/WAVE walk (shared :mod:`.riff` helper) for the formats
+    stdlib ``wave`` refuses: returns (fmt_tag, channels, rate, bits,
+    payload). A corrupt chunk length truncates to the real bytes —
+    the format checks downstream reject the remainder."""
+    from .riff import walk_riff
+    fmt, payload = None, None
+    for tag, body in walk_riff(data, b"WAVE"):
         if tag == b"fmt " and len(body) >= 16:
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif tag == b"data":
             payload = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or payload is None:
         raise ValueError("missing fmt/data chunk")
     fmt_tag, ch, rate, _byte_rate, _align, bits = fmt
@@ -115,6 +114,12 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
         if fmt_tag == 3 and bits == 32:
             x = np.frombuffer(
                 raw[:len(raw) // 4 * 4], dtype="<f4").astype(np.float64)
+            if not np.isfinite(x).all():
+                # NaN/Inf payload would flow rms=NaN under ok=true —
+                # the silent-falsification class the empty-clip guard
+                # exists for; quarantine instead
+                raise ValueError("non-finite float32 samples")
+            x = np.clip(x, -1.0, 1.0)  # the documented range contract
         elif fmt_tag == 6 and bits == 8:
             x = _g711_alaw(np.frombuffer(raw, dtype=np.uint8))
         elif fmt_tag == 7 and bits == 8:

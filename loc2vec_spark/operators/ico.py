@@ -102,22 +102,36 @@ def _decode_dib_entry(blob: bytes) -> np.ndarray:
 
 
 def decode_ico(data: bytes) -> np.ndarray:
-    """ICO/CUR bytes -> uint8 (H, W, 3) of the best entry (largest
-    area, then deepest bpp). PNG entries route to the PNG decoder,
-    DIB entries to the BMP decoder with the AND mask applied as
-    zeroed pixels."""
+    """ICO/CUR bytes -> uint8 (H, W, 3) of the best DECODABLE entry
+    (largest area, then deepest bpp, falling back down the ranking).
+    PNG entries route to the PNG decoder, DIB entries to the BMP
+    decoder with the AND mask applied as zeroed pixels.
+
+    The fallback matters on real favicons (review r5): the common
+    layout is small BMP DIBs plus a 256px RGBA PNG, and the PNG
+    decoder's color-type scope (gray/RGB) rejects the RGBA entry —
+    the 32px DIB must still serve rather than quarantining the
+    file."""
     try:
         ents = _entries(data)
-        best = max(ents, key=lambda e: (e["w"] * e["h"], e["bpp"]))
-        blob = best["data"]
-        if blob[:8] == _PNG_SIG:
-            arr = decode_png(blob)
-            if arr.ndim == 2:
-                arr = np.repeat(arr[..., None], 3, axis=2)
-            return arr
-        return _decode_dib_entry(blob)
     except (struct.error, IndexError) as e:
         raise ValueError(f"corrupt or truncated ICO: {e!r}") from e
+    ranked = sorted(ents, key=lambda e: (e["w"] * e["h"], e["bpp"]),
+                    reverse=True)
+    last: Exception | None = None
+    for ent in ranked:
+        blob = ent["data"]
+        try:
+            if blob[:8] == _PNG_SIG:
+                arr = decode_png(blob)
+                if arr.ndim == 2:
+                    arr = np.repeat(arr[..., None], 3, axis=2)
+                return arr
+            return _decode_dib_entry(blob)
+        except (ValueError, struct.error, IndexError) as e:
+            last = e
+    raise ValueError(f"no decodable ICO entry "
+                     f"(best failure: {last!r})")
 
 
 def encode_ico(images: list[np.ndarray], *, as_png: bool = False) -> bytes:

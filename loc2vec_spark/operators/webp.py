@@ -46,21 +46,15 @@ def parse_webp(data: bytes) -> dict:
 
     Keys: variant ('lossy'|'lossless'|'extended'), w, h, alpha,
     animated, n_frames, chunks (list of fourcc strings)."""
-    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
-        raise ValueError("not a RIFF/WEBP stream")
-    (riff_size,) = struct.unpack("<I", data[4:8])
-    if riff_size + 8 > len(data) + 1:  # tolerate 1-byte pad ambiguity
-        raise ValueError(f"RIFF size {riff_size} overruns the file")
-    pos = 12
+    from .riff import walk_riff
+    if data[:4] == b"RIFF" and len(data) >= 8:
+        (riff_size,) = struct.unpack("<I", data[4:8])
+        if riff_size + 8 > len(data) + 1:  # tolerate 1-byte pad slack
+            raise ValueError(f"RIFF size {riff_size} overruns the "
+                             f"file")
     out = {"variant": None, "w": None, "h": None, "alpha": False,
            "animated": False, "n_frames": 0, "chunks": []}
-    while pos + 8 <= len(data):
-        tag = data[pos:pos + 8][:4]
-        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
-        body = data[pos + 8:pos + 8 + size]
-        if len(body) < size:
-            raise ValueError(f"chunk {tag!r} truncated "
-                             f"({len(body)}/{size} bytes)")
+    for tag, body in walk_riff(data, b"WEBP", strict_sizes=True):
         out["chunks"].append(tag.decode("latin-1"))
         if tag == b"VP8 " and out["variant"] is None:
             out["variant"] = "lossy"
@@ -75,10 +69,13 @@ def parse_webp(data: bytes) -> dict:
             out["n_frames"] += 1
         elif tag == b"ALPH":
             out["alpha"] = True
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
     if out["variant"] is None:
         raise ValueError("no VP8 /VP8L/VP8X payload chunk")
-    if out["variant"] != "extended" and out["n_frames"] == 0:
+    if out["n_frames"] == 0 and not out["animated"]:
+        # a non-animated still is ONE frame regardless of whether it
+        # carries a VP8X metadata header (review r5: keying this on
+        # the variant made byte-identical payloads report 0 vs 1);
+        # an animated file with zero ANMF chunks honestly reports 0
         out["n_frames"] = 1
     return out
 

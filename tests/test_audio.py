@@ -89,14 +89,46 @@ def _riff_wav(fmt_tag, ch, rate, bits, payload):
 
 
 def test_g711_known_vectors():
-    """ITU-T G.711 spot values: mu-law 0xFF/0x7F decode to +-0,
-    A-law 0x55/0xD5 to the +-8 quantization floor, and both code
-    spaces cover a symmetric [-1, 1) range."""
+    """ITU-T G.711 spot values: mu-law 0xFF/0x7F decode to +-0; the
+    A-law sign convention is INVERTED relative to mu-law (after the
+    0x55 XOR a SET sign bit is POSITIVE — the reference alaw2linear),
+    so 0xD5 is the +8 quantization floor and 0x55 the -8 one; both
+    code spaces cover a symmetric [-1, 1) range."""
     from loc2vec_spark.operators.audio import _g711_alaw, _g711_ulaw
     assert _g711_ulaw(np.array([0xFF], np.uint8))[0] == 0.0
     assert _g711_ulaw(np.array([0x7F], np.uint8))[0] == 0.0
-    assert _g711_alaw(np.array([0x55], np.uint8))[0] == 8 / 32768.0
-    assert _g711_alaw(np.array([0xD5], np.uint8))[0] == -8 / 32768.0
+    assert _g711_alaw(np.array([0xD5], np.uint8))[0] == 8 / 32768.0
+    assert _g711_alaw(np.array([0x55], np.uint8))[0] == -8 / 32768.0
+
+    # ALL 256 codes vs straight-line transcriptions of the canonical
+    # alaw2linear/ulaw2linear reference (the review-r5 sign inversion
+    # passed the old spot checks because the test encoded the same
+    # wrong convention — an independent full-table oracle cannot)
+    def ref_alaw(c):
+        a = c ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    def ref_ulaw(c):
+        u = ~c & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(
+        _g711_alaw(codes) * 32768.0,
+        np.array([ref_alaw(int(c)) for c in codes], dtype=np.float64))
+    assert np.array_equal(
+        _g711_ulaw(codes) * 32768.0,
+        np.array([ref_ulaw(int(c)) for c in codes], dtype=np.float64))
     full = np.arange(256, dtype=np.uint8)
     for dec in (_g711_ulaw, _g711_alaw):
         x = dec(full)

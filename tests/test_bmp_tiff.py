@@ -349,3 +349,36 @@ def test_ico_corrupt_and_router(spark):
     out = {r["image_id"]: r for r in decode_stats(df).collect()}
     assert out["ico"]["ok"] and out["ico"]["h"] == 9
     assert not out["bad"]["ok"]
+
+
+def test_ico_falls_back_past_undecodable_best_entry():
+    """The common modern favicon layout: a small DIB plus a larger
+    PNG whose color type the PNG decoder does not cover (RGBA). The
+    ranking prefers the PNG; decode must fall back to the DIB rather
+    than quarantining the file."""
+    import struct as _s
+    import zlib as _z
+
+    from loc2vec_spark.operators.ico import decode_ico, encode_ico
+    rng = np.random.default_rng(24)
+    small = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    # hand-build a minimal RGBA (color type 6) PNG — decode_png
+    # supports types 0/2 only, so this entry raises
+    def chunk(tag, payload):
+        return (_s.pack(">I", len(payload)) + tag + payload
+                + _s.pack(">I", _z.crc32(tag + payload) & 0xFFFFFFFF))
+    ihdr = _s.pack(">IIBBBBB", 32, 32, 8, 6, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(32 * 4) for _ in range(32))
+    rgba_png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", _z.compress(raw))
+                + chunk(b"IEND", b""))
+    base = encode_ico([small])
+    dib_blob = base[6 + 16:]
+    # directory: PNG entry (32px, ranked first) + DIB entry (16px)
+    hdr = _s.pack("<HHH", 0, 1, 2)
+    off0 = 6 + 32
+    e0 = _s.pack("<BBBBHHII", 32, 32, 0, 0, 1, 32, len(rgba_png), off0)
+    e1 = _s.pack("<BBBBHHII", 16, 16, 0, 0, 1, 24, len(dib_blob),
+                 off0 + len(rgba_png))
+    ico = hdr + e0 + e1 + rgba_png + dib_blob
+    assert np.array_equal(decode_ico(ico), small)

@@ -482,3 +482,52 @@ def test_run_crawl_url_dedup(spark, tmp_path):
     assert canon["%%%not-a-url"] is None
     src = {r["uri"]: r["source"] for r in docs.collect()}
     assert src["http://site.test/a"] == "site.test"
+
+
+def test_run_crawl_keeps_null_date_records(spark, tmp_path):
+    """A response record missing its WARC-Date header must survive
+    the URL dedup join (null-safe keys), not vanish silently while
+    the funnel miscounts it as a duplicate."""
+    import importlib.util
+    import os as _os
+
+    page = (b"<html><head><title>N</title></head>"
+            b"<body><p>undated content</p></body></html>")
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            + b"Content-Length: " + str(len(page)).encode()
+            + b"\r\n\r\n" + page)
+    rec_nodate = (b"WARC/1.0\r\n"
+                  b"WARC-Type: response\r\n"
+                  b"WARC-Record-ID: <urn:uuid:1>\r\n"
+                  b"WARC-Target-URI: http://nodate.test/a\r\n"
+                  b"Content-Type: application/http; msgtype=response"
+                  b"\r\nContent-Length: " + str(len(http)).encode()
+                  + b"\r\n\r\n" + http + b"\r\n\r\n")
+    rec_dated = (b"WARC/1.0\r\n"
+                 b"WARC-Type: response\r\n"
+                 b"WARC-Record-ID: <urn:uuid:2>\r\n"
+                 b"WARC-Date: 2026-02-01T00:00:00Z\r\n"
+                 b"WARC-Target-URI: http://dated.test/b\r\n"
+                 b"Content-Type: application/http; msgtype=response"
+                 b"\r\nContent-Length: " + str(len(http)).encode()
+                 + b"\r\n\r\n" + http + b"\r\n\r\n")
+    wdir = tmp_path / "warcs"
+    wdir.mkdir()
+    (wdir / "a.warc").write_bytes(rec_nodate + rec_dated)
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "crawlmod4", _os.path.join(repo, "jobs", "run_crawl.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "out")
+    stats = mod.main(["--warc", str(wdir / "*"), "--out", out,
+                      "--keep-session"])
+    assert stats["records_walked"] == 2
+    assert stats["url_duplicates"] == 0
+    assert stats["documents"] == 2
+    docs = spark.read.parquet(_os.path.join(out, "documents"))
+    rows = {r["uri"]: r for r in docs.collect()}
+    assert set(rows) == {"http://nodate.test/a", "http://dated.test/b"}
+    assert rows["http://nodate.test/a"]["warc_date"] is None
+    assert rows["http://nodate.test/a"]["text"] == "undated content"

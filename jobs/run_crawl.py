@@ -122,7 +122,13 @@ def main(argv=None) -> None:
     proj = canonicalize_urls(
         html.select("uri", "warc_date").distinct(), "uri")
     ukey = F.coalesce("canon_url", "uri")
-    wnd = Window.partitionBy(ukey).orderBy("warc_date", "uri")
+    # NULLS LAST: "earliest fetch wins" must not let a record whose
+    # date is UNKNOWN beat a properly dated fetch of the same page
+    # (ascending default is nulls-first, and with the null-safe join
+    # below that winner would actually survive — review r5)
+    wnd = Window.partitionBy(ukey).orderBy(
+        F.col("warc_date").asc_nulls_last(),
+        F.col("uri").asc_nulls_last())
     winners = (proj.withColumn("_rk", F.row_number().over(wnd))
                    .filter("_rk = 1").drop("_rk")
                    .withColumnRenamed("uri", "_wuri")

@@ -118,7 +118,7 @@ def decode_ico(data: bytes) -> np.ndarray:
         raise ValueError(f"corrupt or truncated ICO: {e!r}") from e
     ranked = sorted(ents, key=lambda e: (e["w"] * e["h"], e["bpp"]),
                     reverse=True)
-    last: Exception | None = None
+    first: Exception | None = None
     for ent in ranked:
         blob = ent["data"]
         try:
@@ -129,9 +129,12 @@ def decode_ico(data: bytes) -> np.ndarray:
                 return arr
             return _decode_dib_entry(blob)
         except (ValueError, struct.error, IndexError) as e:
-            last = e
+            # keep the BEST-ranked entry's failure for the message —
+            # it is the one a triager should look at first
+            if first is None:
+                first = e
     raise ValueError(f"no decodable ICO entry "
-                     f"(best failure: {last!r})")
+                     f"(best entry's failure: {first!r})")
 
 
 def encode_ico(images: list[np.ndarray], *, as_png: bool = False) -> bytes:

@@ -17,14 +17,21 @@ def walk_riff(data: bytes, form: bytes,
                   tuple[bytes, bytes]]:
     """Yield (fourcc, body) for each chunk of a RIFF/``form`` file.
 
-    ``strict_sizes=True`` raises when a chunk's declared size runs
-    past the buffer (WebP probing wants corrupt = loud);
-    ``strict_sizes=False`` truncates the body to the real bytes (the
-    WAV fallback's behavior — the decoder's own format checks reject
-    the remainder)."""
+    ``strict_sizes=True`` raises when the top-level RIFF size or a
+    chunk's declared size runs past the buffer (WebP probing wants
+    corrupt = loud); ``strict_sizes=False`` ignores the RIFF size
+    field and truncates chunk bodies to the real bytes (the WAV
+    fallback's behavior — real streaming writers emit 0/0xFFFFFFFF
+    RIFF sizes, and the decoder's own format checks reject corrupt
+    remainders)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != form:
         raise ValueError(
             f"not a RIFF/{form.decode('latin-1').strip()} stream")
+    if strict_sizes:
+        (riff_size,) = struct.unpack("<I", data[4:8])
+        if riff_size + 8 > len(data) + 1:  # 1-byte pad slack
+            raise ValueError(f"RIFF size {riff_size} overruns the "
+                             f"file")
     pos = 12
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]

@@ -47,11 +47,6 @@ def parse_webp(data: bytes) -> dict:
     Keys: variant ('lossy'|'lossless'|'extended'), w, h, alpha,
     animated, n_frames, chunks (list of fourcc strings)."""
     from .riff import walk_riff
-    if data[:4] == b"RIFF" and len(data) >= 8:
-        (riff_size,) = struct.unpack("<I", data[4:8])
-        if riff_size + 8 > len(data) + 1:  # tolerate 1-byte pad slack
-            raise ValueError(f"RIFF size {riff_size} overruns the "
-                             f"file")
     out = {"variant": None, "w": None, "h": None, "alpha": False,
            "animated": False, "n_frames": 0, "chunks": []}
     for tag, body in walk_riff(data, b"WEBP", strict_sizes=True):

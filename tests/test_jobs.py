@@ -511,9 +511,30 @@ def test_run_crawl_keeps_null_date_records(spark, tmp_path):
                  b"Content-Type: application/http; msgtype=response"
                  b"\r\nContent-Length: " + str(len(http)).encode()
                  + b"\r\n\r\n" + http + b"\r\n\r\n")
+    # third pair: the SAME canonical URL fetched once dated, once
+    # undated — a record with a KNOWN date must win the dedup even
+    # though ascending sort would put NULL first (asc_nulls_last)
+    rec_twin_undated = (b"WARC/1.0\r\n"
+                        b"WARC-Type: response\r\n"
+                        b"WARC-Record-ID: <urn:uuid:3>\r\n"
+                        b"WARC-Target-URI: http://twin.test/c\r\n"
+                        b"Content-Type: application/http; "
+                        b"msgtype=response\r\n"
+                        b"Content-Length: " + str(len(http)).encode()
+                        + b"\r\n\r\n" + http + b"\r\n\r\n")
+    rec_twin_dated = (b"WARC/1.0\r\n"
+                      b"WARC-Type: response\r\n"
+                      b"WARC-Record-ID: <urn:uuid:4>\r\n"
+                      b"WARC-Date: 2026-02-05T00:00:00Z\r\n"
+                      b"WARC-Target-URI: http://twin.test/c\r\n"
+                      b"Content-Type: application/http; "
+                      b"msgtype=response\r\n"
+                      b"Content-Length: " + str(len(http)).encode()
+                      + b"\r\n\r\n" + http + b"\r\n\r\n")
     wdir = tmp_path / "warcs"
     wdir.mkdir()
-    (wdir / "a.warc").write_bytes(rec_nodate + rec_dated)
+    (wdir / "a.warc").write_bytes(rec_nodate + rec_dated
+                                  + rec_twin_undated + rec_twin_dated)
 
     repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     spec = importlib.util.spec_from_file_location(
@@ -523,11 +544,15 @@ def test_run_crawl_keeps_null_date_records(spark, tmp_path):
     out = str(tmp_path / "out")
     stats = mod.main(["--warc", str(wdir / "*"), "--out", out,
                       "--keep-session"])
-    assert stats["records_walked"] == 2
-    assert stats["url_duplicates"] == 0
-    assert stats["documents"] == 2
+    assert stats["records_walked"] == 4
+    assert stats["url_duplicates"] == 1           # the twin pair
+    assert stats["documents"] == 3
     docs = spark.read.parquet(_os.path.join(out, "documents"))
     rows = {r["uri"]: r for r in docs.collect()}
-    assert set(rows) == {"http://nodate.test/a", "http://dated.test/b"}
+    assert set(rows) == {"http://nodate.test/a", "http://dated.test/b",
+                         "http://twin.test/c"}
     assert rows["http://nodate.test/a"]["warc_date"] is None
     assert rows["http://nodate.test/a"]["text"] == "undated content"
+    # the dated twin won, not the undated one
+    assert rows["http://twin.test/c"]["warc_date"] == \
+        "2026-02-05T00:00:00Z"
